@@ -1,0 +1,250 @@
+"""Configuration system for unidisc_tpu.
+
+Plain frozen dataclasses (hashable, usable as jit static args) replace the
+reference's Hydra/OmegaConf tree (reference: configs/config.yaml:1-451).
+Presets mirror configs/model/*.yaml; experiment overlays become keyword
+overrides via ``replace`` / ``Config.make``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Vocab constants (reference: model_setup.py:90-115)
+# LLaMA-2 tokenizer: 32000 ids, no mask token -> mask_index = 32000, text
+# vocab becomes 32001; LlamaGen VQ-16 image codebook: 16384 ids offset by the
+# text vocab size.
+# ---------------------------------------------------------------------------
+LLAMA2_VOCAB = 32000
+DEFAULT_TEXT_VOCAB = LLAMA2_VOCAB + 1  # +1 mask token
+DEFAULT_IMAGE_VOCAB = 16384
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Backbone (DiT) hyperparameters. Mirrors configs/model/*.yaml."""
+
+    name: str = "small"
+    hidden_size: int = 768
+    cond_dim: int = 128
+    n_blocks: int = 12
+    n_heads: int = 12
+    mlp_ratio: int = 4
+    dropout: float = 0.1
+    attn_dropout: float = 0.0
+    # sequence layout: [txt(txt_length) | img(img_length)] (non-interleaved)
+    length: int = 1024
+    txt_length: int = 128
+    img_length: int = 256
+    # vocab
+    text_vocab_size: int = DEFAULT_TEXT_VOCAB
+    image_vocab_size: int = DEFAULT_IMAGE_VOCAB
+    # architecture flags (reference: configs/config.yaml model section)
+    norm_type: str = "layernorm"  # layernorm | rms
+    qk_norm: bool = False
+    sandwich_normalization: bool = False
+    time_conditioning: bool = False
+    cond_label: bool = False
+    rope_2d: bool = False
+    modality_embed: bool = False
+    zero_linear_init: bool = True
+    full_attention: bool = True  # False => causal (AR mode)
+    force_argmax_valid_indices: bool = False
+    rope_base: float = 10_000.0
+    # attention backend: "xla" (jnp einsum softmax path, XLA-fused) or
+    # "pallas" (custom fused flash-attention kernel, TPU only)
+    attn_backend: str = "xla"
+
+    @property
+    def vocab_size(self) -> int:
+        return self.text_vocab_size + self.image_vocab_size
+
+    @property
+    def mask_index(self) -> int:
+        return self.text_vocab_size - 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.n_heads
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """Noise schedule (reference: models/noise_schedule.py:13-157)."""
+
+    type: str = "loglinear"  # loglinear | cosine | cosinesqr | linear | geometric
+    eps: float = 1e-3
+    sigma_min: float = 1e-3  # linear/geometric only
+    sigma_max: float = 10.0
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    """Training hyperparameters (reference: configs/config.yaml trainer/optim)."""
+
+    # optimization (reference: configs/config.yaml optim)
+    lr: float = 3e-4
+    weight_decay: float = 0.0
+    beta1: float = 0.9
+    beta2: float = 0.999
+    opt_eps: float = 1e-8
+    warmup_steps: int = 2500
+    lr_schedule: str = "constant_warmup"  # constant_warmup | cosine_decay
+    max_steps: int = 1_000_000
+    gradient_clip_val: float = 1.0
+    ema_decay: float = 0.9999
+    # loss
+    antithetic_sampling: bool = True
+    sampling_eps: float = 1e-3
+    importance_sampling: bool = False
+    softmin_snr: Optional[float] = None  # gamma; production uses 5
+    text_loss_weight: Optional[float] = None  # production: 1.0
+    img_loss_weight: Optional[float] = None  # production: 0.6
+    mask_entire_modality: Optional[float] = None  # production: 0.15
+    # parameterization: subs (masked diffusion) | ar (autoregressive)
+    parameterization: str = "subs"
+    ar_shift: bool = False
+    # batch / precision
+    global_batch_size: int = 512
+    dtype: str = "bfloat16"
+    use_gradient_checkpointing: bool = False
+    multimodal_batches: bool = False
+    interleaved: bool = False
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    """Sampler settings (reference: configs/config.yaml sampling/eval)."""
+
+    predictor: str = "ddpm_cache"  # ddpm | ddpm_cache | maskgit | maskgit_nucleus | first_hitting
+    steps: int = 128
+    noise_removal: bool = True
+    cfg: Optional[float] = None  # classifier-free guidance weight
+    cfg_min_timestep: Optional[float] = None
+    cfg_max_timestep: Optional[float] = None
+    maskgit_r_temp: float = 10.0
+    maskgit_mode: str = "arccos"  # root | linear | square | cosine | arccos
+    top_p: Optional[float] = None
+    temperature: float = 1.0
+    sampling_eps: float = 1e-5
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout (reference: main.py:943-998 XLA SPMD mesh).
+
+    Axes mirror the reference's ('dcn', 'fsdp', 'tensor') HybridMesh. A size
+    of -1 means "all remaining devices".
+    """
+
+    dcn: int = 1  # multislice / DCN axis (data-parallel across slices)
+    fsdp: int = -1  # parameter + batch sharding over ICI
+    tensor: int = 1  # tensor parallelism
+
+    def axis_names(self) -> Tuple[str, str, str]:
+        return ("dcn", "fsdp", "tensor")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"
+    data_dir: Optional[str] = None
+    num_workers: int = 4
+    # weighted multi-dataset sampling (reference: unidisc/datasets/sampler.py)
+    dataset_weights: Optional[Tuple[float, ...]] = None
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    seed: int = 42
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def make(model: str = "small", **overrides: Any) -> "Config":
+        cfg = Config(model=MODEL_PRESETS[model])
+        return cfg.override(**overrides)
+
+    def override(self, **overrides: Any) -> "Config":
+        """Apply dotted-path overrides, e.g. override(**{"model.n_blocks": 2})."""
+        cfg = self
+        for key, value in overrides.items():
+            parts = key.split(".")
+            if len(parts) == 1:
+                cfg = replace(cfg, **{key: value})
+            else:
+                section = getattr(cfg, parts[0])
+                for mid in parts[1:-1]:
+                    section = getattr(section, mid)
+                # rebuild from innermost out
+                objs = [cfg]
+                for p in parts[:-1]:
+                    objs.append(getattr(objs[-1], p))
+                new = replace(objs[-1], **{parts[-1]: value})
+                for obj, p in zip(reversed(objs[:-1]), reversed(parts[:-1])):
+                    new = replace(obj, **{p: new})
+                cfg = new
+        return cfg
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+
+        def build(cls, d):
+            kwargs = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in _SECTIONS:
+                    kwargs[f.name] = build(_SECTIONS[f.name], v)
+                elif isinstance(v, list):
+                    kwargs[f.name] = tuple(v)
+                else:
+                    kwargs[f.name] = v
+            return cls(**kwargs)
+
+        return build(Config, raw)
+
+
+_SECTIONS = {
+    "model": ModelConfig,
+    "noise": NoiseConfig,
+    "trainer": TrainerConfig,
+    "sampling": SamplingConfig,
+    "mesh": MeshConfig,
+    "data": DataConfig,
+}
+
+
+# Model size presets (reference: configs/model/{small,medium,large,extra_large,xxl}.yaml)
+MODEL_PRESETS = {
+    "tiny": ModelConfig(name="tiny", hidden_size=128, cond_dim=64, n_blocks=2,
+                        n_heads=2, length=48, txt_length=16, img_length=32),
+    "small": ModelConfig(name="small", hidden_size=768, cond_dim=128, n_blocks=12,
+                         n_heads=12, length=1024, txt_length=128, img_length=896),
+    "medium": ModelConfig(name="medium", hidden_size=1024, cond_dim=128, n_blocks=24,
+                          n_heads=16, length=1024, txt_length=128, img_length=896),
+    "large": ModelConfig(name="large", hidden_size=1280, cond_dim=128, n_blocks=28,
+                         n_heads=20, length=1024, txt_length=128, img_length=896),
+    # production 1.4B-class config (reference: configs/experiments/large_scale_train.yaml)
+    "extra_large": ModelConfig(name="extra_large", hidden_size=2048, cond_dim=128,
+                               n_blocks=24, n_heads=16, length=384, txt_length=128,
+                               img_length=256, qk_norm=True, norm_type="rms",
+                               sandwich_normalization=True, modality_embed=True,
+                               rope_2d=True, force_argmax_valid_indices=True),
+    "xxl": ModelConfig(name="xxl", hidden_size=4096, cond_dim=128, n_blocks=30,
+                       n_heads=32, length=1024, txt_length=128, img_length=896),
+}
