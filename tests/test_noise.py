@@ -12,20 +12,24 @@ from unidisc_tpu.diffusion import get_noise, LogLinearNoise
 def test_loglinear_golden():
     n = LogLinearNoise(eps=1e-3)
     t = jnp.array([0.0, 0.25, 0.5, 0.9, 1.0])
-    sigma = np.asarray(n.total(t))
+    sigma = np.asarray(n.total(t), dtype=np.float64)
     # sigma(t) = -log1p(-(1-eps) t)
-    expected = -np.log1p(-(1 - 1e-3) * np.asarray(t))
+    expected = -np.log1p(-(1 - 1e-3) * np.asarray(t, np.float64))
     np.testing.assert_allclose(sigma, expected, rtol=1e-3, atol=1e-6)
     # move_chance = 1 - exp(-sigma) = (1-eps) t
-    np.testing.assert_allclose(1 - np.exp(-sigma), (1 - 1e-3) * np.asarray(t), rtol=1e-5)
+    np.testing.assert_allclose(1 - np.exp(-sigma), (1 - 1e-3) * np.asarray(t, np.float64),
+                               rtol=1e-3, atol=1e-6)
 
 
 def test_loglinear_rate_is_derivative():
-    n = LogLinearNoise(eps=1e-3)
-    t = jnp.linspace(0.05, 0.95, 19)
-    h = 1e-4
-    numeric = (n.total(t + h) - n.total(t - h)) / (2 * h)
-    np.testing.assert_allclose(np.asarray(n.rate(t)), np.asarray(numeric), rtol=5e-3)
+    # fp64 numpy finite difference as the golden value (fp32 jax output)
+    eps = 1e-3
+    n = LogLinearNoise(eps=eps)
+    t64 = np.linspace(0.05, 0.95, 19)
+    h = 1e-6
+    numeric = (-np.log1p(-(1 - eps) * (t64 + h)) + np.log1p(-(1 - eps) * (t64 - h))) / (2 * h)
+    rate = np.asarray(n.rate(jnp.asarray(t64, jnp.float32)), np.float64)
+    np.testing.assert_allclose(rate, numeric, rtol=1e-4)
 
 
 @pytest.mark.parametrize("kind", ["loglinear", "cosine", "cosinesqr", "linear", "geometric"])

@@ -1,0 +1,396 @@
+"""DiT denoiser backbone in Flax.
+
+A ground-up Flax/XLA re-design of the reference non-causal DiT
+(reference: models/dit.py:1095-1500, DDiTBlock 890-1033, Attention 516-887):
+
+  * token embedding over the unified text+image vocab
+  * optional timestep embedder -> adaLN-zero 6-way modulation per block,
+    gated so only image tokens receive time conditioning
+    (modulate_with_mask, reference: models/dit.py:266-268)
+  * RMSNorm/LayerNorm (weight-only, fp32), optional QK-norm, optional
+    sandwich normalization
+  * rotary embeddings: 1D, or 1D-text + 2D-Lumina-image (rope_2d)
+  * optional modality embedding
+  * zero-initialized final layer (adaLN + logits projection)
+  * blocks stacked with nn.scan (single compiled block, fast XLA compile)
+    with optional nn.remat for gradient checkpointing
+  * AR decode path with an explicit per-layer KV cache carried through scan
+
+Everything is shape-static and jit-friendly. bfloat16 compute / fp32 params
+by default; logits are produced in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import ModelConfig
+from unidisc_tpu.models.rotary import apply_rope, build_multimodal_rope
+from unidisc_tpu.ops.attention import multihead_attention
+
+Dtype = Any
+
+
+def torch_linear_init(dtype=jnp.float32):
+    """Match torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    def init(key, shape, dtype=dtype):
+        fan_in = shape[0]
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def embedding_init(dtype=jnp.float32):
+    """Match reference EmbeddingLayer kaiming_uniform(a=sqrt(5)):
+    U(-1/sqrt(dim), 1/sqrt(dim)) (reference: models/dit.py:1036-1042)."""
+    def init(key, shape, dtype=dtype):
+        bound = 1.0 / math.sqrt(shape[-1])
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Norm(nn.Module):
+    """Weight-only LayerNorm/RMSNorm computed in fp32
+    (reference: models/dit.py:384-404)."""
+
+    dim: int
+    norm_type: str = "layernorm"
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        if self.norm_type == "layernorm":
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        elif self.norm_type == "rms":
+            y = x32 * jax.lax.rsqrt(jnp.mean(x32 ** 2, axis=-1, keepdims=True) + 1e-6)
+        else:
+            raise ValueError(self.norm_type)
+        return (y * w).astype(self.compute_dtype)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep embedding -> 2-layer MLP
+    (reference: models/dit.py:415-449)."""
+
+    cond_dim: int
+    freq_dim: int = 256
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.freq_dim // 2
+        freqs = jnp.exp(-math.log(10_000) * jnp.arange(half, dtype=jnp.float32) / half)
+        args = t[:, None].astype(jnp.float32) * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        emb = nn.Dense(self.cond_dim, kernel_init=torch_linear_init(),
+                       bias_init=nn.initializers.zeros, name="mlp_0")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.cond_dim, kernel_init=torch_linear_init(),
+                       bias_init=nn.initializers.zeros, name="mlp_2")(emb)
+        return emb.astype(self.compute_dtype)
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with a CFG null slot
+    (reference: models/dit.py:452-480 LabelEmbedderCFG)."""
+
+    num_classes: int
+    cond_dim: int
+    dropout_prob: float = 0.1
+
+    @nn.compact
+    def __call__(self, labels, *, rng=None, train=False):
+        table = self.param("embedding_table", embedding_init(),
+                           (self.num_classes + 1, self.cond_dim))
+        if train and self.dropout_prob > 0 and rng is not None:
+            drop = jax.random.uniform(rng, labels.shape) < self.dropout_prob
+            labels = jnp.where(drop, self.num_classes, labels)
+        return jnp.take(table, labels, axis=0)
+
+
+def modulate(x, shift, scale, modality=None):
+    """adaLN modulation; when modality is given, only image tokens (1) are
+    modulated (reference: models/dit.py:263-268 modulate_with_mask)."""
+    out = x * (1 + scale) + shift
+    if modality is None:
+        return out
+    return jnp.where((modality == 1)[..., None], out, x)
+
+
+def gate_residual(x_skip, out, gate, modality, *, dropout_fn=None):
+    """Residual add with adaLN gate, modality-aware: image tokens get
+    gate*dropout(out); text tokens get the raw out when modality is given
+    (reference bias_dropout_add_scale, models/dit.py:229-253)."""
+    dropped = dropout_fn(out) if dropout_fn is not None else out
+    if gate is None:
+        return x_skip + dropped
+    gated = gate * dropped
+    if modality is not None:
+        gated = jnp.where((modality == 1)[..., None], gated, out)
+    return x_skip + gated
+
+
+class Attention(nn.Module):
+    """Self-attention with rotary, optional QK-norm, optional KV cache
+    (reference: models/dit.py:516-887)."""
+
+    cfg: ModelConfig
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, attn_mask=None,
+                 kv_cache=None, cache_index=None):
+        c = self.cfg
+        h, d = c.n_heads, c.head_dim
+        dim = c.hidden_size
+        qkv = nn.Dense(3 * dim, use_bias=False, dtype=self.compute_dtype,
+                       kernel_init=torch_linear_init(), name="attn_qkv")(x)
+
+        if c.qk_norm:
+            # full-width LayerNorm with bias over the q and k slices
+            # (reference: models/dit.py:570-572, 655-680)
+            q_part = nn.LayerNorm(use_bias=True, dtype=self.compute_dtype,
+                                  name="q_norm")(qkv[..., :dim])
+            k_part = nn.LayerNorm(use_bias=True, dtype=self.compute_dtype,
+                                  name="k_norm")(qkv[..., dim:2 * dim])
+            qkv = jnp.concatenate([q_part, k_part, qkv[..., 2 * dim:]], axis=-1)
+
+        b, l = x.shape[0], x.shape[1]
+        qkv = qkv.reshape(b, l, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+
+        new_cache = None
+        if kv_cache is not None:
+            # AR decode: write current k/v at cache_index, attend to prefix
+            # (reference KV cache: models/dit.py:588-608)
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
+            new_cache = (ck, cv)
+            lk = ck.shape[1]
+            pos_mask = (jnp.arange(lk)[None, :] <= (cache_index + l - 1))
+            mask = pos_mask[None, None, :, :]
+            out = multihead_attention(q, ck, cv, mask=mask, causal=False,
+                                      backend="xla")
+        else:
+            out = multihead_attention(q, k, v, mask=attn_mask,
+                                      causal=not c.full_attention,
+                                      backend=c.attn_backend)
+
+        out = out.reshape(b, l, dim)
+        out = nn.Dense(dim, use_bias=False, dtype=self.compute_dtype,
+                       kernel_init=torch_linear_init(), name="attn_out")(out)
+        return out, new_cache
+
+
+class DDiTBlock(nn.Module):
+    """Transformer block with optional adaLN-zero time conditioning and
+    sandwich normalization (reference: models/dit.py:890-1033)."""
+
+    cfg: ModelConfig
+    compute_dtype: Dtype = jnp.bfloat16
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, c, rope_cos, rope_sin, modality, attn_mask,
+                 kv_cache, cache_index):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+
+        def dropout_fn(y):
+            return nn.Dropout(cfg.dropout,
+                              deterministic=self.deterministic)(y)
+
+        if cfg.time_conditioning:
+            cond = nn.Dense(6 * dim, kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros,
+                            dtype=self.compute_dtype,
+                            name="adaLN_modulation")(c)
+            cond = cond[:, None, :] if cond.ndim == 2 else cond
+            (shift_msa, scale_msa, gate_msa,
+             shift_mlp, scale_mlp, gate_mlp) = jnp.split(cond, 6, axis=-1)
+        else:
+            shift_msa = scale_msa = gate_msa = None
+            shift_mlp = scale_mlp = gate_mlp = None
+
+        x_skip = x
+        hidden = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm1")(x)
+        if cfg.time_conditioning:
+            hidden = modulate(hidden, shift_msa, scale_msa, modality)
+
+        attn_out, new_cache = Attention(cfg, self.compute_dtype,
+                                        name="attention")(
+            hidden, rope_cos, rope_sin, attn_mask, kv_cache, cache_index)
+
+        if cfg.sandwich_normalization:
+            # pre-residual norm replaces the gate on the attention branch
+            # (reference: models/dit.py:995-997)
+            x = x_skip + Norm(dim, cfg.norm_type, self.compute_dtype,
+                              name="pre_residual_norm")(attn_out)
+        else:
+            x = gate_residual(x_skip, attn_out, gate_msa, modality,
+                              dropout_fn=dropout_fn)
+
+        hidden = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm2")(x)
+        if cfg.time_conditioning:
+            hidden = modulate(hidden, shift_mlp, scale_mlp, modality)
+        hidden = nn.Dense(cfg.mlp_ratio * dim, dtype=self.compute_dtype,
+                          kernel_init=torch_linear_init(),
+                          bias_init=torch_linear_init(), name="mlp_0")(hidden)
+        hidden = nn.gelu(hidden, approximate=True)
+        hidden = nn.Dense(dim, dtype=self.compute_dtype,
+                          kernel_init=torch_linear_init(),
+                          bias_init=torch_linear_init(), name="mlp_2")(hidden)
+        if cfg.sandwich_normalization:
+            hidden = Norm(dim, cfg.norm_type, self.compute_dtype,
+                          name="post_ff_norm")(hidden)
+        x = gate_residual(x, hidden, gate_mlp, modality, dropout_fn=dropout_fn)
+        return x, new_cache
+
+
+class DDitFinalLayer(nn.Module):
+    """Zero-initialized output head (reference: models/dit.py:1065-1092)."""
+
+    cfg: ModelConfig
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, c, modality=None):
+        cfg = self.cfg
+        x = Norm(cfg.hidden_size, cfg.norm_type, self.compute_dtype,
+                 name="norm_final")(x)
+        if cfg.time_conditioning:
+            cond = nn.Dense(2 * cfg.hidden_size,
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros,
+                            dtype=self.compute_dtype,
+                            name="adaLN_modulation")(c)
+            cond = cond[:, None, :] if cond.ndim == 2 else cond
+            shift, scale = jnp.split(cond, 2, axis=-1)
+            x = modulate(x, shift, scale, modality)
+        kernel_init = (nn.initializers.zeros if cfg.zero_linear_init
+                       else torch_linear_init())
+        # fp32 logits: accumulate the final matmul in fp32
+        x = nn.Dense(cfg.vocab_size, dtype=jnp.float32,
+                     kernel_init=kernel_init,
+                     bias_init=nn.initializers.zeros, name="linear")(
+                         x.astype(jnp.float32))
+        return x
+
+
+class DIT(nn.Module):
+    """The UniDisc denoiser (reference: models/dit.py:1095-1500).
+
+    __call__ args:
+      indices: (B, L) int tokens over the unified vocab.
+      sigma: (B,) total noise (used when time_conditioning).
+      modality: optional (B, L) 0=text/1=image.
+      attn_mask: optional boolean mask broadcastable to (B, H, L, L);
+        use ops.attention.make_sample_ids_mask for interleaved batches.
+      label: optional (B,) class labels (cond_label mode).
+      kv_cache: optional (k, v) tuple, each (n_blocks, B, max_len, H, D),
+        for AR decode; cache_index is the write/read position.
+      deterministic: disables dropout.
+
+    Returns fp32 logits (B, L, vocab); with kv_cache, returns
+    (logits, new_kv_cache).
+    """
+
+    cfg: ModelConfig
+    compute_dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, indices, sigma=None, *, modality=None, attn_mask=None,
+                 label=None, kv_cache=None, cache_index=None,
+                 deterministic=True):
+        cfg = self.cfg
+        vocab_embed = self.param("vocab_embed", embedding_init(),
+                                 (cfg.vocab_size, cfg.hidden_size))
+        x = jnp.take(vocab_embed, indices, axis=0).astype(self.compute_dtype)
+
+        c = None
+        if cfg.time_conditioning and not cfg.cond_label:
+            assert sigma is not None
+            c = nn.silu(TimestepEmbedder(cfg.cond_dim,
+                                         compute_dtype=self.compute_dtype,
+                                         name="sigma_map")(sigma))
+        if cfg.cond_label:
+            assert label is not None
+            c = LabelEmbedder(1000, cfg.cond_dim, name="y_embedder")(
+                label, rng=self.make_rng("dropout") if not deterministic else None,
+                train=not deterministic).astype(self.compute_dtype)
+
+        if cfg.modality_embed:
+            assert modality is not None
+            table = self.param("modality_embed", embedding_init(),
+                               (2, cfg.hidden_size))
+            x = x + jnp.take(table, modality, axis=0).astype(self.compute_dtype)
+
+        # rotary tables (constants folded into the jitted graph)
+        cos_np, sin_np = build_multimodal_rope(
+            cfg.txt_length, cfg.img_length, cfg.head_dim, cfg.rope_2d,
+            base=cfg.rope_base)
+        rope_cos = jnp.asarray(cos_np)
+        rope_sin = jnp.asarray(sin_np)
+        if kv_cache is not None:
+            rope_cos = jax.lax.dynamic_slice_in_dim(
+                rope_cos, cache_index, indices.shape[1], axis=0)
+            rope_sin = jax.lax.dynamic_slice_in_dim(
+                rope_sin, cache_index, indices.shape[1], axis=0)
+        else:
+            rope_cos = rope_cos[:indices.shape[1]]
+            rope_sin = rope_sin[:indices.shape[1]]
+
+        block_cls = DDiTBlock
+        if self.remat:
+            block_cls = nn.remat(DDiTBlock, prevent_cse=False)
+        blocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast, 0, nn.broadcast),
+            length=cfg.n_blocks,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, self.compute_dtype, deterministic, name="blocks")
+
+        x, new_cache = blocks(x, c, rope_cos, rope_sin, modality, attn_mask,
+                              kv_cache, cache_index)
+
+        logits = DDitFinalLayer(cfg, self.compute_dtype, name="output_layer")(
+            x, c, modality)
+        if kv_cache is not None:
+            return logits, new_cache
+        return logits
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))
+
+
+def init_dit(rng: jax.Array, cfg: ModelConfig, *, compute_dtype=jnp.bfloat16,
+             batch_size: int = 1, remat: bool = False):
+    """Initialize a DIT and its parameters; returns (module, params)."""
+    model = DIT(cfg, compute_dtype=compute_dtype, remat=remat)
+    dummy_tokens = jnp.zeros((batch_size, cfg.length), jnp.int32)
+    dummy_sigma = jnp.zeros((batch_size,), jnp.float32)
+    dummy_modality = jnp.zeros((batch_size, cfg.length), jnp.int32)
+    label = jnp.zeros((batch_size,), jnp.int32) if cfg.cond_label else None
+    params = model.init({"params": rng}, dummy_tokens, dummy_sigma,
+                        modality=dummy_modality, label=label)["params"]
+    return model, params

@@ -1,0 +1,86 @@
+"""Multi-head attention for TPU.
+
+Two backends behind one functional interface:
+  * "xla": jnp einsum + fp32 softmax — XLA fuses this into an efficient
+    flash-like schedule on TPU and it is the reference implementation for
+    kernel equivalence tests.
+  * "pallas": fused flash-attention Pallas kernel (ops/pallas_attention.py),
+    used on real TPU for the hot path.
+
+Replaces the reference's attention-kernel mux (flash-attn 2/3, SDPA/cuDNN,
+FlexAttention, torch_xla pallas; reference: models/dit.py:516-887) with a
+TPU-first design: static shapes, additive bias masks (sample-id block masks
+are materialized as bias, or pushed into the Pallas kernel as block masks).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def make_sample_ids_mask(sample_ids: jax.Array) -> jax.Array:
+    """Build a (B, L, L) boolean attention mask from per-token sample ids.
+
+    Tokens attend only within their own packed sample; ids < 0 are padding and
+    attend to nothing (reference: model_utils.py:740-770 _interleaved_attn_mask
+    / get_interleaved_block_mask built for FlexAttention).
+    """
+    same = sample_ids[:, :, None] == sample_ids[:, None, :]
+    valid = (sample_ids >= 0)[:, :, None] & (sample_ids >= 0)[:, None, :]
+    return same & valid
+
+
+def make_causal_mask(length: int) -> jax.Array:
+    return jnp.tril(jnp.ones((length, length), dtype=bool))
+
+
+def multihead_attention(q: jax.Array,
+                        k: jax.Array,
+                        v: jax.Array,
+                        *,
+                        mask: Optional[jax.Array] = None,
+                        causal: bool = False,
+                        backend: str = "xla",
+                        softmax_scale: Optional[float] = None) -> jax.Array:
+    """Scaled dot-product attention.
+
+    Args:
+      q: (B, Lq, H, D); k, v: (B, Lk, H, D).
+      mask: optional boolean mask broadcastable to (B, H, Lq, Lk) or
+        (B, Lq, Lk); True = attend.
+      causal: apply causal masking (AR mode).
+      backend: "xla" | "pallas".
+
+    Returns (B, Lq, H, D) in q.dtype.
+    """
+    if backend == "pallas":
+        from unidisc_tpu.ops.pallas_attention import flash_attention
+        return flash_attention(q, k, v, mask=mask, causal=causal,
+                               softmax_scale=softmax_scale)
+
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = softmax_scale if softmax_scale is not None else 1.0 / (d ** 0.5)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale
+
+    if causal:
+        cmask = make_causal_mask(lq) if lq == lk else (
+            jnp.arange(lk)[None, :] <= (jnp.arange(lq)[:, None] + (lk - lq)))
+        logits = jnp.where(cmask[None, None], logits, -jnp.inf)
+    if mask is not None:
+        if mask.ndim == 3:
+            mask = mask[:, None]
+        logits = jnp.where(mask, logits, -jnp.inf)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    # fully-masked rows (padding queries) produce NaNs; zero them
+    if mask is not None:
+        probs = jnp.nan_to_num(probs)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
