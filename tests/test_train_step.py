@@ -1,0 +1,140 @@
+"""Train-step tests: single-device correctness and 8-virtual-device SPMD
+(reference behavior: model.py:1304-1670 training loop semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.models.dit import init_dit
+from unidisc_tpu.parallel.mesh import (batch_sharding, make_mesh, param_spec,
+                                       params_shardings)
+from unidisc_tpu.training.train_state import (init_train_state,
+                                              make_eval_step,
+                                              make_train_step,
+                                              shard_train_step)
+
+
+def tiny_config(**over):
+    cfg = Config.make("tiny")
+    cfg = cfg.override(**{
+        "model.time_conditioning": True,
+        "trainer.warmup_steps": 2,
+        "trainer.lr": 1e-3,
+        "trainer.ema_decay": 0.9,
+        "model.dropout": 0.0,
+        **over,
+    })
+    return cfg
+
+
+def make_batch(cfg, rng, batch_size=8):
+    m = cfg.model
+    k1, _ = jax.random.split(rng)
+    txt = jax.random.randint(k1, (batch_size, m.txt_length), 0,
+                             m.text_vocab_size - 1)
+    img = jax.random.randint(k1, (batch_size, m.img_length),
+                             m.text_vocab_size, m.vocab_size)
+    x0 = jnp.concatenate([txt, img], axis=-1).astype(jnp.int32)
+    modality = jnp.concatenate(
+        [jnp.zeros((batch_size, m.txt_length), jnp.int32),
+         jnp.ones((batch_size, m.img_length), jnp.int32)], axis=-1)
+    return {"input_ids": x0, "modality": modality}
+
+
+def test_train_step_runs_and_learns():
+    cfg = tiny_config()
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    batch = make_batch(cfg, rng)
+
+    losses = []
+    for i in range(15):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics.loss))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 15
+    # overfitting a fixed batch must reduce the loss (reference smoke test:
+    # trainer.overfit_on_first_batch, model.py:800-805)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert float(metrics.grad_norm) > 0
+
+
+def test_ema_tracks_params():
+    cfg = tiny_config()
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    batch = make_batch(cfg, rng)
+    state2, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    p0 = jax.tree_util.tree_leaves(params)[0]
+    p1 = jax.tree_util.tree_leaves(state2.params)[0]
+    e1 = jax.tree_util.tree_leaves(state2.ema_params)[0]
+    expected = p0 * 0.9 + p1 * 0.1
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_param_spec_rule():
+    cfg = Config.make("tiny", **{"mesh.fsdp": 8})
+    mesh = make_mesh(cfg.mesh)
+    # large matrix: largest divisible dim sharded
+    spec = param_spec("blocks/mlp_0/kernel", (12, 768, 3072), mesh)
+    assert spec == jax.sharding.PartitionSpec(None, None, "fsdp")
+    # small param: replicated
+    assert param_spec("norm1/weight", (768,), mesh) == \
+        jax.sharding.PartitionSpec()
+    # embedding: vocab dim sharded
+    spec = param_spec("vocab_embed", (48385, 768), mesh)
+    assert spec == jax.sharding.PartitionSpec(None, "fsdp")
+
+
+def test_sharded_train_step_8dev():
+    assert len(jax.devices()) == 8
+    cfg = tiny_config(**{"mesh.fsdp": 8})
+    mesh = make_mesh(cfg.mesh)
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+
+    step_fn = make_train_step(cfg, model, mesh=mesh)
+    jitted, state, data_sh = shard_train_step(step_fn, state, mesh)
+
+    batch = jax.device_put(make_batch(cfg, rng), data_sh)
+    state, metrics = jitted(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
+
+    # parity: sharded step == single-device step
+    model2, params2 = init_dit(jax.random.PRNGKey(0), cfg.model)
+    state2 = init_train_state(cfg, params2)
+    ref_fn = jax.jit(make_train_step(cfg, model2))
+    state2, metrics2 = ref_fn(state2, make_batch(cfg, jax.random.PRNGKey(0)),
+                              jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics.loss), float(metrics2.loss),
+                               rtol=2e-2)
+
+
+def test_eval_step():
+    cfg = tiny_config()
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    eval_fn = jax.jit(make_eval_step(cfg, model))
+    m = eval_fn(state, make_batch(cfg, rng), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m.loss))
+    assert float(m.token_count) > 0
+
+
+def test_ar_parameterization():
+    cfg = tiny_config(**{"trainer.parameterization": "ar",
+                         "model.full_attention": False})
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    state, metrics = step_fn(state, make_batch(cfg, rng), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
