@@ -54,14 +54,18 @@ def main():
     gen_tokens = BATCH * m.img_length
 
     # ---- ours: one jitted lax.scan program -----------------------------
+    # NOTE: on the tunneled TPU platform block_until_ready() can return
+    # before execution completes; a host transfer (np.asarray) is the only
+    # reliable completion barrier, so all timings force one.
+    import numpy as np
     sample = jax.jit(build_sampler(forward_logits, cfg))
     rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP):
-        sample(params, rng, x0, x0_unmask, modality).tokens.block_until_ready()
+        np.asarray(sample(params, rng, x0, x0_unmask, modality).tokens)
     t0 = time.perf_counter()
     for i in range(ITERS):
-        sample(params, jax.random.fold_in(rng, i), x0, x0_unmask,
-               modality).tokens.block_until_ready()
+        np.asarray(sample(params, jax.random.fold_in(rng, i), x0, x0_unmask,
+                          modality).tokens)
     ours_s = (time.perf_counter() - t0) / ITERS
     ours_tps = gen_tokens / ours_s
 
@@ -76,7 +80,7 @@ def main():
             r = jax.random.fold_in(rng, i)
             x = one_step(params, r, jnp.where(x0_unmask, x0, x),
                          x0_unmask, modality).tokens
-            x.block_until_ready()  # host sync each step, as in the reference
+            x = jnp.asarray(np.asarray(x))  # host sync each step, as in the reference
         return x
 
     loop_sample(rng)  # warmup

@@ -1,0 +1,138 @@
+"""Autoregressive decode loop with a sharded KV cache.
+
+TPU-native replacement for the reference's token-by-token Python loop
+(reference: model_eval.py:2736-2822 _ar_sampler; KV cache
+models/dit.py:588-608): the whole decode trajectory is ONE `lax.scan` over
+positions — per step the DIT consumes a single token, reads/writes the
+per-layer KV cache carried through the scan, and samples the next token
+(Gumbel-argmax or nucleus), with optional CFG via a doubled batch whose
+unconditional rows re-mask the conditioning.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.diffusion.subs import NEG_INFINITY, restrict_modality_logits
+from unidisc_tpu.sampling.sampler import SampleResult
+
+
+def init_kv_cache(n_blocks: int, batch: int, max_len: int, n_heads: int,
+                  head_dim: int, dtype=jnp.bfloat16):
+    """(k, v) cache, each (n_blocks, B, max_len, H, D)
+    (reference alloc: models/dit.py:595-608 reset_kv_cache)."""
+    shape = (n_blocks, batch, max_len, n_heads, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
+    """Build a jittable AR decode fn.
+
+    Args:
+      apply_token: fn(params, tok, kv_cache, cache_index, modality_tok)
+        -> (logits (B, 1, V), new_kv_cache). One-token DIT call with cache.
+      config: sampling.cfg enables CFG; sampling.top_p enables nucleus.
+
+    Returns:
+      sample(params, rng, x0, x0_unmask, modality) -> SampleResult
+        x0: (B, L) tokens; positions with x0_unmask=True are forced to x0
+        (prompt / infilling conditioning); the rest are generated
+        left-to-right. modality: (B, L) 0/1.
+    """
+    m = config.model
+    s = config.sampling
+    mask_index = m.mask_index
+    use_cfg = s.cfg is not None
+
+    def sample(params, rng, x0, x0_unmask, modality=None):
+        b, l = x0.shape
+        if modality is None:
+            modality = jnp.zeros((b, l), jnp.int32)
+
+        if use_cfg:
+            # rows [0:b] conditional, [b:2b] unconditional (conditioning
+            # re-masked; reference: model_eval.py:2760-2784)
+            x_init = jnp.where(x0_unmask, x0, mask_index)
+            x_full = jnp.concatenate(
+                [x_init, jnp.full_like(x_init, mask_index)], axis=0)
+            modality_full = jnp.concatenate([modality, modality], axis=0)
+            unmask_full = jnp.concatenate(
+                [x0_unmask, jnp.zeros_like(x0_unmask)], axis=0)
+            x0_full = jnp.concatenate([x0, x0], axis=0)
+            bb = 2 * b
+        else:
+            x_full = jnp.where(x0_unmask, x0, mask_index)
+            modality_full = modality
+            unmask_full = x0_unmask
+            x0_full = x0
+            bb = b
+
+        kv = init_kv_cache(m.n_blocks, bb, l, m.n_heads, m.head_dim)
+
+        # precomputed per-step Gumbel noise (reference: model_eval.py:2764)
+        rng_g, rng_n = jax.random.split(rng)
+        gumbel = jax.random.gumbel(rng_g, (l, b)) * s.temperature
+
+        def body(carry, i):
+            x, kv = carry
+            tok = jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)
+            mod_tok = jax.lax.dynamic_slice_in_dim(modality_full, i, 1, axis=1)
+            logits, kv = apply_token(params, tok, kv, i, mod_tok)
+            logits = logits[:, 0, :].astype(jnp.float32)  # (bb, V)
+
+            # next-position modality decides the valid vocab slice
+            nxt = jnp.minimum(i + 1, l - 1)
+            mod_next = jax.lax.dynamic_slice_in_dim(
+                modality_full, nxt, 1, axis=1)[:, 0]
+            ids = jnp.arange(logits.shape[-1])
+            logits = logits + jnp.where(ids == mask_index, NEG_INFINITY, 0.0)
+            if m.force_argmax_valid_indices:
+                logits = restrict_modality_logits(
+                    logits, mod_next, m.text_vocab_size)
+
+            if use_cfg:
+                lc, lu = jnp.split(logits, 2, axis=0)
+                w = s.cfg
+                logits_b = (1 + w) * lc - w * lu
+            else:
+                logits_b = logits
+
+            if s.top_p is not None:
+                probs = jax.nn.softmax(logits_b / s.temperature, axis=-1)
+                from unidisc_tpu.sampling.sampler import nucleus_sample
+                next_tok = nucleus_sample(
+                    jax.random.fold_in(rng_n, i), probs, s.top_p)
+            else:
+                # Gumbel-argmax (reference: model_eval.py:2800-2802)
+                next_tok = jnp.argmax(logits_b + gumbel[i][:, None], axis=-1)
+
+            if use_cfg:
+                next_tok = jnp.concatenate([next_tok, next_tok], axis=0)
+
+            # teacher-force conditioned positions
+            forced = jax.lax.dynamic_slice_in_dim(unmask_full, nxt, 1,
+                                                  axis=1)[:, 0]
+            given = jax.lax.dynamic_slice_in_dim(x0_full, nxt, 1, axis=1)[:, 0]
+            next_tok = jnp.where(forced, given, next_tok).astype(x.dtype)
+            x = jax.lax.dynamic_update_slice(x, next_tok[:, None], (0, nxt))
+            return (x, kv), None
+
+        (x_full, _), _ = jax.lax.scan(body, (x_full, kv), jnp.arange(l - 1))
+        tokens = x_full[:b]
+        return SampleResult(tokens=tokens, nfe=jnp.int32(l - 1))
+
+    return sample
+
+
+def make_apply_token(model):
+    """Adapt DIT.apply to the one-token cached-decode signature."""
+    def apply_token(params, tok, kv_cache, cache_index, modality_tok):
+        sigma = jnp.zeros((tok.shape[0],), jnp.float32)
+        return model.apply({"params": params}, tok, sigma,
+                           modality=modality_tok, kv_cache=kv_cache,
+                           cache_index=cache_index)
+    return apply_token
