@@ -1,0 +1,92 @@
+"""Training CLI: `python -m unidisc_tpu.train model=tiny trainer.max_steps=100`.
+
+Replaces the reference's Hydra entry point (reference: main.py:906-1134):
+key=value args are dotted-path overrides onto the frozen-dataclass Config,
+`model=<preset>` selects a size preset (reference: configs/model/*.yaml).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+from unidisc_tpu.config import MODEL_PRESETS, Config
+
+
+def parse_overrides(argv):
+    model = "small"
+    overrides = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"expected key=value, got {arg!r}")
+        key, val = arg.split("=", 1)
+        if key == "model" and val in MODEL_PRESETS:
+            model = val
+            continue
+        try:
+            overrides[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            overrides[key] = val
+    return model, overrides
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="unidisc_tpu trainer",
+        usage="python -m unidisc_tpu.train [--run-dir DIR] [key=value ...]")
+    parser.add_argument("--run-dir", default="runs/dev")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--val-every", type=int, default=0)
+    parser.add_argument("--ckpt-every", type=int, default=1000)
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--data", default=None,
+                        help="comma-separated token-shard dirs; default "
+                             "synthetic data")
+    args, rest = parser.parse_known_args(argv)
+
+    model, overrides = parse_overrides(rest)
+    config = Config.make(model, **overrides)
+
+    import jax
+    batch = args.batch_size or max(
+        config.trainer.global_batch_size // max(jax.device_count(), 1), 1)
+    batch_global = batch  # single-host: global == local
+
+    from unidisc_tpu.training.trainer import Trainer
+
+    if args.data:
+        from unidisc_tpu.data.token_shards import (TokenShardDataset,
+                                                   WeightedDatasetSampler)
+        dsets = [TokenShardDataset(d) for d in args.data.split(",")]
+        weights = config.data.dataset_weights
+        train_loader = WeightedDatasetSampler(dsets, weights,
+                                              batch_size=batch_global,
+                                              seed=config.seed)
+        val_loader = WeightedDatasetSampler(dsets, weights,
+                                            batch_size=batch_global,
+                                            seed=config.seed + 777,
+                                            shuffle=False)
+    else:
+        from unidisc_tpu.data.synthetic import SyntheticDataLoader
+        train_loader = SyntheticDataLoader(config, batch_global,
+                                           seed=config.seed)
+        val_loader = SyntheticDataLoader(config, batch_global,
+                                         seed=config.seed + 777)
+
+    trainer = Trainer(config, args.run_dir, use_wandb=args.wandb,
+                      log_every=args.log_every, val_every=args.val_every,
+                      ckpt_every=args.ckpt_every)
+    print(f"[train] model={model} params={trainer.n_params/1e6:.1f}M "
+          f"devices={jax.device_count()} batch={batch_global} "
+          f"mesh={dict(trainer.mesh.shape)}")
+    result = trainer.fit(train_loader, val_loader)
+    print(f"[train] done at step {result['step']}: "
+          f"loss={result.get('loss', float('nan')):.4f}")
+    trainer.close()
+    return result
+
+
+if __name__ == "__main__":
+    main()

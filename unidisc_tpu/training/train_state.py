@@ -44,6 +44,31 @@ class StepMetrics(NamedTuple):
     nll_sum: jax.Array      # sum of std-weighted per-token NLL
     token_count: jax.Array  # valid tokens (metrics denominator)
     grad_norm: jax.Array
+    # per-modality NLL sums/counts for BPD/PPL metric collections
+    # (reference: model_setup.py:209-227 txt/img metric clones)
+    nll_txt_sum: jax.Array
+    txt_count: jax.Array
+    nll_img_sum: jax.Array
+    img_count: jax.Array
+
+
+def _split_metrics(out: LossOutput, modality, loss, grad_norm) -> StepMetrics:
+    mask = out.token_mask
+    if modality is None:
+        txt_mask = mask
+        img_mask = jnp.zeros_like(mask)
+    else:
+        if modality.shape[-1] != mask.shape[-1]:
+            # AR shift drops the first position
+            modality = modality[..., -mask.shape[-1]:]
+        txt_mask = mask & (modality == 0)
+        img_mask = mask & (modality == 1)
+    return StepMetrics(
+        loss=loss, txt_loss=out.txt_loss, img_loss=out.img_loss,
+        nll_sum=(out.nlls * mask).sum(), token_count=mask.sum(),
+        grad_norm=grad_norm,
+        nll_txt_sum=(out.nlls * txt_mask).sum(), txt_count=txt_mask.sum(),
+        nll_img_sum=(out.nlls * img_mask).sum(), img_count=img_mask.sum())
 
 
 # ---------------------------------------------------------------------------
@@ -183,10 +208,8 @@ def make_train_step(config: Config, model, mesh=None):
         new_ema = jax.tree_util.tree_map(
             lambda e, p: e * ema_decay + p * (1 - ema_decay),
             state.ema_params, new_params)
-        metrics = StepMetrics(
-            loss=loss, txt_loss=out.txt_loss, img_loss=out.img_loss,
-            nll_sum=out.nlls.sum(), token_count=out.token_mask.sum(),
-            grad_norm=optax.global_norm(grads))
+        metrics = _split_metrics(out, batch.get("modality"), loss,
+                                 optax.global_norm(grads))
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt_state, ema_params=new_ema), metrics
 
@@ -200,10 +223,8 @@ def make_eval_step(config: Config, model, mesh=None, use_ema: bool = True):
         params = state.ema_params if use_ema else state.params
         out = compute_batch_loss(config, apply_fn, params, rng, batch,
                                  mesh=mesh, train=False)
-        return StepMetrics(loss=out.loss, txt_loss=out.txt_loss,
-                           img_loss=out.img_loss, nll_sum=out.nlls.sum(),
-                           token_count=out.token_mask.sum(),
-                           grad_norm=jnp.zeros(()))
+        return _split_metrics(out, batch.get("modality"), out.loss,
+                              jnp.zeros(()))
     return eval_step
 
 

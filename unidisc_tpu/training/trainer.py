@@ -1,0 +1,197 @@
+"""Trainer shell: the step loop around the jitted SPMD train step.
+
+Replaces the reference's Diffusion.train() epoch/step loop and its callback
+battery (reference: model.py:1304-1670; checkpoint triggers
+model_setup.py:959-1004; signal-handler checkpointing model_setup.py:472-553;
+throughput callback model_setup.py:814-843). Host-side work is only data
+feeding, metric logging, and checkpoint orchestration — all math lives in
+the jitted step.
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.models.dit import count_params, init_dit
+from unidisc_tpu.parallel.mesh import make_mesh
+from unidisc_tpu.training.checkpoint import CheckpointManager
+from unidisc_tpu.training.train_state import (init_train_state,
+                                              make_eval_step,
+                                              make_train_step,
+                                              shard_train_step)
+from unidisc_tpu.utils.logging import MetricLogger
+from unidisc_tpu.utils.monitor import ThroughputMonitor
+
+LN2 = float(np.log(2.0))
+
+
+def metrics_to_host(metrics) -> dict:
+    """One host transfer for the whole metrics tuple."""
+    vals = jax.device_get(metrics)
+    out = {"loss": float(vals.loss), "grad_norm": float(vals.grad_norm)}
+    tok = max(float(vals.token_count), 1.0)
+    nll = float(vals.nll_sum) / tok
+    out["nll"] = nll
+    out["bpd"] = nll / LN2
+    out["ppl"] = float(np.exp(min(nll, 50.0)))
+    if float(vals.txt_count) > 0:
+        t = float(vals.nll_txt_sum) / float(vals.txt_count)
+        out["txt_nll"] = t
+        out["txt_ppl"] = float(np.exp(min(t, 50.0)))
+    if float(vals.img_count) > 0:
+        i = float(vals.nll_img_sum) / float(vals.img_count)
+        out["img_nll"] = i
+        out["img_bpd"] = i / LN2
+    return out
+
+
+class Trainer:
+    def __init__(self, config: Config, run_dir: str, *,
+                 use_wandb: bool = False, mesh=None, log_every: int = 10,
+                 val_every: int = 0, ckpt_every: int = 1000,
+                 max_ckpts: int = 3):
+        self.config = config
+        self.run_dir = run_dir
+        self.log_every = log_every
+        self.val_every = val_every
+        self.ckpt_every = ckpt_every
+
+        self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
+        self.model, params = init_dit(
+            jax.random.PRNGKey(config.seed), config.model,
+            remat=config.trainer.use_gradient_checkpointing)
+        self.n_params = count_params(params)
+
+        state = init_train_state(config, params)
+        step_fn = make_train_step(config, self.model, mesh=self.mesh)
+        self.train_step, self.state, self.data_sharding = shard_train_step(
+            step_fn, state, self.mesh)
+        self.eval_step = jax.jit(make_eval_step(config, self.model,
+                                                mesh=self.mesh))
+
+        self.ckpt = CheckpointManager(
+            f"{run_dir}/checkpoints", max_to_keep=max_ckpts,
+            save_interval_steps=ckpt_every)
+        self.logger = MetricLogger(run_dir, use_wandb=use_wandb,
+                                   console_every=log_every)
+        self.monitor = ThroughputMonitor(self.n_params)
+        self._stop = False
+
+    # ------------------------------------------------------------------
+    def maybe_restore(self, loader=None) -> int:
+        """Resume from the latest checkpoint if one exists
+        (reference: main.py:470-539 determine_ckpt + auto-resume)."""
+        step = self.ckpt.latest_step()
+        if step is None:
+            return 0
+        self.state, meta = self.ckpt.restore(self.state)
+        if loader is not None and "loader" in meta and \
+                hasattr(loader, "load_state_dict"):
+            loader.load_state_dict(meta["loader"])
+        print(f"[trainer] resumed from step {step}")
+        return int(step)
+
+    def _install_signal_handler(self, loader):
+        """SIGTERM/SIGUSR1 -> checkpoint then stop (reference requeue
+        handler: model_setup.py:472-553)."""
+        def handler(signum, frame):
+            print(f"[trainer] signal {signum}: checkpointing then stopping")
+            self._stop = True
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass  # not main thread
+
+    # ------------------------------------------------------------------
+    def fit(self, train_loader: Iterator, val_loader=None,
+            max_steps: Optional[int] = None) -> dict:
+        cfg = self.config
+        max_steps = max_steps or cfg.trainer.max_steps
+        start = self.maybe_restore(train_loader)
+        self._install_signal_handler(train_loader)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        step = start
+        last = {}
+        for batch in train_loader:
+            if step >= max_steps or self._stop:
+                break
+            jbatch = jax.device_put(
+                {k: v for k, v in batch.items()
+                 if isinstance(v, np.ndarray)}, self.data_sharding)
+            self.state, metrics = self.train_step(self.state, jbatch, rng)
+            step += 1
+
+            b, l = batch["input_ids"].shape
+            self.monitor.step(b, b * l)
+
+            if step % self.log_every == 0 or step == max_steps:
+                last = metrics_to_host(metrics)
+                last.update(self.monitor.stats())
+                self.logger.log(last, step)
+
+            if self.val_every and val_loader is not None and \
+                    step % self.val_every == 0:
+                self.validate(val_loader, step)
+
+            if self.ckpt_every and step % self.ckpt_every == 0:
+                self._save(step, train_loader)
+                self._last_saved = step
+
+        if getattr(self, "_last_saved", None) != step:
+            self._save(step, train_loader, force=True)
+        self.ckpt.wait()
+        return {"step": step, **last}
+
+    # ------------------------------------------------------------------
+    def validate(self, val_loader, step: int, max_batches: int = 16) -> dict:
+        """Aggregate val NLL/BPD/PPL (reference: model.py:1187 validate +
+        standalone_metrics MeanMetric collections)."""
+        rng = jax.random.PRNGKey(self.config.seed + 2)
+        sums = None
+        for i, batch in enumerate(val_loader):
+            if i >= max_batches:
+                break
+            jbatch = jax.device_put(
+                {k: v for k, v in batch.items()
+                 if isinstance(v, np.ndarray)}, self.data_sharding)
+            m = self.eval_step(self.state, jbatch,
+                               jax.random.fold_in(rng, i))
+            vals = jax.device_get(m)
+            cur = np.asarray([vals.nll_sum, vals.token_count,
+                              vals.nll_txt_sum, vals.txt_count,
+                              vals.nll_img_sum, vals.img_count,
+                              vals.loss, 1.0], np.float64)
+            sums = cur if sums is None else sums + cur
+        if sums is None:
+            return {}
+        nll = sums[0] / max(sums[1], 1)
+        out = {"val/loss": sums[6] / sums[7], "val/nll": nll,
+               "val/bpd": nll / LN2, "val/ppl": float(np.exp(min(nll, 50.0)))}
+        if sums[3] > 0:
+            out["val/txt_ppl"] = float(np.exp(min(sums[2] / sums[3], 50.0)))
+        if sums[5] > 0:
+            out["val/img_bpd"] = sums[4] / sums[5] / LN2
+        self.logger.log(out, step)
+        return out
+
+    # ------------------------------------------------------------------
+    def _save(self, step: int, loader, force: bool = False):
+        extra = {}
+        if hasattr(loader, "state_dict"):
+            extra["loader"] = loader.state_dict()
+        self.ckpt.save(step, self.state, self.config, extra=extra,
+                       force=force)
+
+    def close(self):
+        self.ckpt.wait()
+        self.ckpt.close()
+        self.logger.close()

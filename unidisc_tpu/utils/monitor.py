@@ -1,0 +1,76 @@
+"""Throughput / MFU monitoring.
+
+Re-design of the reference's torchtnt ThroughputMonitor callback
+(reference: unidisc/utils/throughput_monitor.py:227-310 windowed
+samples/sec, tokens/sec, MFU vs device peak FLOPs incl. TPU tables
+:304-635; 6ND FLOPs estimate model_setup.py:823).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+
+# peak bf16 dense FLOPs per chip (reference table: throughput_monitor.py:549+
+# get_available_flops; TPU numbers from public spec sheets)
+PEAK_FLOPS = {
+    "tpu v2": 22.5e12,
+    "tpu v3": 61.5e12,  # per chip (2 cores)
+    "tpu v4": 137.5e12,
+    "tpu v5e": 197e12,
+    "tpu v5 lite": 197e12,
+    "tpu v5p": 229.5e12,
+    "tpu v6e": 459e12,
+    "cpu": None,
+}
+
+
+def device_peak_flops(device=None) -> Optional[float]:
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for name, flops in PEAK_FLOPS.items():
+        if name in kind:
+            return flops
+    return None
+
+
+def flops_per_token(n_params: int) -> float:
+    """6N per token (fwd+bwd) — the standard transformer estimate the
+    reference uses (model_setup.py:823: 6 * length * non_embedding_params)."""
+    return 6.0 * n_params
+
+
+class ThroughputMonitor:
+    """Windowed samples/sec, tokens/sec/device, and MFU."""
+
+    def __init__(self, n_params: int, window: int = 50,
+                 n_devices: Optional[int] = None):
+        self.n_params = n_params
+        self.n_devices = n_devices or jax.device_count()
+        self.peak = device_peak_flops()
+        self._events = deque(maxlen=window)
+
+    def step(self, samples: int, tokens: int, now: Optional[float] = None):
+        self._events.append((now if now is not None else time.perf_counter(),
+                             samples, tokens))
+
+    def stats(self) -> dict:
+        if len(self._events) < 2:
+            return {}
+        t0, *_ = self._events[0]
+        t1, *_ = self._events[-1]
+        dt = max(t1 - t0, 1e-9)
+        samples = sum(s for _, s, _ in list(self._events)[1:])
+        tokens = sum(tk for _, _, tk in list(self._events)[1:])
+        out = {
+            "samples_per_sec": samples / dt,
+            "tokens_per_sec": tokens / dt,
+            "tokens_per_sec_per_device": tokens / dt / self.n_devices,
+        }
+        if self.peak:
+            achieved = flops_per_token(self.n_params) * tokens / dt
+            out["mfu"] = achieved / (self.peak * self.n_devices)
+        return out
