@@ -1,0 +1,204 @@
+"""Image codec factory: one API over multiple tokenizer backends.
+
+Redesign of the reference's `get_vae` 12-backend mux
+(reference: unidisc/tokenizers/image_tokenizers.py:20-187) for TPU: each
+codec is a pair of jittable functions (encode images->ids, decode
+ids->images) plus a param tree, so codecs compose with pjit/scan like any
+other JAX computation.
+
+Implemented natively: LlamaGen VQ-16/VQ-8 (production codec, Flax convs),
+Open-MAGVIT2-style LFQ (lookup-free quantization), raw pixels, and a
+deterministic dummy codec for tests. Torch-ecosystem-only backends
+(Cosmos, TiTok, Chameleon/Anole, Show-o, SD-VAE) raise with guidance —
+their role is offline preprocessing, not TPU-path compute.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.tokenizers.vqgan import VQConfig, VQGAN, vq8_config
+
+
+class ImageCodec(NamedTuple):
+    name: str
+    params: Any
+    encode: Callable  # (params, images (B,H,W,3) in [-1,1]) -> ids (B, T)
+    decode: Callable  # (params, ids (B, T)) -> images (B,H,W,3)
+    vocab_size: int
+    downsample: int   # tokens per side = H // downsample
+
+
+# ---------------------------------------------------------------------------
+# LlamaGen VQGAN
+# ---------------------------------------------------------------------------
+
+def _make_vqgan(cfg: VQConfig, rng, image_size: int, name: str) -> ImageCodec:
+    model = VQGAN(cfg)
+    grid = image_size // cfg.downsample
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    params = model.init(rng, dummy)["params"]
+
+    def encode(params, images):
+        return model.apply({"params": params}, images, method=VQGAN.encode)
+
+    def decode(params, ids):
+        return model.apply({"params": params}, ids, grid,
+                           method=VQGAN.decode)
+
+    return ImageCodec(name=name, params=params, encode=encode, decode=decode,
+                      vocab_size=cfg.codebook_size, downsample=cfg.downsample)
+
+
+# ---------------------------------------------------------------------------
+# LFQ (Open-MAGVIT2-style lookup-free quantization)
+# ---------------------------------------------------------------------------
+
+def _make_lfq(rng, image_size: int, bits: int = 14, ch: int = 64) -> ImageCodec:
+    """Lookup-free quantization: the latent's sign pattern IS the token id
+    (reference capability: Open-MAGVIT2 LFQ backend, image_tokenizers.py).
+    Lightweight conv encoder/decoder; codebook size = 2^bits."""
+    import flax.linen as nn
+
+    class LFQEncoder(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = x
+            for i, mult in enumerate([1, 2, 4, 4]):
+                h = nn.Conv(ch * mult, (4, 4), strides=2, padding=1,
+                            name=f"down_{i}")(h)
+                h = nn.gelu(h)
+            return nn.Conv(bits, (1, 1), name="to_bits")(h)
+
+    class LFQDecoder(nn.Module):
+        @nn.compact
+        def __call__(self, z):
+            h = nn.Conv(ch * 4, (1, 1), name="from_bits")(z)
+            for i, mult in enumerate([4, 4, 2, 1]):
+                b, hh, ww, c = h.shape
+                h = jax.image.resize(h, (b, 2 * hh, 2 * ww, c), "nearest")
+                h = nn.Conv(ch * mult, (3, 3), padding=1, name=f"up_{i}")(h)
+                h = nn.gelu(h)
+            return nn.Conv(3, (3, 3), padding=1, name="to_rgb")(h)
+
+    enc, dec = LFQEncoder(), LFQDecoder()
+    grid = image_size // 16
+    k1, k2 = jax.random.split(rng)
+    p_enc = enc.init(k1, jnp.zeros((1, image_size, image_size, 3)))["params"]
+    p_dec = dec.init(k2, jnp.zeros((1, grid, grid, bits)))["params"]
+    params = {"enc": p_enc, "dec": p_dec}
+    weights = 2 ** jnp.arange(bits)
+
+    def encode(params, images):
+        z = enc.apply({"params": params["enc"]}, images)
+        ids = jnp.sum((z > 0).astype(jnp.int32) * weights, axis=-1)
+        return ids.reshape(ids.shape[0], -1)
+
+    def decode(params, ids):
+        g = int(math.isqrt(ids.shape[-1]))
+        bitsarr = ((ids[..., None] // weights) % 2).astype(jnp.float32)
+        z = (2.0 * bitsarr - 1.0).reshape(ids.shape[0], g, g, bits)
+        return dec.apply({"params": params["dec"]}, z)
+
+    return ImageCodec(name="lfq", params=params, encode=encode, decode=decode,
+                      vocab_size=2 ** bits, downsample=16)
+
+
+# ---------------------------------------------------------------------------
+# Raw pixels & dummy
+# ---------------------------------------------------------------------------
+
+def _make_pixels(image_size: int, pixel_grid: int = 16) -> ImageCodec:
+    """Raw-pixel codec: average-pool to a grid, 8-bit-quantize luminance+color
+    into one id per cell (reference 'pixels' backend)."""
+    down = image_size // pixel_grid
+
+    def encode(params, images):
+        b = images.shape[0]
+        x = images.reshape(b, pixel_grid, down, pixel_grid, down, 3)
+        x = x.mean(axis=(2, 4))  # (B, g, g, 3)
+        q = jnp.clip(((x + 1) / 2 * 7.999).astype(jnp.int32), 0, 7)
+        ids = q[..., 0] * 64 + q[..., 1] * 8 + q[..., 2]
+        return ids.reshape(b, -1)
+
+    def decode(params, ids):
+        b = ids.shape[0]
+        g = int(math.isqrt(ids.shape[-1]))
+        r, rem = ids // 64, ids % 64
+        rgb = jnp.stack([r, rem // 8, rem % 8], axis=-1)
+        x = (rgb.astype(jnp.float32) / 7.0) * 2 - 1
+        x = x.reshape(b, g, g, 1, 1, 3)
+        x = jnp.broadcast_to(x, (b, g, g, down, down, 3))
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, g * down, g * down, 3)
+
+    return ImageCodec(name="pixels", params={}, encode=encode, decode=decode,
+                      vocab_size=512, downsample=down)
+
+
+def _make_dummy(image_size: int, vocab: int = 16384) -> ImageCodec:
+    """Deterministic hash codec for tests (reference dummy-data path)."""
+    down = 16
+
+    def encode(params, images):
+        b = images.shape[0]
+        g = image_size // down
+        x = images.reshape(b, g, down, g, down, 3).mean((2, 4)).sum(-1)
+        return (jnp.abs(x * 1e4).astype(jnp.int32) % vocab).reshape(b, -1)
+
+    def decode(params, ids):
+        b = ids.shape[0]
+        g = int(math.isqrt(ids.shape[-1]))
+        x = (ids.astype(jnp.float32) / vocab) * 2 - 1
+        x = jnp.repeat(jnp.repeat(x.reshape(b, g, g, 1), down, 1), down, 2)
+        return jnp.broadcast_to(x, (b, g * down, g * down, 3))
+
+    return ImageCodec(name="dummy", params={}, encode=encode, decode=decode,
+                      vocab_size=vocab, downsample=down)
+
+
+# ---------------------------------------------------------------------------
+
+_TORCH_ONLY = {"cosmos", "titok", "chameleon", "anole", "showo", "sd-vae",
+               "maskgit-vqgan", "taming", "video-vqvae", "bsq", "lumina"}
+
+
+def get_codec(name: str, *, rng=None, image_size: int = 256,
+              **kw) -> ImageCodec:
+    """Codec factory (reference: image_tokenizers.py:20 get_vae)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if name in ("llamagen-vq16", "vq16", "llamagen"):
+        return _make_vqgan(VQConfig(**kw), rng, image_size, "llamagen-vq16")
+    if name in ("llamagen-vq8", "vq8"):
+        return _make_vqgan(vq8_config(**kw), rng, image_size, "llamagen-vq8")
+    if name == "lfq":
+        return _make_lfq(rng, image_size, **kw)
+    if name == "pixels":
+        return _make_pixels(image_size, **kw)
+    if name == "dummy":
+        return _make_dummy(image_size, **kw)
+    if name in _TORCH_ONLY:
+        raise NotImplementedError(
+            f"codec '{name}' is a torch-ecosystem offline preprocessor in "
+            f"the reference; precompute tokens offline (see "
+            f"unidisc_tpu/data/precompute.py) or use llamagen-vq16")
+    raise ValueError(f"unknown codec {name!r}")
+
+
+def load_vqgan_torch_checkpoint(codec: ImageCodec, path: str) -> ImageCodec:
+    """Load a published LlamaGen torch checkpoint (e.g. vq_ds16_c2i.pt)
+    into a llamagen codec."""
+    import torch
+
+    from unidisc_tpu.tokenizers.vqgan import load_torch_state_dict
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    state_dict = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    state_dict = {k: v.numpy() for k, v in state_dict.items()}
+    params = load_torch_state_dict(codec.params, state_dict)
+    return codec._replace(params=params)
