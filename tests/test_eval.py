@@ -1,0 +1,133 @@
+"""Eval harness tests (reference: model_eval.py speed/quality metrics;
+FID math vs scipy ground truth)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.eval.fid import (FIDMetric, RunningMoments,
+                                  frechet_distance, pixel_stat_features)
+from unidisc_tpu.eval.harness import (generative_perplexity, sequence_nll,
+                                      speed_eval, token_entropy,
+                                      zero_shot_accuracy)
+from unidisc_tpu.models.dit import init_dit
+from unidisc_tpu.training.train_state import make_apply_fn
+
+
+def test_running_moments_match_numpy():
+    rng = np.random.RandomState(0)
+    data = rng.randn(500, 8)
+    rm = RunningMoments(8)
+    for chunk in np.array_split(data, 7):
+        rm.update(chunk)
+    np.testing.assert_allclose(rm.mean, data.mean(0), atol=1e-10)
+    np.testing.assert_allclose(rm.cov, np.cov(data.T), atol=1e-10)
+
+
+def test_frechet_distance_properties():
+    rng = np.random.RandomState(1)
+    mu = rng.randn(6)
+    a = rng.randn(6, 6)
+    cov = a @ a.T + np.eye(6)
+    assert abs(frechet_distance(mu, cov, mu, cov)) < 1e-6
+    # distance grows when means separate
+    d1 = frechet_distance(mu, cov, mu + 1.0, cov)
+    d2 = frechet_distance(mu, cov, mu + 2.0, cov)
+    assert d2 > d1 > 0
+
+
+def test_fid_metric_same_vs_shifted():
+    rng = np.random.RandomState(2)
+    real = rng.rand(64, 16, 16, 3) * 2 - 1
+    same = real + rng.randn(*real.shape) * 0.01
+    shifted = np.clip(real + 0.7, -1, 1)
+
+    fid_same = FIDMetric(pixel_stat_features, dim=96)
+    fid_shift = FIDMetric(pixel_stat_features, dim=96)
+    for f in (fid_same, fid_shift):
+        f.update_real(real)
+    fid_same.update_fake(same)
+    fid_shift.update_fake(shifted)
+    assert fid_same.compute() < fid_shift.compute()
+
+
+def test_token_entropy():
+    uniform = np.arange(1000) % 100
+    constant = np.zeros(1000, int)
+    assert token_entropy(uniform, 100) > token_entropy(constant, 100)
+    assert abs(token_entropy(uniform, 100) - np.log(100)) < 1e-6
+
+
+def test_generative_perplexity_judge():
+    vocab = 32
+
+    def perfect_judge(ids):
+        # judge that puts all mass on the actual next token
+        nxt = ids[:, 1:]
+        oh = jax.nn.one_hot(nxt, vocab) * 50.0
+        return jnp.concatenate([oh, jnp.zeros_like(oh[:, :1])], axis=1)
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, vocab, (4, 20)))
+    # perfect judge shifted: logits at position i predict token i+1
+    def judge(ids):
+        oh = jax.nn.one_hot(ids, vocab) * 50.0
+        return jnp.roll(oh, -1, axis=1)
+    ppl = generative_perplexity(judge, ids)
+    assert ppl < 1.01
+
+    def uniform_judge(ids):
+        return jnp.zeros((*ids.shape, vocab))
+    ppl_u = generative_perplexity(uniform_judge, ids)
+    assert abs(ppl_u - vocab) < 0.5
+
+
+def eval_config():
+    return Config.make("tiny").override(**{
+        "model.dropout": 0.0, "model.time_conditioning": True})
+
+
+def test_sequence_nll_prefers_likely_sequences():
+    cfg = eval_config()
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    apply_fn = lambda p, x, s, m: model.apply({"params": p}, x, s, modality=m)
+    m = cfg.model
+    b = 4
+    x = np.random.RandomState(0).randint(0, m.vocab_size, (b, m.length))
+    batch = {"input_ids": jnp.asarray(x),
+             "modality": jnp.zeros((b, m.length), jnp.int32)}
+    nll = np.asarray(sequence_nll(cfg, apply_fn, params, batch,
+                                  jax.random.PRNGKey(1)))
+    assert nll.shape == (b,)
+    assert np.isfinite(nll).all() and (nll > 0).all()
+
+
+def test_zero_shot_accuracy_shapes():
+    cfg = eval_config()
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    apply_fn = lambda p, x, s, m: model.apply({"params": p}, x, s, modality=m)
+    m = cfg.model
+    rng = np.random.RandomState(0)
+
+    def cand():
+        return {"input_ids": jnp.asarray(
+            rng.randint(0, m.vocab_size, (3, m.length))),
+            "modality": jnp.zeros((3, m.length), jnp.int32)}
+
+    acc = zero_shot_accuracy(cfg, apply_fn, params, jax.random.PRNGKey(1),
+                             [{"candidates": [cand(), cand()]}])
+    assert 0.0 <= acc <= 1.0
+
+
+def test_speed_eval():
+    from unidisc_tpu.sampling.sampler import SampleResult
+
+    def fake_sampler(x):
+        return SampleResult(tokens=jnp.zeros((2, 8), jnp.int32),
+                            nfe=jnp.int32(5))
+
+    stats = speed_eval(fake_sampler, (jnp.zeros(1),), iters=3,
+                       tokens_per_sample=8, batch=2)
+    assert stats["avg_nfe_cnt"] == 5.0
+    assert stats["p50_latency_s"] > 0
+    assert stats["tokens_per_sec"] > 0

@@ -149,7 +149,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, attn_mask=None,
-                 kv_cache=None, cache_index=None):
+                 kv_cache=None, cache_index=None, segment_ids=None):
         c = self.cfg
         h, d = c.n_heads, c.head_dim
         dim = c.hidden_size
@@ -173,8 +173,11 @@ class Attention(nn.Module):
 
         new_cache = None
         if kv_cache is not None:
-            # AR decode: write current k/v at cache_index, attend to prefix
-            # (reference KV cache: models/dit.py:588-608)
+            # Cached decode: write current k/v at cache_index, then attend
+            # to the prefix (causal AR decode, reference models/dit.py:588-608)
+            # or to the ENTIRE cache (non-causal attention-caching inference:
+            # txt queries against live txt + cached img K/V, reference
+            # flex KV cache models/dit.py:610-614,784-812).
             ck, cv = kv_cache
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
                                               (0, cache_index, 0, 0))
@@ -182,10 +185,17 @@ class Attention(nn.Module):
                                               (0, cache_index, 0, 0))
             new_cache = (ck, cv)
             lk = ck.shape[1]
-            pos_mask = (jnp.arange(lk)[None, :] <= (cache_index + l - 1))
-            mask = pos_mask[None, None, :, :]
+            if c.full_attention:
+                mask = None
+            else:
+                pos_mask = (jnp.arange(lk)[None, :] <= (cache_index + l - 1))
+                mask = pos_mask[None, None, :, :]
             out = multihead_attention(q, ck, cv, mask=mask, causal=False,
                                       backend="xla")
+        elif c.attn_backend == "pallas":
+            from unidisc_tpu.ops.pallas_attention import flash_attention
+            out = flash_attention(q, k, v, segment_ids=segment_ids,
+                                  causal=not c.full_attention)
         else:
             out = multihead_attention(q, k, v, mask=attn_mask,
                                       causal=not c.full_attention,
@@ -207,7 +217,7 @@ class DDiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, rope_cos, rope_sin, modality, attn_mask,
-                 kv_cache, cache_index):
+                 kv_cache, cache_index, segment_ids):
         cfg = self.cfg
         dim = cfg.hidden_size
 
@@ -234,7 +244,8 @@ class DDiTBlock(nn.Module):
 
         attn_out, new_cache = Attention(cfg, self.compute_dtype,
                                         name="attention")(
-            hidden, rope_cos, rope_sin, attn_mask, kv_cache, cache_index)
+            hidden, rope_cos, rope_sin, attn_mask, kv_cache, cache_index,
+            segment_ids)
 
         if cfg.sandwich_normalization:
             # pre-residual norm replaces the gate on the attention branch
@@ -317,7 +328,7 @@ class DIT(nn.Module):
     @nn.compact
     def __call__(self, indices, sigma=None, *, modality=None, attn_mask=None,
                  label=None, kv_cache=None, cache_index=None,
-                 deterministic=True):
+                 sample_ids=None, rope_index=None, deterministic=True):
         cfg = self.cfg
         vocab_embed = self.param("vocab_embed", embedding_init(),
                                  (cfg.vocab_size, cfg.hidden_size))
@@ -347,7 +358,20 @@ class DIT(nn.Module):
             base=cfg.rope_base)
         rope_cos = jnp.asarray(cos_np)
         rope_sin = jnp.asarray(sin_np)
-        if kv_cache is not None:
+        if rope_index is not None:
+            # interleaved batches: per-token index into the combined
+            # [1D-text | 2D-image] table; image tokens restart per block
+            # (replaces reference add_img/txt_data_to_blocks stitching,
+            # models/dit.py:122-191)
+            assert modality is not None
+            eff = jnp.clip(rope_index, 0, cfg.txt_length - 1)
+            eff = jnp.where(modality == 1,
+                            cfg.txt_length + jnp.clip(rope_index, 0,
+                                                      cfg.img_length - 1),
+                            eff)
+            rope_cos = jnp.take(rope_cos, eff, axis=0)   # (B, L, d2)
+            rope_sin = jnp.take(rope_sin, eff, axis=0)
+        elif kv_cache is not None:
             rope_cos = jax.lax.dynamic_slice_in_dim(
                 rope_cos, cache_index, indices.shape[1], axis=0)
             rope_sin = jax.lax.dynamic_slice_in_dim(
@@ -355,6 +379,13 @@ class DIT(nn.Module):
         else:
             rope_cos = rope_cos[:indices.shape[1]]
             rope_sin = rope_sin[:indices.shape[1]]
+
+        if sample_ids is not None and attn_mask is None and \
+                cfg.attn_backend != "pallas":
+            from unidisc_tpu.ops.attention import make_sample_ids_mask
+            attn_mask = make_sample_ids_mask(sample_ids)
+        segment_ids = (sample_ids, sample_ids) if sample_ids is not None \
+            else None
 
         block_cls = DDiTBlock
         if self.remat:
@@ -364,13 +395,13 @@ class DIT(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast, 0, nn.broadcast),
+                     nn.broadcast, 0, nn.broadcast, nn.broadcast),
             length=cfg.n_blocks,
             metadata_params={nn.PARTITION_NAME: "layers"},
         )(cfg, self.compute_dtype, deterministic, name="blocks")
 
         x, new_cache = blocks(x, c, rope_cos, rope_sin, modality, attn_mask,
-                              kv_cache, cache_index)
+                              kv_cache, cache_index, segment_ids)
 
         logits = DDitFinalLayer(cfg, self.compute_dtype, name="output_layer")(
             x, c, modality)

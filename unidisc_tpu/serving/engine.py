@@ -1,0 +1,162 @@
+"""Inference engine: chat-style requests -> conditioned sampling -> decoded
+text/images.
+
+Redesign of the reference demo engine (reference: demo/inference.py:63-460 —
+message parsing with base64 images and `<mask>` expansion :102-123, task
+selection gen-img/gen-txt/inpaint, x0/x0_unmask construction :269+,
+model._sample, re-encode outputs). All samplers are jitted once per task and
+reused across requests.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import re
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.sampling.sampler import build_sampler
+
+MASK_TOKEN_RE = re.compile(r"<mask(?::(\d+))?>")
+
+
+def expand_mask_tokens(text: str) -> str:
+    """`<mask:5>` -> five `<mask>` markers (reference:
+    demo/inference.py:102-123)."""
+    return MASK_TOKEN_RE.sub(
+        lambda m: "<mask>" * int(m.group(1) or 1), text)
+
+
+class InferenceEngine:
+    def __init__(self, config: Config, model, params, *, tokenizer=None,
+                 codec=None):
+        self.config = config
+        self.model = model
+        self.params = params
+        self.m = config.model
+        if tokenizer is None:
+            from unidisc_tpu.tokenizers.text import get_tokenizer
+            tokenizer = get_tokenizer("byte")
+        self.tokenizer = tokenizer
+        self.codec = codec  # optional ImageCodec for pixel I/O
+        self._samplers: Dict[int, Any] = {}
+
+        def forward_logits(params, x, sigma, modality):
+            return model.apply({"params": params}, x, sigma,
+                               modality=modality)
+        self._forward = forward_logits
+
+    # ------------------------------------------------------------------
+    def _sampler(self, steps: Optional[int] = None):
+        key = steps or self.config.sampling.steps
+        if key not in self._samplers:
+            self._samplers[key] = jax.jit(build_sampler(
+                self._forward, self.config, num_steps=key))
+        return self._samplers[key]
+
+    def _layout(self, batch: int):
+        m = self.m
+        modality = np.concatenate([
+            np.zeros((batch, m.txt_length), np.int32),
+            np.ones((batch, m.img_length), np.int32)], axis=-1)
+        return modality
+
+    # ------------------------------------------------------------------
+    def run(self, *, text: Optional[str] = None,
+            image_ids: Optional[np.ndarray] = None,
+            image_mask: Optional[np.ndarray] = None,
+            task: str = "auto", steps: Optional[int] = None,
+            seed: int = 0, batch: int = 1) -> dict:
+        """One request.
+
+        task: 'gen_image' (text given, image masked), 'gen_text' (image
+        given, text masked), 'infill' (both given; `<mask>` spans in text
+        and/or image_mask positions are regenerated), 'joint'
+        (unconditional joint generation), or 'auto'.
+        """
+        m = self.m
+        if task == "auto":
+            if text is not None and image_ids is None:
+                task = "gen_image"
+            elif image_ids is not None and text is None:
+                task = "gen_text"
+            elif text is None and image_ids is None:
+                task = "joint"
+            else:
+                task = "infill"
+
+        x0 = np.zeros((batch, m.length), np.int32)
+        unmask = np.zeros((batch, m.length), bool)
+
+        if text is not None:
+            text = expand_mask_tokens(text)
+            parts = text.split("<mask>")
+            ids: List[int] = []
+            known: List[bool] = []
+            for i, part in enumerate(parts):
+                enc = self.tokenizer.encode(part, add_bos=(i == 0),
+                                            add_eos=False)
+                ids.extend(enc)
+                known.extend([True] * len(enc))
+                if i < len(parts) - 1:
+                    ids.append(0)
+                    known.append(False)  # masked slot
+            ids = ids[:m.txt_length]
+            known = known[:m.txt_length]
+            x0[:, :len(ids)] = np.asarray(ids)
+            if task in ("gen_image", "infill"):
+                unmask[:, :len(known)] = np.asarray(known)
+
+        if image_ids is not None:
+            image_ids = np.asarray(image_ids).reshape(-1)[:m.img_length]
+            x0[:, m.txt_length:m.txt_length + len(image_ids)] = \
+                image_ids + (0 if image_ids.max(initial=0) >=
+                             m.text_vocab_size else m.text_vocab_size)
+            img_known = np.ones(len(image_ids), bool)
+            if image_mask is not None:
+                img_known &= ~np.asarray(image_mask).reshape(-1)[
+                    :len(image_ids)]
+            if task in ("gen_text", "infill"):
+                unmask[:, m.txt_length:m.txt_length + len(image_ids)] = \
+                    img_known
+
+        modality = self._layout(batch)
+        sample = self._sampler(steps)
+        out = sample(self.params, jax.random.PRNGKey(seed),
+                     jnp.asarray(x0), jnp.asarray(unmask),
+                     jnp.asarray(modality))
+        tokens = np.asarray(out.tokens)
+
+        txt_ids = tokens[:, :m.txt_length]
+        img_ids = tokens[:, m.txt_length:] - m.text_vocab_size
+        from unidisc_tpu.tokenizers.text import wrapped_batch_decode
+        texts = wrapped_batch_decode(self.tokenizer, txt_ids)
+
+        result = {"task": task, "text": texts[0], "texts": texts,
+                  "image_ids": img_ids, "nfe": int(out.nfe)}
+        if self.codec is not None and task != "gen_text":
+            imgs = np.asarray(self.codec.decode(
+                self.codec.params, jnp.asarray(np.maximum(img_ids, 0))))
+            result["images_b64"] = [encode_image_b64(img) for img in imgs]
+        return result
+
+
+def encode_image_b64(img: np.ndarray) -> str:
+    """[-1,1] float image (H,W,3) -> base64 PNG."""
+    from PIL import Image
+    arr = np.clip((img + 1) * 127.5, 0, 255).astype(np.uint8)
+    im = Image.fromarray(arr)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def decode_image_b64(data: str) -> np.ndarray:
+    from PIL import Image
+    im = Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
+    return np.asarray(im, np.float32) / 127.5 - 1.0

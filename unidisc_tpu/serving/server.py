@@ -1,0 +1,168 @@
+"""OpenAI-compatible HTTP server over the inference engine.
+
+Redesign of the reference FastAPI demo server
+(reference: demo/server.py:117-219 — POST /v1/chat/completions, per-GPU
+worker processes with queues, response cache by request hash). TPU-native
+simplifications: one process per host (the jitted sampler already saturates
+the chip; SPMD handles multi-chip), stdlib ThreadingHTTPServer (fastapi is
+not a hard dependency), same response-cache-by-hash behavior.
+
+Run: python -m unidisc_tpu.serving.server --port 8000 [--ckpt DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from unidisc_tpu.serving.engine import InferenceEngine, decode_image_b64
+
+
+def parse_messages(messages: list) -> dict:
+    """OpenAI chat messages -> engine kwargs (reference:
+    demo/inference.py:125-160 messages_to_batch)."""
+    text_parts = []
+    image = None
+    for msg in messages:
+        if msg.get("role") not in ("user", "system"):
+            continue
+        content = msg.get("content", "")
+        if isinstance(content, str):
+            text_parts.append(content)
+        else:
+            for item in content:
+                if item.get("type") == "text":
+                    text_parts.append(item["text"])
+                elif item.get("type") == "image_url":
+                    url = item["image_url"]["url"]
+                    if url.startswith("data:"):
+                        image = decode_image_b64(url.split(",", 1)[1])
+    text = "\n".join(p for p in text_parts if p) or None
+    return {"text": text, "image": image}
+
+
+class Handler(BaseHTTPRequestHandler):
+    engine: InferenceEngine = None
+    cache: dict = {}
+    lock = threading.Lock()
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/v1/chat/completions":
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            key = hashlib.sha256(
+                json.dumps(req, sort_keys=True).encode()).hexdigest()
+            if key in self.cache:
+                self._json(200, self.cache[key])
+                return
+
+            parsed = parse_messages(req.get("messages", []))
+            image_ids = None
+            if parsed["image"] is not None and self.engine.codec is not None:
+                import jax.numpy as jnp
+                import numpy as np
+                codec = self.engine.codec
+                img = parsed["image"]
+                side = self.engine.m.img_length ** 0.5
+                size = int(side) * codec.downsample
+                from PIL import Image
+                pil = Image.fromarray(
+                    ((img + 1) * 127.5).clip(0, 255).astype("uint8"))
+                pil = pil.resize((size, size))
+                img = np.asarray(pil, np.float32) / 127.5 - 1
+                image_ids = np.asarray(codec.encode(
+                    codec.params, jnp.asarray(img[None])))[0]
+
+            with self.lock:  # one sampler run at a time per host
+                result = self.engine.run(
+                    text=parsed["text"], image_ids=image_ids,
+                    steps=req.get("steps"),
+                    seed=req.get("seed", int(time.time()) % 2 ** 31),
+                    task=req.get("task", "auto"))
+
+            content = [{"type": "text", "text": result["text"]}]
+            for b64 in result.get("images_b64", []):
+                content.append({"type": "image_url", "image_url": {
+                    "url": f"data:image/png;base64,{b64}"}})
+            payload = {
+                "id": f"unidisc-{key[:12]}",
+                "object": "chat.completion",
+                "model": "unidisc-tpu",
+                "choices": [{"index": 0, "finish_reason": "stop",
+                             "message": {"role": "assistant",
+                                         "content": content}}],
+                "usage": {"nfe": result["nfe"]},
+            }
+            self.cache[key] = payload
+            self._json(200, payload)
+        except Exception as e:  # noqa: BLE001
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(engine: InferenceEngine, port: int = 8000,
+                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (Handler,),
+                   {"engine": engine, "cache": {},
+                    "lock": threading.Lock()})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--ckpt", default=None,
+                        help="run dir with checkpoints/ (EMA params used)")
+    parser.add_argument("--model", default="small")
+    parser.add_argument("--steps", type=int, default=32)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from unidisc_tpu.config import Config
+    from unidisc_tpu.models.dit import init_dit
+
+    config = Config.make(args.model, **{"sampling.steps": args.steps})
+    model, params = init_dit(jax.random.PRNGKey(config.seed), config.model)
+    if args.ckpt:
+        from unidisc_tpu.training.checkpoint import CheckpointManager
+        from unidisc_tpu.training.train_state import init_train_state
+        mgr = CheckpointManager(f"{args.ckpt}/checkpoints")
+        state, meta = mgr.restore(init_train_state(config, params))
+        params = state.ema_params
+        config = Config.from_json(json.dumps(meta["config"]))
+        print(f"[serve] restored step {meta['step']}")
+
+    engine = InferenceEngine(config, model, params)
+    server = make_server(engine, args.port, args.host)
+    print(f"[serve] listening on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -126,12 +126,14 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
     x0 = batch["input_ids"]
     modality = batch.get("modality")
     attention_mask = batch.get("attention_mask")
+    extra = {k: batch[k] for k in ("sample_ids", "rope_index") if k in batch}
     b = x0.shape[0]
 
     rng_t, rng_mask, rng_drop = jax.random.split(rng, 3)
 
     if t_cfg.parameterization == "ar":
-        logits = apply_fn(params, x0, None, modality, rng_drop, train)
+        logits = apply_fn(params, x0, None, modality, rng_drop, train,
+                          **extra)
         if mesh is not None:
             logits = logits_constraint(logits, mesh)
         # ar_shift: predict token i+1 from prefix <= i (reference: model.py:761-782)
@@ -151,7 +153,8 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
                      modality=modality,
                      mask_entire_modality=t_cfg.mask_entire_modality if train else None)
 
-    logits = apply_fn(params, corrupted.xt, sigma, modality, rng_drop, train)
+    logits = apply_fn(params, corrupted.xt, sigma, modality, rng_drop, train,
+                      **extra)
     if mesh is not None:
         logits = logits_constraint(logits, mesh)
 
@@ -174,9 +177,11 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
 # ---------------------------------------------------------------------------
 
 def make_apply_fn(config: Config, model):
-    """Wrap model.apply into fn(params, x, sigma, modality, rng, train)."""
-    def apply_fn(params, x, sigma, modality, rng, train):
-        kwargs = dict(modality=modality, deterministic=not train)
+    """Wrap model.apply into fn(params, x, sigma, modality, rng, train,
+    **extra) where extra carries interleaved-batch args (sample_ids,
+    rope_index)."""
+    def apply_fn(params, x, sigma, modality, rng, train, **extra):
+        kwargs = dict(modality=modality, deterministic=not train, **extra)
         rngs = {"dropout": rng} if train else None
         if sigma is None:
             sigma = jnp.zeros((x.shape[0],), jnp.float32)
