@@ -174,6 +174,10 @@ class Config:
         cfg = Config(model=MODEL_PRESETS[model])
         return cfg.override(**overrides)
 
+    def apply_experiments(self, *names: str) -> "Config":
+        """Compose experiment overlays (reference: +experiments='[...]')."""
+        return _apply_experiments(self, *names)
+
     def override(self, **overrides: Any) -> "Config":
         """Apply dotted-path overrides, e.g. override(**{"model.n_blocks": 2})."""
         cfg = self
@@ -227,6 +231,75 @@ _SECTIONS = {
     "mesh": MeshConfig,
     "data": DataConfig,
 }
+
+
+# ---------------------------------------------------------------------------
+# Experiment overlays (reference: configs/experiments/*.yaml, composed via
+# +experiments='[...]'). Applied as dotted overrides on top of a preset:
+#   Config.make("extra_large").apply_experiments("large_scale_train")
+# ---------------------------------------------------------------------------
+EXPERIMENTS = {
+    # production 1.4B recipe (reference: configs/experiments/
+    # large_scale_train.yaml:115-151; scripts/train_large_scale_slurm.sh)
+    "large_scale_train": {
+        "trainer.global_batch_size": 512,
+        "trainer.lr": 1e-4,
+        "trainer.warmup_steps": 10_000,
+        "trainer.softmin_snr": 5.0,
+        "trainer.text_loss_weight": 1.0,
+        "trainer.img_loss_weight": 0.6,
+        "trainer.mask_entire_modality": 0.15,
+        "trainer.use_gradient_checkpointing": True,
+        "trainer.multimodal_batches": True,
+        "sampling.steps": 128,
+        "sampling.cfg": 5.0,
+        "model.force_argmax_valid_indices": True,
+        "model.norm_type": "rms",
+        "model.qk_norm": True,
+        "model.sandwich_normalization": True,
+        "model.modality_embed": True,
+        "model.rope_2d": True,
+        "model.time_conditioning": False,
+    },
+    # VQ-16 text->image 256px layout (reference: configs/experiments/
+    # vq16_t2i.yaml:4-6 — 128 txt + 256 img tokens)
+    "vq16_t2i": {
+        "model.length": 384,
+        "model.txt_length": 128,
+        "model.img_length": 256,
+        "model.image_vocab_size": 16384,
+    },
+    # FID-eval sampling recipe (reference: scripts/small_scale_eval.sh:31-34)
+    "fid_eval": {
+        "sampling.predictor": "maskgit",
+        "sampling.cfg": 2.0,
+        "sampling.steps": 128,
+    },
+    # AR baseline (reference: parameterization=ar + ar_shift + causal attn)
+    "ar_baseline": {
+        "trainer.parameterization": "ar",
+        "trainer.ar_shift": True,
+        "model.full_attention": False,
+        "model.time_conditioning": False,
+    },
+    # interleaved variable-length training (reference:
+    # configs/experiments/interleaved*.yaml)
+    "interleaved": {
+        "trainer.interleaved": True,
+        "trainer.multimodal_batches": True,
+        "model.modality_embed": True,
+        "model.rope_2d": True,
+    },
+}
+
+
+def _apply_experiments(cfg: "Config", *names: str) -> "Config":
+    for name in names:
+        if name not in EXPERIMENTS:
+            raise KeyError(
+                f"unknown experiment {name!r}; have {sorted(EXPERIMENTS)}")
+        cfg = cfg.override(**EXPERIMENTS[name])
+    return cfg
 
 
 # Model size presets (reference: configs/model/{small,medium,large,extra_large,xxl}.yaml)

@@ -1,0 +1,145 @@
+"""Port reference UniDisc torch checkpoints into the Flax DIT.
+
+Maps the published HF checkpoints (`aswerdlow/unidisc_interleaved` /
+`unidisc_non_interleaved`, saved via PyTorchModelHubMixin on the reference
+DIT — reference: models/dit.py:1095) onto our scan-stacked parameter tree.
+
+Key correspondences (torch name -> flax path):
+  vocab_embed.embedding              -> vocab_embed
+  modality_embed.embedding           -> modality_embed
+  sigma_map.mlp.{0,2}.{weight,bias}  -> sigma_map/mlp_{0,2}/{kernel,bias}
+  blocks.{i}.attn_qkv.weight         -> blocks/attention/attn_qkv/kernel[i]
+  blocks.{i}.attn_out.weight         -> blocks/attention/attn_out/kernel[i]
+  blocks.{i}.{q,k}_norm.{weight,bias}-> blocks/attention/{q,k}_norm/...
+  blocks.{i}.norm{1,2}.weight        -> blocks/norm{1,2}/weight[i]
+  blocks.{i}.adaLN_modulation.*      -> blocks/adaLN_modulation/*[i]
+  blocks.{i}.mlp.{0,2}.*             -> blocks/mlp_{0,2}/*[i]
+  blocks.{i}.pre_residual_norm.weight-> blocks/pre_residual_norm/weight[i]
+  blocks.{i}.post_ff_norm.weight     -> blocks/post_ff_norm/weight[i]
+  output_layer.norm_final.weight     -> output_layer/norm_final/weight
+  output_layer.adaLN_modulation.*    -> output_layer/adaLN_modulation/*
+  output_layer.linear.*              -> output_layer/linear/*
+  y_embedder.embedding_table.weight  -> y_embedder/embedding_table
+
+Per-block tensors are stacked along a leading axis (our blocks are
+nn.scan-stacked: one compiled block, n_blocks-stacked params). Torch linear
+weights (out, in) are transposed to Flax (in, out).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def port_dit_state_dict(params: Dict, state_dict: Dict,
+                        *, strict: bool = True) -> Dict:
+    """Return a params tree with values from a reference torch state_dict."""
+    import flax
+
+    flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
+    out = dict(flat)
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    used = set()
+
+    def put(fkey: str, arr: np.ndarray, transpose: bool = False):
+        assert fkey in flat, f"flax tree has no {fkey}"
+        if transpose:
+            arr = arr.T if arr.ndim == 2 else arr
+        assert arr.shape == flat[fkey].shape, \
+            f"{fkey}: ckpt {arr.shape} vs model {flat[fkey].shape}"
+        out[fkey] = jnp.asarray(arr)
+
+    def take(tkey: str) -> np.ndarray:
+        used.add(tkey)
+        return sd[tkey]
+
+    def maybe(tkey: str):
+        if tkey in sd:
+            used.add(tkey)
+            return sd[tkey]
+        return None
+
+    # globals
+    put("vocab_embed", take("vocab_embed.embedding"))
+    if "modality_embed.embedding" in sd:
+        put("modality_embed", take("modality_embed.embedding"))
+    for i in (0, 2):
+        w = maybe(f"sigma_map.mlp.{i}.weight")
+        if w is not None:
+            put(f"sigma_map/mlp_{i}/kernel", w, transpose=True)
+            put(f"sigma_map/mlp_{i}/bias", take(f"sigma_map.mlp.{i}.bias"))
+    if "y_embedder.embedding_table.weight" in sd:
+        put("y_embedder/embedding_table",
+            take("y_embedder.embedding_table.weight"))
+
+    # blocks (stack along leading scan axis)
+    n_blocks = 0
+    while f"blocks.{n_blocks}.attn_qkv.weight" in sd:
+        n_blocks += 1
+    assert n_blocks > 0, "no blocks.* keys found"
+
+    def stack(tname: str, transpose: bool = False) -> np.ndarray:
+        arrs = []
+        for i in range(n_blocks):
+            a = take(f"blocks.{i}.{tname}")
+            arrs.append(a.T if (transpose and a.ndim == 2) else a)
+        return np.stack(arrs, 0)
+
+    put("blocks/attention/attn_qkv/kernel", stack("attn_qkv.weight", True))
+    put("blocks/attention/attn_out/kernel", stack("attn_out.weight", True))
+    for norm in ("q_norm", "k_norm"):
+        if f"blocks.0.{norm}.weight" in sd:
+            put(f"blocks/attention/{norm}/scale", stack(f"{norm}.weight"))
+            put(f"blocks/attention/{norm}/bias", stack(f"{norm}.bias"))
+    put("blocks/norm1/weight", stack("norm1.weight"))
+    put("blocks/norm2/weight", stack("norm2.weight"))
+    if "blocks.0.adaLN_modulation.weight" in sd:
+        put("blocks/adaLN_modulation/kernel",
+            stack("adaLN_modulation.weight", True))
+        put("blocks/adaLN_modulation/bias", stack("adaLN_modulation.bias"))
+    for i in (0, 2):
+        put(f"blocks/mlp_{i}/kernel", stack(f"mlp.{i}.weight", True))
+        put(f"blocks/mlp_{i}/bias", stack(f"mlp.{i}.bias"))
+    if "blocks.0.pre_residual_norm.weight" in sd:
+        put("blocks/pre_residual_norm/weight",
+            stack("pre_residual_norm.weight"))
+        put("blocks/post_ff_norm/weight", stack("post_ff_norm.weight"))
+
+    # output layer
+    put("output_layer/norm_final/weight",
+        take("output_layer.norm_final.weight"))
+    put("output_layer/linear/kernel", take("output_layer.linear.weight"),
+        transpose=True)
+    put("output_layer/linear/bias", take("output_layer.linear.bias"))
+    if "output_layer.adaLN_modulation.weight" in sd:
+        put("output_layer/adaLN_modulation/kernel",
+            take("output_layer.adaLN_modulation.weight"), transpose=True)
+        put("output_layer/adaLN_modulation/bias",
+            take("output_layer.adaLN_modulation.bias"))
+
+    if strict:
+        ignorable = {k for k in sd
+                     if "rotary" in k or "attn_qkv_cond" in k
+                     or k.endswith("num_batches_tracked")}
+        missed = set(sd) - used - ignorable
+        assert not missed, f"unmapped torch keys: {sorted(missed)[:10]}"
+
+    return flax.traverse_util.unflatten_dict(out, sep="/")
+
+
+def load_reference_checkpoint(params: Dict, path: str, **kw) -> Dict:
+    """Load a .safetensors / .pt reference checkpoint file."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(path)
+    else:
+        import torch
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        sd = ckpt.get("state_dict", ckpt)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    sd = {k.removeprefix("module.").removeprefix("backbone."): v
+          for k, v in sd.items()}
+    return port_dit_state_dict(params, sd, **kw)
