@@ -138,3 +138,16 @@ def test_ar_parameterization():
     step_fn = jax.jit(make_train_step(cfg, model))
     state, metrics = step_fn(state, make_batch(cfg, rng), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
+
+
+def test_sedd_and_d3pm_parameterizations():
+    for param in ["sedd", "d3pm"]:
+        cfg = tiny_config(**{"trainer.parameterization": param})
+        rng = jax.random.PRNGKey(0)
+        model, params = init_dit(rng, cfg.model)
+        state = init_train_state(cfg, params)
+        step_fn = jax.jit(make_train_step(cfg, model))
+        state, metrics = step_fn(state, make_batch(cfg, rng),
+                                 jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics.loss)), param
+        assert float(metrics.grad_norm) > 0, param

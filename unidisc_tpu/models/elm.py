@@ -1,0 +1,249 @@
+"""OpenELM-style AR language model in Flax (the reference's AR baseline).
+
+Ground-up Flax re-design of the reference's forked Apple OpenELM
+(reference: models/elm_custom.py — OpenELMForCausalLM:832, OpenELMModel:549,
+OpenELMDecoderLayer:478; UniDisc extensions: extra-token embedding + lm_extra
+head to extend the vocab with image tokens :563-565,844-846,914-920, and an
+optional non-causal attention flag).
+
+Architecture facts mirrored:
+  * layer-wise scaling: per-layer query/KV head counts and FFN widths
+    (qkv_multipliers / ffn_multipliers linearly interpolated, divisor-rounded)
+  * GQA attention with per-head RMSNorm on q and k (normalize_qk_projections)
+  * rotary embeddings on head_dim
+  * SwiGLU FFN (ffn_with_glu)
+  * shared input/output embedding (share_input_output_layers) with the
+    extra-token table concatenated for the logits projection
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.models.rotary import apply_rope, rope_1d
+from unidisc_tpu.ops.attention import multihead_attention
+
+
+def make_divisible(v: float, divisor: int = 8) -> int:
+    """(reference: models/configuration_openelm_local.py make_divisible)"""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+@dataclass(frozen=True)
+class ELMConfig:
+    vocab_size: int = 32001          # text vocab (reference: LLaMA-2 + mask)
+    extra_tokens: int = 16384        # image vocab extension
+    model_dim: int = 1280
+    num_layers: int = 16
+    head_dim: int = 64
+    num_gqa_groups: int = 4
+    qkv_multipliers: Tuple[float, float] = (0.5, 1.0)
+    ffn_multipliers: Tuple[float, float] = (0.5, 4.0)
+    ffn_dim_divisor: int = 256
+    max_length: int = 2048
+    rope_freq: float = 10_000.0
+    causal: bool = True              # reference optional full-attention flag
+
+    @property
+    def total_vocab(self) -> int:
+        return self.vocab_size + self.extra_tokens
+
+    def layer_q_heads(self) -> Sequence[int]:
+        mults = np.linspace(self.qkv_multipliers[0], self.qkv_multipliers[1],
+                            self.num_layers)
+        heads = []
+        g = self.num_gqa_groups
+        for m in mults:
+            q = int(make_divisible(self.model_dim * m, self.head_dim)
+                    // self.head_dim)
+            heads.append(((q + g - 1) // g) * g)  # divisible by GQA groups
+        return heads
+
+    def layer_kv_heads(self) -> Sequence[int]:
+        return [max(q // self.num_gqa_groups, 1)
+                for q in self.layer_q_heads()]
+
+    def layer_ffn_dims(self) -> Sequence[int]:
+        mults = np.linspace(self.ffn_multipliers[0], self.ffn_multipliers[1],
+                            self.num_layers)
+        return [make_divisible(self.model_dim * m, self.ffn_dim_divisor)
+                for m in mults]
+
+
+# OpenELM released sizes (approximate reference HF configs)
+ELM_PRESETS = {
+    "270m": ELMConfig(model_dim=1280, num_layers=16, num_gqa_groups=4),
+    "450m": ELMConfig(model_dim=1536, num_layers=20, num_gqa_groups=4),
+    "1.1b": ELMConfig(model_dim=2048, num_layers=28, num_gqa_groups=4),
+    "tiny": ELMConfig(vocab_size=40, extra_tokens=24, model_dim=64,
+                      num_layers=3, head_dim=16, num_gqa_groups=2,
+                      max_length=64),
+}
+
+
+class RMSNorm(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        y = x32 * jax.lax.rsqrt(jnp.mean(x32 ** 2, -1, keepdims=True) + 1e-6)
+        return (y * w).astype(x.dtype)
+
+
+class ELMAttention(nn.Module):
+    cfg: ELMConfig
+    layer_idx: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None):
+        c = self.cfg
+        hd = c.head_dim
+        qh = c.layer_q_heads()[self.layer_idx]
+        kvh = c.layer_kv_heads()[self.layer_idx]
+        b, l, _ = x.shape
+
+        qkv = nn.Dense((qh + 2 * kvh) * hd, use_bias=False,
+                       dtype=self.compute_dtype, name="qkv_proj")(x)
+        q = qkv[..., :qh * hd].reshape(b, l, qh, hd)
+        k = qkv[..., qh * hd:(qh + kvh) * hd].reshape(b, l, kvh, hd)
+        v = qkv[..., (qh + kvh) * hd:].reshape(b, l, kvh, hd)
+
+        # per-head RMS q/k norm (reference normalize_qk_projections)
+        q = RMSNorm(hd, name="q_norm")(q)
+        k = RMSNorm(hd, name="k_norm")(k)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if kv_cache is not None:
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            new_cache = (ck, cv)
+            k, v = ck, cv
+            lk = k.shape[1]
+            mask = (jnp.arange(lk)[None, :] <=
+                    (cache_index + l - 1))[None, None, :, :]
+        else:
+            mask = None
+
+        # GQA: repeat kv heads to match q heads
+        rep = qh // k.shape[2]
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        out = multihead_attention(
+            q, k, v, mask=mask,
+            causal=c.causal and kv_cache is None, backend="xla")
+        out = out.reshape(b, l, qh * hd)
+        return nn.Dense(c.model_dim, use_bias=False,
+                        dtype=self.compute_dtype, name="out_proj")(out), \
+            new_cache
+
+
+class ELMBlock(nn.Module):
+    cfg: ELMConfig
+    layer_idx: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cos, sin, kv_cache=None, cache_index=None):
+        c = self.cfg
+        h, new_cache = ELMAttention(c, self.layer_idx, self.compute_dtype,
+                                    name="attn")(
+            RMSNorm(c.model_dim, name="attn_norm")(x), cos, sin,
+            kv_cache, cache_index)
+        x = x + h
+        ffn_dim = c.layer_ffn_dims()[self.layer_idx]
+        y = RMSNorm(c.model_dim, name="ffn_norm")(x)
+        # SwiGLU (reference ffn_with_glu)
+        gate_up = nn.Dense(2 * ffn_dim, use_bias=False,
+                           dtype=self.compute_dtype, name="proj_1")(y)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        y = nn.silu(gate) * up
+        y = nn.Dense(c.model_dim, use_bias=False, dtype=self.compute_dtype,
+                     name="proj_2")(y)
+        return x + y, new_cache
+
+
+class OpenELM(nn.Module):
+    """Causal LM over the extended text+image vocab.
+
+    __call__(ids, kv_cache=None, cache_index=None) -> logits (fp32) or
+    (logits, new_cache). kv_cache: list of per-layer (k, v) with layer-
+    specific head counts.
+    """
+
+    cfg: ELMConfig
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, ids, kv_cache=None, cache_index=None):
+        c = self.cfg
+        embed = self.param("token_embeddings", nn.initializers.normal(0.02),
+                           (c.vocab_size, c.model_dim))
+        embed_extra = self.param("token_embeddings_extra",
+                                 nn.initializers.normal(0.02),
+                                 (c.extra_tokens, c.model_dim))
+        table = jnp.concatenate([embed, embed_extra], axis=0)
+        x = jnp.take(table, ids, axis=0).astype(self.compute_dtype)
+
+        cos_np, sin_np = rope_1d(c.max_length, c.head_dim, c.rope_freq)
+        cos = jnp.asarray(cos_np)
+        sin = jnp.asarray(sin_np)
+        if kv_cache is not None:
+            cos = jax.lax.dynamic_slice_in_dim(cos, cache_index,
+                                               ids.shape[1], axis=0)
+            sin = jax.lax.dynamic_slice_in_dim(sin, cache_index,
+                                               ids.shape[1], axis=0)
+        else:
+            cos = cos[:ids.shape[1]]
+            sin = sin[:ids.shape[1]]
+
+        new_caches = []
+        for i in range(c.num_layers):
+            layer_cache = None if kv_cache is None else kv_cache[i]
+            x, nc = ELMBlock(c, i, self.compute_dtype,
+                             name=f"layer_{i}")(x, cos, sin, layer_cache,
+                                                cache_index)
+            new_caches.append(nc)
+
+        x = RMSNorm(c.model_dim, name="norm")(x)
+        # shared input/output embedding incl. extra tokens (reference
+        # share_input_output_layers + lm_extra concat)
+        logits = jnp.einsum("bld,vd->blv", x.astype(jnp.float32),
+                            table.astype(jnp.float32))
+        if kv_cache is not None:
+            return logits, new_caches
+        return logits
+
+
+def init_elm_cache(cfg: ELMConfig, batch: int, max_len: int,
+                   dtype=jnp.bfloat16):
+    """Per-layer (k, v) caches with layer-specific kv head counts."""
+    caches = []
+    for kvh in cfg.layer_kv_heads():
+        shape = (batch, max_len, kvh, cfg.head_dim)
+        caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+    return caches
+
+
+def init_elm(rng, cfg: ELMConfig, batch_size: int = 1):
+    model = OpenELM(cfg)
+    ids = jnp.zeros((batch_size, min(cfg.max_length, 8)), jnp.int32)
+    params = model.init({"params": rng}, ids)["params"]
+    return model, params

@@ -158,6 +158,41 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
     if mesh is not None:
         logits = logits_constraint(logits, mesh)
 
+    if t_cfg.parameterization == "sedd":
+        # legacy SEDD score-entropy loss (reference: model.py:953,
+        # model_utils.py:269-302)
+        from unidisc_tpu.diffusion.legacy import (score_entropy,
+                                                  sedd_parameterization)
+        log_score = sedd_parameterization(logits.astype(jnp.float32),
+                                          corrupted.xt, sigma)
+        ent = score_entropy(log_score, sigma, corrupted.xt, x0,
+                            m_cfg.mask_index)
+        loss_tok = dsigma[:, None] * ent
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, x0.shape[1]), dtype=bool)
+        total = (loss_tok * attention_mask).sum() / jnp.maximum(
+            attention_mask.sum(), 1)
+        return LossOutput(loss=total, nlls=loss_tok * attention_mask,
+                          token_mask=attention_mask,
+                          txt_loss=jnp.zeros((), total.dtype),
+                          img_loss=jnp.zeros((), total.dtype))
+
+    if t_cfg.parameterization == "d3pm":
+        # discrete-time D3PM loss (reference: model_utils.py:604-636)
+        from unidisc_tpu.diffusion.legacy import (d3pm_loss,
+                                                  d3pm_parameterization)
+        log_p = d3pm_parameterization(logits.astype(jnp.float32))
+        loss_tok = d3pm_loss(log_p, corrupted.xt, x0, t, T=1000,
+                             mask_index=m_cfg.mask_index)
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, x0.shape[1]), dtype=bool)
+        total = (loss_tok * attention_mask).sum() / jnp.maximum(
+            attention_mask.sum(), 1)
+        return LossOutput(loss=total, nlls=loss_tok * attention_mask,
+                          token_mask=attention_mask,
+                          txt_loss=jnp.zeros((), total.dtype),
+                          img_loss=jnp.zeros((), total.dtype))
+
     log_p = subs_parameterization(
         logits, corrupted.xt, m_cfg.mask_index,
         modality=modality if m_cfg.force_argmax_valid_indices else None,
