@@ -55,9 +55,9 @@ class ModelConfig:
     full_attention: bool = True  # False => causal (AR mode)
     force_argmax_valid_indices: bool = False
     rope_base: float = 10_000.0
-    # attention backend: "xla" (jnp einsum softmax path, XLA-fused) or
-    # "pallas" (custom fused flash-attention kernel, TPU only)
-    attn_backend: str = "xla"
+    # attention backend: "auto" (pallas flash kernel when head_dim%128==0
+    # and seq>=512, else XLA einsum), "xla", or "pallas" (forced)
+    attn_backend: str = "auto"
 
     @property
     def vocab_size(self) -> int:

@@ -192,14 +192,25 @@ class Attention(nn.Module):
                 mask = pos_mask[None, None, :, :]
             out = multihead_attention(q, ck, cv, mask=mask, causal=False,
                                       backend="xla")
-        elif c.attn_backend == "pallas":
-            from unidisc_tpu.ops.pallas_attention import flash_attention
-            out = flash_attention(q, k, v, segment_ids=segment_ids,
-                                  causal=not c.full_attention)
         else:
-            out = multihead_attention(q, k, v, mask=attn_mask,
-                                      causal=not c.full_attention,
-                                      backend=c.attn_backend)
+            backend = c.attn_backend
+            if backend == "auto":
+                # Pallas flash kernel wins when the head dim maps onto full
+                # MXU lanes and the sequence is long enough to amortize the
+                # kernel (measured on v5e: 3.8x XLA at L=4096/D=128, but
+                # slower at L=384/D=64 where padding doubles the K/V DMA)
+                backend = ("pallas" if d % 128 == 0 and l >= 512
+                           and attn_mask is None else "xla")
+            if backend == "pallas" and attn_mask is None:
+                # arbitrary dense masks aren't expressible in the kernel;
+                # packed batches go through segment_ids instead
+                from unidisc_tpu.ops.pallas_attention import flash_attention
+                out = flash_attention(q, k, v, segment_ids=segment_ids,
+                                      causal=not c.full_attention)
+            else:
+                out = multihead_attention(q, k, v, mask=attn_mask,
+                                          causal=not c.full_attention,
+                                          backend=backend)
 
         out = out.reshape(b, l, dim)
         out = nn.Dense(dim, use_bias=False, dtype=self.compute_dtype,
