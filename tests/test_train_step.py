@@ -151,3 +151,52 @@ def test_sedd_and_d3pm_parameterizations():
                                  jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics.loss)), param
         assert float(metrics.grad_norm) > 0, param
+
+
+def test_grad_accum_microbatching():
+    cfg = tiny_config(**{"trainer.grad_accum_steps": 2})
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    batch = make_batch(cfg, rng, batch_size=8)
+    losses = []
+    for _ in range(10):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics.loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])  # still learns
+
+
+def test_tensor_parallel_rules_and_step():
+    from unidisc_tpu.parallel.mesh import param_spec
+    from jax.sharding import PartitionSpec as P
+    cfg = tiny_config(**{"mesh.dcn": 1, "mesh.fsdp": 4, "mesh.tensor": 2})
+    mesh = make_mesh(cfg.mesh)
+    # column-parallel up-proj: out dim on tensor
+    assert param_spec("blocks/attention/attn_qkv/kernel",
+                      (2, 128, 384), mesh) == P(None, "fsdp", "tensor")
+    # row-parallel down-proj: in dim on tensor
+    assert param_spec("blocks/mlp_2/kernel",
+                      (2, 512, 128), mesh) == P(None, "tensor", "fsdp")
+
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step_fn = make_train_step(cfg, model, mesh=mesh)
+    jitted, state, data_sh = shard_train_step(step_fn, state, mesh)
+    batch = jax.device_put(make_batch(cfg, rng), data_sh)
+    state, metrics = jitted(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
+
+
+def test_adafactor_and_importance_sampling():
+    cfg = tiny_config(**{"trainer.optimizer": "adafactor",
+                         "trainer.importance_sampling": True})
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    state, metrics = step_fn(state, make_batch(cfg, rng),
+                             jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))

@@ -33,7 +33,8 @@ class LogLinearNoise:
 
     @property
     def sigma_max(self):
-        return float(-jnp.log1p(-(1 - self.eps)))
+        import math
+        return -math.log1p(-(1 - self.eps))
 
     @property
     def sigma_min(self):

@@ -63,21 +63,54 @@ def make_mesh(cfg: MeshConfig, devices: Optional[list] = None) -> Mesh:
 # Sharding rules
 # ---------------------------------------------------------------------------
 
+# megatron-style 2D rules for the tensor axis (reference scaffolding:
+# xla_utils.py:183-203 spmd_2d_sharding — q/k/v ('fsdp','model'),
+# projections ('model','fsdp')): column-parallel up-projections put the
+# output dim on 'tensor', row-parallel down-projections put the input dim
+# on 'tensor'; XLA inserts the psum after row-parallel matmuls.
+_TP_COL = ("attn_qkv/kernel", "mlp_0/kernel", "adaLN_modulation/kernel")
+_TP_ROW = ("attn_out/kernel", "mlp_2/kernel")
+
+
 def param_spec(path: str, shape: tuple, mesh: Mesh) -> P:
-    """FSDP sharding rule for one parameter.
+    """FSDP (+ optional tensor-parallel) sharding rule for one parameter.
 
     Shard the largest dimension that divides the 'fsdp' axis size; replicate
     small params (reference: xla_utils.py:161-208 shards each param's largest
     dim and replicates small/frozen ones). Scan-stacked block params carry a
     leading 'layers' axis (n_blocks) which is skipped — sharding the layer
-    axis would turn the per-layer scan into a collective per step.
+    axis would turn the per-layer scan into a collective per step. When the
+    mesh has a 'tensor' axis > 1, block matrices additionally get
+    megatron-style 2D sharding.
     """
     fsdp = mesh.shape["fsdp"]
-    if fsdp <= 1 or math.prod(shape) < MIN_SHARD_SIZE:
+    tensor = mesh.shape.get("tensor", 1)
+    if math.prod(shape) < MIN_SHARD_SIZE:
         return P()
+
     dims = list(range(len(shape)))
     if "blocks" in path and len(shape) > 1:
         dims = dims[1:]  # skip scan 'layers' axis
+
+    if tensor > 1 and len(dims) == 2:
+        d_in, d_out = dims
+        col = any(path.endswith(s) for s in _TP_COL)
+        row = any(path.endswith(s) for s in _TP_ROW)
+        if col and shape[d_out] % tensor == 0:
+            spec = [None] * len(shape)
+            spec[d_out] = "tensor"
+            if fsdp > 1 and shape[d_in] % fsdp == 0:
+                spec[d_in] = "fsdp"
+            return P(*spec)
+        if row and shape[d_in] % tensor == 0:
+            spec = [None] * len(shape)
+            spec[d_in] = "tensor"
+            if fsdp > 1 and shape[d_out] % fsdp == 0:
+                spec[d_out] = "fsdp"
+            return P(*spec)
+
+    if fsdp <= 1:
+        return P()
     # largest shardable dim
     best = None
     for d in sorted(dims, key=lambda d: -shape[d]):

@@ -90,14 +90,21 @@ def make_lr_schedule(config: Config):
 
 
 def make_optimizer(config: Config) -> optax.GradientTransformation:
-    """AdamW + global-norm clipping (reference: model_setup.py:404-421;
-    clip reference: model.py:1518)."""
+    """Optimizer + global-norm clipping (reference: model_setup.py:385-433
+    configure_optimizers — AdamW default, Adafactor option; clip
+    reference: model.py:1518)."""
     t = config.trainer
+    if t.optimizer == "adafactor":
+        opt = optax.adafactor(make_lr_schedule(config),
+                              weight_decay_rate=t.weight_decay or None)
+    elif t.optimizer == "lion":
+        opt = optax.lion(make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
+                         weight_decay=t.weight_decay)
+    else:
+        opt = optax.adamw(make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
+                          eps=t.opt_eps, weight_decay=t.weight_decay)
     return optax.chain(
-        optax.clip_by_global_norm(t.gradient_clip_val),
-        optax.adamw(make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
-                    eps=t.opt_eps, weight_decay=t.weight_decay),
-    )
+        optax.clip_by_global_norm(t.gradient_clip_val), opt)
 
 
 def init_train_state(config: Config, params: Any) -> TrainState:
@@ -145,6 +152,11 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
 
     t = sample_t(rng_t, b, antithetic=t_cfg.antithetic_sampling,
                  sampling_eps=t_cfg.sampling_eps)
+    if t_cfg.importance_sampling and hasattr(
+            noise, "importance_sampling_transformation"):
+        # low-variance t distribution (reference: noise_schedule.py:42-46,
+        # applied in _sample_t model.py:589-619)
+        t = noise.importance_sampling_transformation(t)
     sigma = noise.total(t)
     dsigma = noise.rate(t)
     move_chance = 1 - jnp.exp(-sigma)
@@ -230,19 +242,62 @@ def make_train_step(config: Config, model, mesh=None):
     apply_fn = make_apply_fn(config, model)
     ema_decay = config.trainer.ema_decay
 
+    accum = config.trainer.grad_accum_steps
+
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
+        def loss_fn(params, rng, batch):
             out = compute_batch_loss(config, apply_fn, params, rng, batch,
                                      mesh=mesh, train=True)
             return out.loss, out
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        if accum > 1:
+            # lax.scan microbatching: split the batch into `accum` chunks
+            # and average grads (replaces the reference's
+            # GradientAccumulationPlugin, main.py:664-669; XLA path there
+            # forces accum==1 — here it is one compiled program)
+            b = batch["input_ids"].shape[0]
+            assert b % accum == 0, \
+                f"batch {b} not divisible by grad_accum_steps {accum}"
+            mb = b // accum
+            chunked = jax.tree_util.tree_map(
+                lambda x: x[:mb * accum].reshape(accum, mb, *x.shape[1:])
+                if hasattr(x, "shape") and x.ndim >= 1 else x, dict(batch))
+
+            def micro(carry, chunk):
+                g_acc, l_acc, rng = carry
+                rng, k = jax.random.split(rng)
+                (loss, out), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, k, chunk)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + loss, rng), out
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum, _), outs = jax.lax.scan(
+                micro, (g0, jnp.zeros(()), rng), chunked)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+            out = LossOutput(
+                loss=loss,
+                nlls=outs.nlls.reshape(-1, outs.nlls.shape[-1]),
+                token_mask=outs.token_mask.reshape(
+                    -1, outs.token_mask.shape[-1]),
+                txt_loss=outs.txt_loss.mean(), img_loss=outs.img_loss.mean())
+        else:
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, rng, batch)
         updates, new_opt_state = opt.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # non-finite-loss guard: skip the update entirely on NaN/inf
+        # (reference: model.py:1496-1551 non-finite-loss skip)
+        ok = jnp.isfinite(loss)
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state.params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o) if hasattr(n, "shape") else n,
+            new_opt_state, state.opt_state)
         # EMA of parameters (reference: models/ema.py:10-115; update at
         # model.py:1540-1545)
         new_ema = jax.tree_util.tree_map(

@@ -56,7 +56,10 @@ class Trainer:
     def __init__(self, config: Config, run_dir: str, *,
                  use_wandb: bool = False, mesh=None, log_every: int = 10,
                  val_every: int = 0, ckpt_every: int = 1000,
-                 max_ckpts: int = 3):
+                 max_ckpts: int = 3, throw_failure_at: int = 0):
+        # fault injection for requeue/restart testing (reference:
+        # trainer.throw_failure_for_testing, model.py:1580-1581)
+        self.throw_failure_at = throw_failure_at
         self.config = config
         self.run_dir = run_dir
         self.log_every = log_every
@@ -129,6 +132,12 @@ class Trainer:
                  if isinstance(v, np.ndarray)}, self.data_sharding)
             self.state, metrics = self.train_step(self.state, jbatch, rng)
             step += 1
+            if self.throw_failure_at and step == self.throw_failure_at:
+                self._save(step, train_loader, force=True)
+                self.ckpt.wait()
+                raise RuntimeError(
+                    f"injected failure at step {step} "
+                    f"(throw_failure_at, for restart testing)")
 
             b, l = batch["input_ids"].shape
             self.monitor.step(b, b * l)
