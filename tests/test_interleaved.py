@@ -138,3 +138,46 @@ def test_train_step_on_packed_batch():
     state, metrics = step(state, jbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
     assert float(metrics.token_count) == (batch["sample_ids"] >= 0).sum()
+
+
+def test_multiresolution_rope():
+    """Variable-resolution packing: docs with 16-token (4x4) and 64-token
+    (8x8) images share one batch; each image block's rope rows must equal
+    its own standalone 2D table (reference per-resolution buffers)."""
+    from unidisc_tpu.models.rotary import build_multires_rope, rope_2d_lumina
+
+    cfg = interleaved_config().override(**{
+        "model.length": 128,
+        "model.img_resolutions": (16, 64),
+    })
+    m = cfg.model
+    cos, sin, offsets = build_multires_rope(m.length, (16, 64), m.head_dim)
+    assert cos.shape[0] == 128 + 16 + 64
+    c16, _ = rope_2d_lumina(16, m.head_dim)
+    c64, _ = rope_2d_lumina(64, m.head_dim)
+    np.testing.assert_allclose(cos[offsets[16]:offsets[16] + 16], c16)
+    np.testing.assert_allclose(cos[offsets[64]:offsets[64] + 64], c64)
+
+    docs = [
+        make_document(interleave=[("text", [5, 6]),
+                                  ("image", 100 + np.arange(16), 4)]),
+        make_document(interleave=[("text", [7]),
+                                  ("image", 200 + np.arange(64), 8)]),
+    ]
+    batch = pack_documents(docs, length=128, pad_id=PAD, eos_id=EOS,
+                           rope_offsets=offsets)
+    # the 16-token image indexes its own table block
+    row = batch["rope_index"][0]
+    img_sel = (batch["modality"][0] == 1) & (batch["sample_ids"][0] == 0)
+    got = row[img_sel]
+    np.testing.assert_array_equal(got, offsets[16] + np.arange(16))
+
+    # forward runs with absolute indices
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    logits = model.apply(
+        {"params": params}, jnp.asarray(batch["input_ids"]),
+        jnp.zeros((batch["input_ids"].shape[0],)),
+        modality=jnp.asarray(batch["modality"]),
+        sample_ids=jnp.asarray(batch["sample_ids"]),
+        rope_index=jnp.asarray(batch["rope_index"]))
+    assert np.isfinite(np.asarray(logits)).all()

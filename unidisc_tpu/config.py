@@ -50,6 +50,10 @@ class ModelConfig:
     time_conditioning: bool = False
     cond_label: bool = False
     rope_2d: bool = False
+    # interleaved variable-resolution batches: 2D rope table per grid size
+    # (reference per-resolution buffers, models/dit.py:1203-1232);
+    # rope_index is then ABSOLUTE into the combined [1D | 2D...] table
+    img_resolutions: Optional[Tuple[int, ...]] = None
     modality_embed: bool = False
     zero_linear_init: bool = True
     full_attention: bool = True  # False => causal (AR mode)

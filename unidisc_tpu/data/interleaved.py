@@ -67,7 +67,8 @@ class PackedBatch(dict):
 
 def pack_documents(docs: Sequence[Document], length: int, *,
                    pad_id: int, eos_id: Optional[int] = None,
-                   batch_size: Optional[int] = None) -> PackedBatch:
+                   batch_size: Optional[int] = None,
+                   rope_offsets: Optional[dict] = None) -> PackedBatch:
     """Greedy first-fit packing of whole documents into fixed-length rows.
 
     A document never spans rows, and an image block is never split
@@ -130,8 +131,11 @@ def pack_documents(docs: Sequence[Document], length: int, *,
             sample_ids[ri, pos:pos + n] = sid
             if seg.kind == "image":
                 modality[ri, pos:pos + n] = 1
-                # raster index within this image block (restarts per image)
-                rope_index[ri, pos:pos + n] = np.arange(n)
+                # raster index within this image block (restarts per image);
+                # with rope_offsets (multi-resolution tables) the index is
+                # ABSOLUTE into the combined rope table
+                base = rope_offsets[n] if rope_offsets is not None else 0
+                rope_index[ri, pos:pos + n] = base + np.arange(n)
             else:
                 start = txt_pos.get(sid, 0)
                 rope_index[ri, pos:pos + n] = np.arange(start, start + n)

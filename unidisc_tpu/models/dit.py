@@ -364,12 +364,23 @@ class DIT(nn.Module):
             x = x + jnp.take(table, modality, axis=0).astype(self.compute_dtype)
 
         # rotary tables (constants folded into the jitted graph)
-        cos_np, sin_np = build_multimodal_rope(
-            cfg.txt_length, cfg.img_length, cfg.head_dim, cfg.rope_2d,
-            base=cfg.rope_base)
+        if cfg.img_resolutions is not None:
+            from unidisc_tpu.models.rotary import build_multires_rope
+            cos_np, sin_np, _ = build_multires_rope(
+                cfg.length, cfg.img_resolutions, cfg.head_dim,
+                base=cfg.rope_base)
+        else:
+            cos_np, sin_np = build_multimodal_rope(
+                cfg.txt_length, cfg.img_length, cfg.head_dim, cfg.rope_2d,
+                base=cfg.rope_base)
         rope_cos = jnp.asarray(cos_np)
         rope_sin = jnp.asarray(sin_np)
-        if rope_index is not None:
+        if rope_index is not None and cfg.img_resolutions is not None:
+            # absolute indices into the combined multi-resolution table
+            eff = jnp.clip(rope_index, 0, rope_cos.shape[0] - 1)
+            rope_cos = jnp.take(rope_cos, eff, axis=0)
+            rope_sin = jnp.take(rope_sin, eff, axis=0)
+        elif rope_index is not None:
             # interleaved batches: per-token index into the combined
             # [1D-text | 2D-image] table; image tokens restart per block
             # (replaces reference add_img/txt_data_to_blocks stitching,

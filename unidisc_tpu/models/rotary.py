@@ -59,6 +59,32 @@ def rope_2d_lumina(seq_len_2d: int, head_dim: int, linear_factor: float = 1.0,
     return np.cos(angles).astype(np.float32), np.sin(angles).astype(np.float32)
 
 
+def build_multires_rope(txt_length: int, img_lengths: Tuple[int, ...],
+                        head_dim: int, base: float = 10_000.0,
+                        linear_factor: float = 1.0):
+    """Combined rope table for interleaved variable-resolution batches
+    (reference per-resolution buffers 256/1024/2304/4096,
+    models/dit.py:1203-1232).
+
+    Layout: rows [0:txt_length] = 1D table; then one 2D Lumina block per
+    grid in `img_lengths`. Returns (cos, sin, offsets) where offsets maps
+    img_length -> row offset of its 2D block; the packing collate adds the
+    offset to each image token's raster index.
+    """
+    cos1, sin1 = rope_1d(txt_length, head_dim, base)
+    cos_parts, sin_parts = [cos1], [sin1]
+    offsets = {}
+    off = txt_length
+    for n in img_lengths:
+        c2, s2 = rope_2d_lumina(n, head_dim, linear_factor, base)
+        offsets[n] = off
+        cos_parts.append(c2)
+        sin_parts.append(s2)
+        off += n
+    return (np.concatenate(cos_parts, 0), np.concatenate(sin_parts, 0),
+            offsets)
+
+
 def build_multimodal_rope(txt_length: int, img_length: int, head_dim: int,
                           rope_2d: bool, base: float = 10_000.0,
                           linear_factor: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:

@@ -102,7 +102,8 @@ class SampleResult(NamedTuple):
 
 
 def build_sampler(forward_logits: Callable, config: Config,
-                  num_steps: Optional[int] = None) -> Callable:
+                  num_steps: Optional[int] = None,
+                  inject_noise: bool = False) -> Callable:
     """Build a jittable sampling function for the configured predictor.
 
     Args:
@@ -110,11 +111,18 @@ def build_sampler(forward_logits: Callable, config: Config,
         (the DIT apply; sigma may be ignored by non-time-conditioned models)
       config: full Config; sampling.* selects predictor/CFG/steps.
       num_steps: override config.sampling.steps.
+      inject_noise: parity-test mode — `sample` takes an extra `injected`
+        dict of pre-drawn noise arrays instead of using the JAX RNG, so the
+        reference implementation's random draws can be fed in for
+        token-for-token comparison (SURVEY hard part #1; torch/JAX RNGs
+        differ, reference Gumbel order model_utils.py:95-97). Keys:
+        "exp" (steps, B, L, V) exponential draws (ddpm categorical);
+        "gumbel" (steps, B, L) maskgit confidence noise.
 
     Returns:
-      sample(params, rng, x0, x0_unmask, modality) -> SampleResult
-        x0: (B, L) conditioning tokens; x0_unmask: (B, L) bool, True where
-        x0 is given (conditioning); modality: (B, L) 0/1.
+      sample(params, rng, x0, x0_unmask, modality[, injected]) ->
+        SampleResult. x0: (B, L) conditioning tokens; x0_unmask: (B, L)
+        bool, True where x0 is given; modality: (B, L) 0/1.
     """
     cfg = config.sampling
     mcfg = config.model
@@ -168,7 +176,8 @@ def build_sampler(forward_logits: Callable, config: Config,
     # ------------------------------------------------------------------
     # per-step updates
     # ------------------------------------------------------------------
-    def ddpm_step(rng, params, x, t, dt, x0, x0_unmask, modality):
+    def ddpm_step(rng, params, x, t, dt, x0, x0_unmask, modality,
+                  exp_noise=None):
         sigma_t = noise.total(t)
         sigma_s = noise.total(t - dt)
         mc_t = (1 - jnp.exp(-sigma_t))[:, None, None]
@@ -176,23 +185,30 @@ def build_sampler(forward_logits: Callable, config: Config,
         p_x0 = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality)
         q_xs = p_x0 * (mc_t - mc_s)
         q_xs = q_xs.at[:, :, mask_index].set(mc_s[:, :, 0])
-        new = sample_categorical(rng, q_xs)
+        if exp_noise is not None:
+            new = jnp.argmax(q_xs / exp_noise, axis=-1)
+        else:
+            new = sample_categorical(rng, q_xs)
         copy = x != mask_index
         return jnp.where(copy, x, new), jnp.int32(1)
 
     def maskgit_step(rng, params, x, t, dt, x0, x0_unmask, modality,
-                     schedule, step, nucleus=False):
+                     schedule, step, nucleus=False, exp_noise=None,
+                     gumbel_noise=None):
         sigma_t = noise.total(t)
         copy = x != mask_index
         num_unmask = jnp.minimum(schedule[:, step], (~copy).sum(-1))
         p_x0 = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality)
         k_tok, k_gumbel = jax.random.split(rng)
-        if nucleus and cfg.top_p is not None:
+        if exp_noise is not None:
+            pred = jnp.argmax(p_x0 / exp_noise, axis=-1)
+        elif nucleus and cfg.top_p is not None:
             pred = nucleus_sample(k_tok, p_x0, cfg.top_p, cfg.temperature)
         else:
             pred = sample_categorical(k_tok, p_x0)
         conf = jnp.take_along_axis(p_x0, pred[..., None], axis=-1).squeeze(-1)
-        gumbel = jax.random.gumbel(k_gumbel, pred.shape)
+        gumbel = gumbel_noise if gumbel_noise is not None else \
+            jax.random.gumbel(k_gumbel, pred.shape)
         conf = jnp.log(jnp.maximum(conf, 1e-30)) + cfg.maskgit_r_temp * gumbel * t[:, None]
         conf = jnp.where(copy, -jnp.inf, conf)
         thresh = confidence_threshold(conf, num_unmask)
@@ -242,7 +258,9 @@ def build_sampler(forward_logits: Callable, config: Config,
     if predictor in ("ddpm", "ddpm_cache"):
         use_cache = predictor == "ddpm_cache"
 
-        def sample(params, rng, x0, x0_unmask, modality=None):
+        def sample(params, rng, x0, x0_unmask, modality=None,
+                   injected=None):
+            assert (injected is not None) == inject_noise
             b, l = x0.shape
             x = jnp.full((b, l), mask_index, dtype=x0.dtype)
             x = clamp(x, x0, x0_unmask)
@@ -250,6 +268,7 @@ def build_sampler(forward_logits: Callable, config: Config,
             def body(carry, i):
                 x, rng, p_cache, cache_valid, nfe = carry
                 rng, step_rng = jax.random.split(rng)
+                exp_i = injected["exp"][i] if inject_noise else None
                 t = jnp.full((b,), timesteps[i])
                 if use_cache:
                     # loglinear identity: move_chance == t
@@ -266,7 +285,10 @@ def build_sampler(forward_logits: Callable, config: Config,
                     nfe = nfe + jnp.where(cache_valid, 0, 1).astype(jnp.int32)
                     q_xs = p_x0 * (mc_t - mc_s)
                     q_xs = q_xs.at[:, :, mask_index].set(mc_s[:, :, 0])
-                    new = sample_categorical(step_rng, q_xs)
+                    if inject_noise:
+                        new = jnp.argmax(q_xs / exp_i, axis=-1)
+                    else:
+                        new = sample_categorical(step_rng, q_xs)
                     copy = x != mask_index
                     x_next = jnp.where(copy, x, new)
                     x_next = clamp(x_next, x0, x0_unmask)
@@ -275,7 +297,8 @@ def build_sampler(forward_logits: Callable, config: Config,
                     return (x_next, rng, p_x0, cache_valid, nfe), None
                 else:
                     x_next, used = ddpm_step(step_rng, params, x, t, dt,
-                                             x0, x0_unmask, modality)
+                                             x0, x0_unmask, modality,
+                                             exp_noise=exp_i)
                     x_next = clamp(x_next, x0, x0_unmask)
                     return (x_next, rng, p_cache, cache_valid, nfe + used), None
 
@@ -288,7 +311,9 @@ def build_sampler(forward_logits: Callable, config: Config,
         return sample
 
     if predictor in ("maskgit", "maskgit_nucleus", "first_hitting"):
-        def sample(params, rng, x0, x0_unmask, modality=None):
+        def sample(params, rng, x0, x0_unmask, modality=None,
+                   injected=None):
+            assert (injected is not None) == inject_noise
             b, l = x0.shape
             x = jnp.full((b, l), mask_index, dtype=x0.dtype)
             x = clamp(x, x0, x0_unmask)
@@ -299,6 +324,8 @@ def build_sampler(forward_logits: Callable, config: Config,
                 x, rng, nfe = carry
                 rng, step_rng = jax.random.split(rng)
                 t = jnp.full((b,), timesteps[i])
+                exp_i = injected["exp"][i] if inject_noise else None
+                gum_i = injected["gumbel"][i] if inject_noise else None
                 if predictor == "first_hitting":
                     x_next, used = first_hitting_step(
                         step_rng, params, x, t, dt, x0, x0_unmask, modality,
@@ -306,7 +333,8 @@ def build_sampler(forward_logits: Callable, config: Config,
                 else:
                     x_next, used = maskgit_step(
                         step_rng, params, x, t, dt, x0, x0_unmask, modality,
-                        schedule, i, nucleus=(predictor == "maskgit_nucleus"))
+                        schedule, i, nucleus=(predictor == "maskgit_nucleus"),
+                        exp_noise=exp_i, gumbel_noise=gum_i)
                 x_next = clamp(x_next, x0, x0_unmask)
                 return (x_next, rng, nfe + used), None
 
