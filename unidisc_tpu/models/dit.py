@@ -339,11 +339,16 @@ class DIT(nn.Module):
     @nn.compact
     def __call__(self, indices, sigma=None, *, modality=None, attn_mask=None,
                  label=None, kv_cache=None, cache_index=None,
-                 sample_ids=None, rope_index=None, deterministic=True):
+                 sample_ids=None, rope_index=None, extra_embed=None,
+                 return_hidden=False, deterministic=True):
         cfg = self.cfg
         vocab_embed = self.param("vocab_embed", embedding_init(),
                                  (cfg.vocab_size, cfg.hidden_size))
         x = jnp.take(vocab_embed, indices, axis=0).astype(self.compute_dtype)
+        if extra_embed is not None:
+            # continuous-latent pathway (transfusion mode): projected
+            # latents are added at image positions (models/continuous.py)
+            x = x + extra_embed.astype(self.compute_dtype)
 
         c = None
         if cfg.time_conditioning and not cfg.cond_label:
@@ -427,6 +432,8 @@ class DIT(nn.Module):
 
         logits = DDitFinalLayer(cfg, self.compute_dtype, name="output_layer")(
             x, c, modality)
+        if return_hidden:
+            return logits, x
         if kv_cache is not None:
             return logits, new_cache
         return logits
