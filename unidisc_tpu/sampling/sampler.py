@@ -36,7 +36,11 @@ from unidisc_tpu.diffusion.subs import subs_parameterization
 
 def sample_categorical(rng: jax.Array, probs: jax.Array) -> jax.Array:
     """Gumbel-trick categorical sampling matching the reference's
-    probs/Exp(1) argmax form (reference: model_utils.py:95-97)."""
+    probs/Exp(1) argmax form (reference: model_utils.py:95-97).
+
+    Perf note (measured on v5e): an inverse-CDF variant (one uniform per
+    position + cumsum) is ~1.5x SLOWER here — the 48k-lane cumsum costs
+    more than the threefry draw, which XLA fuses into the argmax pass."""
     exp = jax.random.exponential(rng, probs.shape, dtype=jnp.float32) + 1e-10
     return jnp.argmax(probs / exp, axis=-1)
 
