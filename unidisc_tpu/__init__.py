@@ -9,6 +9,27 @@ mesh parallelism, and an end-to-end training/eval/serving stack.
 
 __version__ = "0.1.0"
 
-from unidisc_tpu.config import Config, MeshConfig, ModelConfig, NoiseConfig
+from unidisc_tpu.config import (Config, MeshConfig, ModelConfig, NoiseConfig,
+                                SamplingConfig, TrainerConfig, EXPERIMENTS,
+                                MODEL_PRESETS)
 
-__all__ = ["Config", "ModelConfig", "NoiseConfig", "MeshConfig", "__version__"]
+__all__ = [
+    "Config", "ModelConfig", "NoiseConfig", "MeshConfig", "SamplingConfig",
+    "TrainerConfig", "EXPERIMENTS", "MODEL_PRESETS", "__version__",
+]
+
+
+def __getattr__(name):  # lazy heavy imports
+    if name == "DIT":
+        from unidisc_tpu.models.dit import DIT
+        return DIT
+    if name == "build_sampler":
+        from unidisc_tpu.sampling.sampler import build_sampler
+        return build_sampler
+    if name == "Trainer":
+        from unidisc_tpu.training.trainer import Trainer
+        return Trainer
+    if name == "InferenceEngine":
+        from unidisc_tpu.serving.engine import InferenceEngine
+        return InferenceEngine
+    raise AttributeError(name)

@@ -60,6 +60,14 @@ def main(argv=None):
         from unidisc_tpu.data.token_shards import (TokenShardDataset,
                                                    WeightedDatasetSampler)
         dsets = [TokenShardDataset(d) for d in args.data.split(",")]
+        # config/data consistency (shape mismatches otherwise train silently
+        # on the data's layout)
+        meta = dsets[0].meta
+        if meta.get("length") and meta["length"] != config.model.length:
+            print(f"[train] WARNING: model.length={config.model.length} but "
+                  f"shard rows are {meta['length']} tokens; the model trains "
+                  f"on the shard layout. Set model.length/txt_length/"
+                  f"img_length to match.")
         weights = config.data.dataset_weights
         train_loader = WeightedDatasetSampler(dsets, weights,
                                               batch_size=batch_global,

@@ -47,13 +47,19 @@ class ThroughputMonitor:
     """Windowed samples/sec, tokens/sec/device, and MFU."""
 
     def __init__(self, n_params: int, window: int = 50,
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None, warmup: int = 1):
         self.n_params = n_params
         self.n_devices = n_devices or jax.device_count()
         self.peak = device_peak_flops()
         self._events = deque(maxlen=window)
+        # skip the first `warmup` steps — they include compile time
+        # (reference excludes the warmup batch, model_eval.py:983-1014)
+        self._skip = warmup
 
     def step(self, samples: int, tokens: int, now: Optional[float] = None):
+        if self._skip > 0:
+            self._skip -= 1
+            return
         self._events.append((now if now is not None else time.perf_counter(),
                              samples, tokens))
 
