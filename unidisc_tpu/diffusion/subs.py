@@ -38,7 +38,8 @@ def subs_parameterization(logits: jax.Array,
                           mask_index: int,
                           *,
                           modality: Optional[jax.Array] = None,
-                          text_vocab_size: Optional[int] = None) -> jax.Array:
+                          text_vocab_size: Optional[int] = None,
+                          normalize: bool = True) -> jax.Array:
     """Convert raw logits to normalized log p(x0 | xt).
 
     Args:
@@ -60,7 +61,11 @@ def subs_parameterization(logits: jax.Array,
         assert text_vocab_size is not None
         logits = restrict_modality_logits(logits, modality, text_vocab_size)
 
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    # normalize=False returns masked UNNORMALIZED log-weights (argmax /
+    # Gumbel-argmax are shift-invariant per position, so samplers that only
+    # need the argmax + a per-position logsumexp skip materializing the
+    # log-softmax over the 48k vocab — the TPU hot-path optimization)
+    log_probs = jax.nn.log_softmax(logits, axis=-1) if normalize else logits
 
     if xt is not None:
         # carry-over unmasking: unmasked positions are deltas at xt

@@ -156,8 +156,15 @@ def build_sampler(forward_logits: Callable, config: Config,
             wt = jnp.where(t < hi, wt, 0.0)
         return wt
 
-    def ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality):
-        """p_x0 with optional CFG (reference: model_eval.py:1761-1833)."""
+    def ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality,
+                     normalize=True):
+        """log p_x0 with optional CFG (reference: model_eval.py:1761-1833).
+
+        Log-space on purpose: downstream sampling is Gumbel-argmax on
+        log-probs, so probabilities are never materialized. With
+        normalize=False the result is the masked UNNORMALIZED logits —
+        Gumbel-argmax is shift-invariant, and confidence values only need
+        a per-position logsumexp reduction (the maskgit hot path)."""
         use_cfg = cfg.cfg is not None
         modal_kw = dict(modality=modality,
                         text_vocab_size=mcfg.text_vocab_size) \
@@ -171,28 +178,42 @@ def build_sampler(forward_logits: Callable, config: Config,
             logit_c, logit_u = jnp.split(logits, 2, axis=0)
             w = cfg_weight(t)[:, None, None]
             combined = (1 + w) * logit_c - w * logit_u
-            log_p = subs_parameterization(combined, None, mask_index, **modal_kw)
+            log_p = subs_parameterization(combined, None, mask_index,
+                                          normalize=normalize, **modal_kw)
         else:
             logits = forward_logits(params, x, sigma_t, modality)
-            log_p = subs_parameterization(logits, x, mask_index, **modal_kw)
-        return jnp.exp(log_p)
+            log_p = subs_parameterization(logits, x, mask_index,
+                                          normalize=normalize, **modal_kw)
+        return log_p
 
     # ------------------------------------------------------------------
     # per-step updates
     # ------------------------------------------------------------------
-    def ddpm_step(rng, params, x, t, dt, x0, x0_unmask, modality,
-                  exp_noise=None):
+    def ddpm_scores(log_p, t, dt):
+        """log q_xs for the reverse step (reference _ddpm_update math in
+        log space: q_xs = p_x0*(mc_t - mc_s); q_xs[mask] = mc_s)."""
         sigma_t = noise.total(t)
         sigma_s = noise.total(t - dt)
         mc_t = (1 - jnp.exp(-sigma_t))[:, None, None]
         mc_s = (1 - jnp.exp(-sigma_s))[:, None, None]
-        p_x0 = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality)
-        q_xs = p_x0 * (mc_t - mc_s)
-        q_xs = q_xs.at[:, :, mask_index].set(mc_s[:, :, 0])
+        ids = jnp.arange(log_p.shape[-1])
+        return jnp.where(ids == mask_index, jnp.log(mc_s),
+                         log_p + jnp.log(mc_t - mc_s))
+
+    def gumbel_select(rng, scores, exp_noise=None):
+        """argmax(q/exp) == argmax(log q - log exp) == Gumbel-argmax —
+        identical tokens to the reference's probs/Exp(1) form
+        (model_utils.py:95-97), without materializing probabilities."""
         if exp_noise is not None:
-            new = jnp.argmax(q_xs / exp_noise, axis=-1)
-        else:
-            new = sample_categorical(rng, q_xs)
+            return jnp.argmax(scores - jnp.log(exp_noise), axis=-1)
+        g = jax.random.gumbel(rng, scores.shape, dtype=jnp.float32)
+        return jnp.argmax(scores + g, axis=-1)
+
+    def ddpm_step(rng, params, x, t, dt, x0, x0_unmask, modality,
+                  exp_noise=None):
+        log_p = ddpm_forward(params, x, t, noise.total(t), x0, x0_unmask,
+                             modality)
+        new = gumbel_select(rng, ddpm_scores(log_p, t, dt), exp_noise)
         copy = x != mask_index
         return jnp.where(copy, x, new), jnp.int32(1)
 
@@ -202,18 +223,24 @@ def build_sampler(forward_logits: Callable, config: Config,
         sigma_t = noise.total(t)
         copy = x != mask_index
         num_unmask = jnp.minimum(schedule[:, step], (~copy).sum(-1))
-        p_x0 = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality)
+        use_nucleus = nucleus and cfg.top_p is not None
+        raw = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality,
+                           normalize=use_nucleus)
         k_tok, k_gumbel = jax.random.split(rng)
-        if exp_noise is not None:
-            pred = jnp.argmax(p_x0 / exp_noise, axis=-1)
-        elif nucleus and cfg.top_p is not None:
-            pred = nucleus_sample(k_tok, p_x0, cfg.top_p, cfg.temperature)
+        if use_nucleus:
+            pred = nucleus_sample(k_tok, jnp.exp(raw), cfg.top_p,
+                                  cfg.temperature)
+            lse = jnp.zeros(raw.shape[:-1], raw.dtype)  # already normalized
         else:
-            pred = sample_categorical(k_tok, p_x0)
-        conf = jnp.take_along_axis(p_x0, pred[..., None], axis=-1).squeeze(-1)
+            pred = gumbel_select(k_tok, raw, exp_noise)
+            lse = jax.nn.logsumexp(raw, axis=-1)  # reduction, no (B,L,V) write
+        # confidence = log p(pred)
+        conf = jnp.take_along_axis(raw, pred[..., None],
+                                   axis=-1).squeeze(-1) - lse
+        conf = jnp.maximum(conf, jnp.log(1e-30))
         gumbel = gumbel_noise if gumbel_noise is not None else \
             jax.random.gumbel(k_gumbel, pred.shape)
-        conf = jnp.log(jnp.maximum(conf, 1e-30)) + cfg.maskgit_r_temp * gumbel * t[:, None]
+        conf = conf + cfg.maskgit_r_temp * gumbel * t[:, None]
         conf = jnp.where(copy, -jnp.inf, conf)
         thresh = confidence_threshold(conf, num_unmask)
         out = jnp.where(conf >= thresh, pred, x)
@@ -224,9 +251,9 @@ def build_sampler(forward_logits: Callable, config: Config,
         sigma_t = noise.total(t)
         copy = x != mask_index
         num_unmask = jnp.minimum(schedule[:, step], (~copy).sum(-1))
-        p_x0 = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality)
+        log_p = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality)
         k_tok, k_sel = jax.random.split(rng)
-        pred = sample_categorical(k_tok, p_x0)
+        pred = gumbel_select(k_tok, log_p)
         # pick num_unmask uniformly-random masked positions
         # (reference: model_eval.py:3025-3040)
         randv = jnp.where(copy, -1.0, jax.random.uniform(k_sel, x.shape))
@@ -252,8 +279,9 @@ def build_sampler(forward_logits: Callable, config: Config,
         any_left = (x == mask_index).any()
 
         def do(x):
-            p = ddpm_forward(params, x, t, noise.total(t), x0, x0_unmask, modality)
-            return jnp.where(x == mask_index, jnp.argmax(p, -1), x)
+            log_p = ddpm_forward(params, x, t, noise.total(t), x0,
+                                 x0_unmask, modality)
+            return jnp.where(x == mask_index, jnp.argmax(log_p, -1), x)
 
         x = jax.lax.cond(any_left, do, lambda x: x, x)
         nfe = nfe + jnp.where(any_left, 1, 0).astype(jnp.int32)
@@ -275,30 +303,23 @@ def build_sampler(forward_logits: Callable, config: Config,
                 exp_i = injected["exp"][i] if inject_noise else None
                 t = jnp.full((b,), timesteps[i])
                 if use_cache:
-                    # loglinear identity: move_chance == t
+                    # MDLM caching trick: reuse log_p while x is unchanged
                     # (reference: model_eval.py:2072-2104)
-                    mc_t = t[:, None, None]
-                    mc_s = (t - dt)[:, None, None]
-
                     def fresh(_):
                         return ddpm_forward(params, x, t, noise.total(t),
                                             x0, x0_unmask, modality)
 
-                    p_x0 = jax.lax.cond(cache_valid, lambda _: p_cache, fresh,
-                                        operand=None)
+                    log_p = jax.lax.cond(cache_valid, lambda _: p_cache,
+                                         fresh, operand=None)
                     nfe = nfe + jnp.where(cache_valid, 0, 1).astype(jnp.int32)
-                    q_xs = p_x0 * (mc_t - mc_s)
-                    q_xs = q_xs.at[:, :, mask_index].set(mc_s[:, :, 0])
-                    if inject_noise:
-                        new = jnp.argmax(q_xs / exp_i, axis=-1)
-                    else:
-                        new = sample_categorical(step_rng, q_xs)
+                    new = gumbel_select(step_rng,
+                                        ddpm_scores(log_p, t, dt), exp_i)
                     copy = x != mask_index
                     x_next = jnp.where(copy, x, new)
                     x_next = clamp(x_next, x0, x0_unmask)
                     # cache stays valid while x is unchanged
                     cache_valid = jnp.all(x_next == x)
-                    return (x_next, rng, p_x0, cache_valid, nfe), None
+                    return (x_next, rng, log_p, cache_valid, nfe), None
                 else:
                     x_next, used = ddpm_step(step_rng, params, x, t, dt,
                                              x0, x0_unmask, modality,
