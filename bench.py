@@ -38,6 +38,7 @@ def main():
         "sampling.predictor": "maskgit",
         "sampling.steps": STEPS,
         "sampling.cfg": 2.0,
+        "model.logits_dtype": "bfloat16",  # inference: halve logits traffic
     })
     m = cfg.model
     model, params = init_dit(jax.random.PRNGKey(0), m)

@@ -62,6 +62,10 @@ class ModelConfig:
     # attention backend: "auto" (pallas flash kernel when head_dim%128==0
     # and seq>=512, else XLA einsum), "xla", or "pallas" (forced)
     attn_backend: str = "auto"
+    # logits dtype: fp32 for training stability; bf16 halves the logits
+    # HBM traffic for inference (the (B, L, 48k) tensor dominates sampler
+    # memory time)
+    logits_dtype: str = "float32"
 
     @property
     def vocab_size(self) -> int:

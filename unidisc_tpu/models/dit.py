@@ -306,11 +306,15 @@ class DDitFinalLayer(nn.Module):
             x = modulate(x, shift, scale, modality)
         kernel_init = (nn.initializers.zeros if cfg.zero_linear_init
                        else torch_linear_init())
-        # fp32 logits: accumulate the final matmul in fp32
-        x = nn.Dense(cfg.vocab_size, dtype=jnp.float32,
+        # logits dtype: fp32 default (training); bf16 opt-in halves the
+        # (B, L, vocab) HBM traffic on the inference hot path. The matmul
+        # always accumulates in fp32 (preferred_element_type via dtype).
+        out_dtype = jnp.bfloat16 if cfg.logits_dtype == "bfloat16" \
+            else jnp.float32
+        x = nn.Dense(cfg.vocab_size, dtype=out_dtype,
                      kernel_init=kernel_init,
                      bias_init=nn.initializers.zeros, name="linear")(
-                         x.astype(jnp.float32))
+                         x.astype(out_dtype))
         return x
 
 

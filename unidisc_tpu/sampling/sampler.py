@@ -206,7 +206,9 @@ def build_sampler(forward_logits: Callable, config: Config,
         (model_utils.py:95-97), without materializing probabilities."""
         if exp_noise is not None:
             return jnp.argmax(scores - jnp.log(exp_noise), axis=-1)
-        g = jax.random.gumbel(rng, scores.shape, dtype=jnp.float32)
+        # noise matches the scores dtype so a bf16 logits path stays bf16
+        # end-to-end (no fp32 re-materialization of the (B, L, V) tensor)
+        g = jax.random.gumbel(rng, scores.shape, dtype=scores.dtype)
         return jnp.argmax(scores + g, axis=-1)
 
     def ddpm_step(rng, params, x, t, dt, x0, x0_unmask, modality,
