@@ -98,3 +98,47 @@ def test_arbitrary_mask_rejected():
     q, k, v = make_qkv(128, 128)
     with pytest.raises(NotImplementedError):
         flash_attention(q, k, v, mask=jnp.ones((B, 128, 128), bool))
+
+
+def test_gradients_with_segments_and_padding():
+    lq = 200  # unaligned: exercises padded backward
+    q, k, v = make_qkv(lq, lq, seed=3)
+    segs = np.zeros((B, lq), np.int32)
+    segs[:, 120:] = 1
+    segs[1, 190:] = -1
+    seg = (jnp.asarray(segs), jnp.asarray(segs))
+
+    def loss_flash(q, k, v):
+        return flash_attention(q, k, v, segment_ids=seg).astype(
+            jnp.float32).sum()
+
+    def loss_ref(q, k, v):
+        return jnp.transpose(
+            _xla_reference(to_bhld(q), to_bhld(k), to_bhld(v), seg, False,
+                           1.0 / (D ** 0.5)), (0, 2, 1, 3)).astype(
+                               jnp.float32).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3, rtol=2e-3)
+
+
+def test_gradients_multi_tile():
+    q, k, v = make_qkv(128, 512, seed=4)  # kv spans multiple tiles
+
+    def loss_flash(q, k, v):
+        return flash_attention(q, k, v).astype(jnp.float32).sum()
+
+    def loss_ref(q, k, v):
+        return jnp.transpose(
+            _xla_reference(to_bhld(q), to_bhld(k), to_bhld(v), None, False,
+                           1.0 / (D ** 0.5)), (0, 2, 1, 3)).astype(
+                               jnp.float32).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3, rtol=2e-3)

