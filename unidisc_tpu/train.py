@@ -50,6 +50,10 @@ def main(argv=None):
     config = Config.make(model, **overrides)
 
     import jax
+
+    from unidisc_tpu.utils.dist import enable_compile_cache, initialize
+    initialize()
+    enable_compile_cache()
     batch = args.batch_size or max(
         config.trainer.global_batch_size // max(jax.device_count(), 1), 1)
     batch_global = batch  # single-host: global == local

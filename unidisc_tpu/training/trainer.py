@@ -124,12 +124,19 @@ class Trainer:
 
         step = start
         last = {}
+        multihost = jax.process_count() > 1
         for batch in train_loader:
             if step >= max_steps or self._stop:
                 break
-            jbatch = jax.device_put(
-                {k: v for k, v in batch.items()
-                 if isinstance(v, np.ndarray)}, self.data_sharding)
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
+            if multihost:
+                # each host feeds its local slice of the global batch
+                from unidisc_tpu.utils.dist import host_batch_to_global
+                jbatch = host_batch_to_global(arrays, self.mesh,
+                                              self.data_sharding)
+            else:
+                jbatch = jax.device_put(arrays, self.data_sharding)
             self.state, metrics = self.train_step(self.state, jbatch, rng)
             step += 1
             if self.throw_failure_at and step == self.throw_failure_at:
