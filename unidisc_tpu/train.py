@@ -44,6 +44,15 @@ def main(argv=None):
     parser.add_argument("--data", default=None,
                         help="comma-separated token-shard dirs; default "
                              "synthetic data")
+    parser.add_argument("--overfit", action="store_true",
+                        help="overfit the first batch (loss-down smoke; "
+                             "reference trainer.overfit_on_first_batch)")
+    parser.add_argument("--print-hashes", action="store_true",
+                        help="print param hash at start (determinism check)")
+    parser.add_argument("--iterate-data-only", type=int, default=0,
+                        help="iterate N dataloader batches without the "
+                             "model (reference trainer.iterate_dataloader_"
+                             "only)")
     args, rest = parser.parse_known_args(argv)
 
     model, overrides = parse_overrides(rest)
@@ -87,13 +96,28 @@ def main(argv=None):
         val_loader = SyntheticDataLoader(config, batch_global,
                                          seed=config.seed + 777)
 
+    if args.iterate_data_only:
+        import time as _t
+        t0 = _t.time()
+        n_tok = 0
+        for i, b in enumerate(train_loader):
+            if i >= args.iterate_data_only:
+                break
+            n_tok += b["input_ids"].size
+        dt = _t.time() - t0
+        print(f"[train] data-only: {args.iterate_data_only} batches, "
+              f"{n_tok/dt/1e6:.2f}M tok/s host-side")
+        return {"step": 0}
+
     trainer = Trainer(config, args.run_dir, use_wandb=args.wandb,
                       log_every=args.log_every, val_every=args.val_every,
                       ckpt_every=args.ckpt_every)
     print(f"[train] model={model} params={trainer.n_params/1e6:.1f}M "
           f"devices={jax.device_count()} batch={batch_global} "
           f"mesh={dict(trainer.mesh.shape)}")
-    result = trainer.fit(train_loader, val_loader)
+    result = trainer.fit(train_loader, val_loader,
+                         overfit_first_batch=args.overfit,
+                         print_hashes=args.print_hashes)
     print(f"[train] done at step {result['step']}: "
           f"loss={result.get('loss', float('nan')):.4f}")
     trainer.close()

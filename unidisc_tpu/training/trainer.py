@@ -115,12 +115,24 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, train_loader: Iterator, val_loader=None,
-            max_steps: Optional[int] = None) -> dict:
+            max_steps: Optional[int] = None, *,
+            overfit_first_batch: bool = False,
+            print_hashes: bool = False) -> dict:
         cfg = self.config
         max_steps = max_steps or cfg.trainer.max_steps
         start = self.maybe_restore(train_loader)
         self._install_signal_handler(train_loader)
         rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        if print_hashes:
+            from unidisc_tpu.utils.dist import param_hash
+            print(f"[trainer] param_hash={param_hash(self.state.params)} "
+                  f"(determinism check)")
+        if overfit_first_batch:
+            # loss-goes-down smoke (reference: trainer.overfit_on_first_batch,
+            # model.py:800-805)
+            first = next(iter(train_loader))
+            train_loader = iter(lambda: first, None)
 
         step = start
         last = {}

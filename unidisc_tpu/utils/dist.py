@@ -81,6 +81,20 @@ def barrier(name: str = "barrier"):
         multihost_utils.sync_global_devices(name)
 
 
+def param_hash(params) -> str:
+    """Deterministic hash of a parameter pytree (reference determinism
+    hashes: module_hash/parameter_hash decoupled_utils.py:423-436, printed
+    at start/ckpt to catch cross-rank/resume divergence)."""
+    import hashlib
+
+    import numpy as np
+    h = hashlib.sha256()
+    leaves, _ = jax.tree_util.tree_flatten(params)
+    for leaf in leaves:
+        h.update(np.asarray(jax.device_get(leaf)).tobytes())
+    return h.hexdigest()[:16]
+
+
 def host_local_batch_size(global_batch: int) -> int:
     assert global_batch % jax.process_count() == 0, \
         f"global batch {global_batch} not divisible by " \
