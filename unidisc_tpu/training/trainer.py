@@ -56,7 +56,12 @@ class Trainer:
     def __init__(self, config: Config, run_dir: str, *,
                  use_wandb: bool = False, mesh=None, log_every: int = 10,
                  val_every: int = 0, ckpt_every: int = 1000,
-                 max_ckpts: int = 3, throw_failure_at: int = 0):
+                 max_ckpts: int = 3, throw_failure_at: int = 0,
+                 val_use_ema: bool = True):
+        # note: EMA (decay 0.9999) takes ~10k steps to catch up to the live
+        # params — short runs should pass val_use_ema=False or the val
+        # metrics reflect a mostly-initial EMA (reference evaluates with
+        # EMA swapped in, model_eval.py:157-166)
         # fault injection for requeue/restart testing (reference:
         # trainer.throw_failure_for_testing, model.py:1580-1581)
         self.throw_failure_at = throw_failure_at
@@ -77,7 +82,8 @@ class Trainer:
         self.train_step, self.state, self.data_sharding = shard_train_step(
             step_fn, state, self.mesh)
         self.eval_step = jax.jit(make_eval_step(config, self.model,
-                                                mesh=self.mesh))
+                                                mesh=self.mesh,
+                                                use_ema=val_use_ema))
 
         self.ckpt = CheckpointManager(
             f"{run_dir}/checkpoints", max_to_keep=max_ckpts,
