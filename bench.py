@@ -54,19 +54,21 @@ def main():
         jnp.zeros((BATCH, m.img_length), bool)], axis=-1)
     gen_tokens = BATCH * m.img_length
 
-    # ---- ours: one jitted lax.scan program -----------------------------
+    # ---- ours: one jitted lax.scan program with the span-factored head --
     # NOTE: on the tunneled TPU platform block_until_ready() can return
     # before execution completes; a host transfer (np.asarray) is the only
     # reliable completion barrier, so all timings force one.
     import numpy as np
-    sample = jax.jit(build_sampler(forward_logits, cfg))
+
+    from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
+    sample = jax.jit(build_t2i_sampler(model, cfg))
+    txt = tokens[:, :m.txt_length]
     rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP):
-        np.asarray(sample(params, rng, x0, x0_unmask, modality).tokens)
+        np.asarray(sample(params, rng, txt).tokens)
     t0 = time.perf_counter()
     for i in range(ITERS):
-        np.asarray(sample(params, jax.random.fold_in(rng, i), x0, x0_unmask,
-                          modality).tokens)
+        np.asarray(sample(params, jax.random.fold_in(rng, i), txt).tokens)
     ours_s = (time.perf_counter() - t0) / ITERS
     ours_tps = gen_tokens / ours_s
 

@@ -1,0 +1,67 @@
+"""Span-factored t2i sampler tests: the factored head must equal the full
+forward's logits slice exactly (same params, sliced matmul)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.models.dit import init_dit
+from unidisc_tpu.sampling.t2i_fast import (_img_head, build_t2i_sampler)
+
+B, TXT, IMG = 2, 8, 16
+L = TXT + IMG
+
+
+def cfg(**over):
+    return Config.make("tiny").override(**{
+        "model.length": L, "model.txt_length": TXT, "model.img_length": IMG,
+        "model.text_vocab_size": 24, "model.image_vocab_size": 40,
+        "model.time_conditioning": True, "model.dropout": 0.0,
+        "model.zero_linear_init": False,
+        "model.force_argmax_valid_indices": True,
+        "sampling.predictor": "maskgit", "sampling.steps": 6,
+        **over})
+
+
+def test_factored_head_matches_full_forward():
+    config = cfg()
+    m = config.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(np.concatenate([
+        rng.randint(0, m.text_vocab_size - 1, (B, TXT)),
+        rng.randint(m.text_vocab_size, m.vocab_size, (B, IMG))], 1),
+        jnp.int32)
+    modality = jnp.concatenate([jnp.zeros((B, TXT), jnp.int32),
+                                jnp.ones((B, IMG), jnp.int32)], -1)
+    sigma = jnp.asarray([0.4, 0.8])
+
+    full = model.apply({"params": params}, x, sigma, modality=modality)
+    _, hidden = model.apply({"params": params}, x, sigma, modality=modality,
+                            return_hidden=True)
+
+    from unidisc_tpu.sampling.t2i_fast import _sigma_cond
+    c = _sigma_cond(params, sigma)
+
+    factored = _img_head(params, hidden[:, TXT:], c, config,
+                         m.text_vocab_size)
+    np.testing.assert_allclose(
+        np.asarray(factored, np.float32),
+        np.asarray(full[:, TXT:, m.text_vocab_size:], np.float32),
+        atol=2e-4, rtol=1e-4)
+
+
+def test_t2i_sampler_generates_valid_images():
+    config = cfg(**{"sampling.cfg": 1.5})
+    m = config.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    sample = jax.jit(build_t2i_sampler(model, config))
+    txt = jnp.asarray(np.random.RandomState(0).randint(
+        0, m.text_vocab_size - 1, (B, TXT)), jnp.int32)
+    out = sample(params, jax.random.PRNGKey(1), txt)
+    tokens = np.asarray(out.tokens)
+    np.testing.assert_array_equal(tokens[:, :TXT], np.asarray(txt))
+    assert (tokens[:, TXT:] >= m.text_vocab_size).all()
+    assert (tokens[:, TXT:] < m.vocab_size).all()
+    assert int(out.nfe) == config.sampling.steps + 1

@@ -1,0 +1,163 @@
+"""Specialized text->image sampler: span-factored vocab head.
+
+For the headline t2i workload (text fully conditioned, image span
+generated) the generic sampler wastes most of its vocab-dimension work:
+logits for text positions are computed every step and immediately clamped,
+and image positions only ever sample from the image-vocab slice
+(force_argmax_valid_indices). This sampler (SURVEY hard part #5 — "fuse
+per-modality logit masking into the final-layer computation"):
+
+  * runs the DIT trunk with `return_hidden=True`
+  * applies the final layer (norm + adaLN modulation + linear) ONLY over
+    the image span and ONLY against the image-vocab slice of the head
+    kernel — (B, img_len, img_vocab) instead of (B, L, total_vocab),
+    4.4x fewer logit elements for the production 384/48385 layout
+  * maskgit confidence updates on the image span alone
+
+Exactness: the factored head is checked against the full forward's logits
+slice in tests (same params, same math, sliced matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.diffusion.noise import get_noise
+from unidisc_tpu.sampling.sampler import (SampleResult, adaptive_schedule,
+                                          confidence_threshold)
+
+
+def _img_head(params, hidden_img, c, cfg, v0,
+              compute_dtype=jnp.bfloat16):
+    """DDitFinalLayer over the image span x image-vocab slice — BITWISE
+    mirror of models/dit.py DDitFinalLayer (weight-only fp32 norm rounded
+    back to compute_dtype, bf16 adaLN modulate, linear in logits dtype)."""
+    out = params["output_layer"]
+    w = out["norm_final"]["weight"]
+    x32 = hidden_img.astype(jnp.float32)
+    if cfg.model.norm_type == "rms":
+        y = x32 * jax.lax.rsqrt(jnp.mean(x32 ** 2, -1, keepdims=True) + 1e-6)
+    else:
+        mean = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.var(x32, -1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = (y * w).astype(compute_dtype)  # Norm rounds to compute dtype
+    if cfg.model.time_conditioning and "adaLN_modulation" in out:
+        k = out["adaLN_modulation"]["kernel"].astype(compute_dtype)
+        b = out["adaLN_modulation"]["bias"].astype(compute_dtype)
+        cond = c.astype(compute_dtype) @ k + b
+        shift, scale = jnp.split(cond[:, None, :], 2, axis=-1)
+        y = y * (1 + scale) + shift  # image positions are always modulated
+    kernel = out["linear"]["kernel"][:, v0:]
+    bias = out["linear"]["bias"][v0:]
+    dt = jnp.bfloat16 if cfg.model.logits_dtype == "bfloat16" \
+        else jnp.float32
+    return (y.astype(dt) @ kernel.astype(dt)) + bias.astype(dt)
+
+
+def _sigma_cond(params, sigma, time_conditioning=True,
+                compute_dtype=jnp.bfloat16):
+    """Timestep conditioning vector c — bitwise mirror of DIT's
+    TimestepEmbedder (fp32 mlp, rounded to compute dtype) + silu."""
+    if not time_conditioning:
+        return None
+    import math
+    sm = params["sigma_map"]
+    half = 128
+    freqs = jnp.exp(-math.log(10_000) *
+                    jnp.arange(half, dtype=jnp.float32) / half)
+    args = sigma[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], -1)
+    h = emb @ sm["mlp_0"]["kernel"] + sm["mlp_0"]["bias"]
+    h = jax.nn.silu(h)
+    h = h @ sm["mlp_2"]["kernel"] + sm["mlp_2"]["bias"]
+    return jax.nn.silu(h.astype(compute_dtype))
+
+
+def build_t2i_sampler(model, config: Config,
+                      num_steps: Optional[int] = None) -> Callable:
+    """sample(params, rng, txt_tokens (B, txt_len), modality) ->
+    SampleResult over the full [txt | img] sequence."""
+    cfg = config
+    m = cfg.model
+    s = cfg.sampling
+    noise = get_noise(cfg.noise)
+    steps = num_steps or s.steps
+    Lt, Li, L = m.txt_length, m.img_length, m.length
+    v0 = m.text_vocab_size
+    mask_index = m.mask_index
+    use_cfg = s.cfg is not None
+
+    def trunk(params, x, sigma, modality, c_needed):
+        logits, hidden = model.apply(
+            {"params": params}, x, sigma, modality=modality,
+            return_hidden=True)
+        del logits  # head recomputed span-factored below
+        return hidden
+
+    def img_log_weights(params, x, t, modality):
+        """Unnormalized image-span log-weights with CFG."""
+        sigma = noise.total(t)
+        if use_cfg:
+            x_uncond = x.at[:, :Lt].set(mask_index)
+            xx = jnp.concatenate([x, x_uncond], 0)
+            ss = jnp.concatenate([sigma, sigma], 0)
+            mm = jnp.concatenate([modality, modality], 0)
+            hidden = trunk(params, xx, ss, mm, True)
+            c = _sigma_cond(params, ss, m.time_conditioning)
+            logits = _img_head(params, hidden[:, Lt:], c, cfg, v0)
+            lc, lu = jnp.split(logits, 2, axis=0)
+            w = (s.cfg * (1 - t))[:, None, None]
+            logits = (1 + w) * lc - w * lu
+        else:
+            hidden = trunk(params, x, sigma, modality, True)
+            c = _sigma_cond(params, sigma, m.time_conditioning)
+            logits = _img_head(params, hidden[:, Lt:], c, cfg, v0)
+        return logits.astype(jnp.float32)  # (B, Li, img_vocab)
+
+    def sample(params, rng, txt_tokens, modality=None):
+        b = txt_tokens.shape[0]
+        if modality is None:
+            modality = jnp.concatenate(
+                [jnp.zeros((b, Lt), jnp.int32),
+                 jnp.ones((b, Li), jnp.int32)], -1)
+        x = jnp.concatenate(
+            [txt_tokens, jnp.full((b, Li), mask_index, jnp.int32)], -1)
+        schedule = adaptive_schedule(jnp.full((b,), Li), steps,
+                                     s.maskgit_mode)
+        timesteps = jnp.linspace(1.0, s.sampling_eps, steps + 1)
+
+        def body(carry, i):
+            x, rng = carry
+            rng, k_tok, k_g = jax.random.split(rng, 3)
+            t = jnp.full((b,), timesteps[i])
+            raw = img_log_weights(params, x, t, modality)
+            g = jax.random.gumbel(k_tok, raw.shape, dtype=raw.dtype)
+            pred_local = jnp.argmax(raw + g, axis=-1)          # (B, Li)
+            lse = jax.nn.logsumexp(raw, axis=-1)
+            conf = jnp.take_along_axis(raw, pred_local[..., None],
+                                       -1).squeeze(-1) - lse
+            img = x[:, Lt:]
+            copy = img != mask_index
+            num = jnp.minimum(schedule[:, i], (~copy).sum(-1))
+            gumbel = jax.random.gumbel(k_g, conf.shape)
+            conf = conf + s.maskgit_r_temp * gumbel * t[:, None]
+            conf = jnp.where(copy, -jnp.inf, conf)
+            thresh = confidence_threshold(conf, num)
+            img_next = jnp.where(conf >= thresh, pred_local + v0, img)
+            return (x.at[:, Lt:].set(img_next), rng), None
+
+        (x, rng), _ = jax.lax.scan(body, (x, rng), jnp.arange(steps))
+        # noise removal
+        t = jnp.full((b,), s.sampling_eps)
+        raw = img_log_weights(params, x, t, modality)
+        img = x[:, Lt:]
+        img = jnp.where(img == mask_index, jnp.argmax(raw, -1) + v0, img)
+        x = x.at[:, Lt:].set(img)
+        return SampleResult(tokens=x, nfe=jnp.int32(steps + 1))
+
+    return sample
