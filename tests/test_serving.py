@@ -100,3 +100,14 @@ def test_http_server_roundtrip():
         assert ei.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_t2i_fast_path_dispatch():
+    """gen_image with full-text conditioning + maskgit uses the
+    span-factored sampler (nfe = steps+1); masked prompts fall back."""
+    eng = tiny_engine()  # maskgit, steps=4
+    out = eng.run(text="a cat", task="gen_image", seed=1)
+    assert out["nfe"] == 5  # t2i fast path: steps + final noise removal
+    assert ("t2i", 4) in eng._samplers
+    out2 = eng.run(text="a <mask:2> cat", task="gen_image", seed=1)
+    assert 4 in eng._samplers  # generic sampler used for the masked prompt
