@@ -131,3 +131,42 @@ def test_speed_eval():
     assert stats["avg_nfe_cnt"] == 5.0
     assert stats["p50_latency_s"] > 0
     assert stats["tokens_per_sec"] > 0
+
+
+def test_infill_battery():
+    from unidisc_tpu.eval.harness import infill_battery
+    from unidisc_tpu.sampling.sampler import build_sampler
+
+    cfg = Config.make("tiny").override(**{
+        "model.length": 32, "model.txt_length": 16, "model.img_length": 16,
+        "model.text_vocab_size": 24, "model.image_vocab_size": 16,
+        "model.dropout": 0.0, "sampling.steps": 4,
+        "sampling.predictor": "maskgit"})
+    m = cfg.model
+    rngnp = np.random.RandomState(0)
+    x0 = np.concatenate([
+        rngnp.randint(0, m.text_vocab_size - 1, (2, 16)),
+        rngnp.randint(m.text_vocab_size, m.vocab_size, (2, 16))], 1)
+    batch = {"input_ids": x0.astype(np.int32),
+             "modality": np.concatenate(
+                 [np.zeros((2, 16)), np.ones((2, 16))], 1).astype(np.int32)}
+
+    # oracle sampler: regenerates the original exactly
+    tgt = jnp.asarray(x0)
+    def oracle(params, x, sigma, modality):
+        reps = x.shape[0] // tgt.shape[0]
+        return 50.0 * jnp.tile(jax.nn.one_hot(tgt, m.vocab_size),
+                               (reps, 1, 1))
+    sampler = jax.jit(build_sampler(oracle, cfg))
+    out = infill_battery(lambda r, a, b_, c: sampler(None, r, a, b_, c),
+                         batch, cfg, jax.random.PRNGKey(3))
+    assert out["mask"].any()
+    # conditioning preserved outside the mask
+    keep = ~out["mask"]
+    np.testing.assert_array_equal(out["regenerated"][keep],
+                                  out["original"][keep])
+    # oracle regenerates masked tokens perfectly
+    assert out["masked_token_match"] == 1.0
+    # the square-image mask produced a contiguous image region
+    img_mask = out["mask"][:, 16:].reshape(2, 16)
+    assert img_mask.any()

@@ -157,3 +157,50 @@ def generation_battery(engine, *, seeds=(0, 1), steps: Optional[int] = None
                                               seed=seed, steps=steps)
     return {k: {"nfe": v["nfe"], "text": v["text"][:50]}
             for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Masked-infill battery (reference: sample_masking model_eval.py:1836 —
+# masked-infill viz tables with square-image and text-region masks)
+# ---------------------------------------------------------------------------
+
+def infill_battery(sample_fn, batch: dict, config: Config, rng,
+                   *, txt_mask_rate: float = 0.5,
+                   square_image_mask: bool = True) -> dict:
+    """Regenerate masked regions of real data: random text spans + a random
+    square region of the image grid. Returns original / conditioning-mask /
+    regenerated token arrays for visualization or reconstruction metrics.
+
+    sample_fn: jitted sampler (params-free closure or partial) taking
+      (rng, x0, x0_unmask, modality) -> SampleResult.
+    """
+    from unidisc_tpu.diffusion.forward_process import mask_image_square
+
+    m = config.model
+    x0 = jnp.asarray(batch["input_ids"])
+    modality = jnp.asarray(batch["modality"])
+    b = x0.shape[0]
+    k_txt, k_sq, k_s = jax.random.split(jnp.asarray(rng), 3)
+
+    move = jax.random.uniform(k_txt, x0.shape) < txt_mask_rate
+    move = move & (modality == 0)
+    if square_image_mask:
+        move = mask_image_square(k_sq, move, m.txt_length, m.img_length)
+    else:
+        move = move | (jax.random.uniform(k_sq, x0.shape) < 0.5) \
+            & (modality == 1)
+    x0_unmask = ~move
+
+    out = sample_fn(k_s, x0, x0_unmask, modality)
+    tokens = np.asarray(out.tokens)
+    recon_match = float((tokens == np.asarray(x0))[np.asarray(move)].mean())
+    return {
+        "original": np.asarray(x0),
+        "masked": np.where(np.asarray(move), -1, np.asarray(x0)),
+        "regenerated": tokens,
+        "mask": np.asarray(move),
+        "nfe": int(out.nfe),
+        # fraction of masked tokens regenerated to the original value —
+        # a cheap reconstruction-fidelity signal (not a quality metric)
+        "masked_token_match": recon_match,
+    }
