@@ -200,3 +200,37 @@ def test_adafactor_and_importance_sampling():
     state, metrics = step_fn(state, make_batch(cfg, rng),
                              jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
+
+
+def test_sharded_sampling_8dev():
+    """Data-parallel sampling over the mesh: the jitted lax.scan sampler
+    runs with the batch sharded over (dcn, fsdp) and params replicated/
+    FSDP-sharded — the serving-at-scale configuration."""
+    from unidisc_tpu.parallel.mesh import batch_sharding, params_shardings
+    from unidisc_tpu.sampling.sampler import build_sampler
+
+    cfg = tiny_config(**{"mesh.fsdp": 8, "sampling.steps": 4,
+                         "sampling.predictor": "maskgit",
+                         "sampling.cfg": 1.5})
+    mesh = make_mesh(cfg.mesh)
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    params = jax.device_put(params, params_shardings(params, mesh))
+
+    def fw(p, x, sigma, modality):
+        return model.apply({"params": p}, x, sigma, modality=modality)
+
+    sample = jax.jit(build_sampler(fw, cfg))
+    m = cfg.model
+    B = 16
+    batch = make_batch(cfg, jax.random.PRNGKey(1), batch_size=B)
+    x0 = jax.device_put(batch["input_ids"], batch_sharding(mesh))
+    modality = jax.device_put(batch["modality"], batch_sharding(mesh))
+    unmask = jax.device_put(
+        jnp.zeros((B, m.length), bool).at[:, :m.txt_length].set(True),
+        batch_sharding(mesh))
+    out = sample(params, jax.random.PRNGKey(2), x0, unmask, modality)
+    tokens = np.asarray(out.tokens)
+    assert tokens.shape == (B, m.length)
+    assert not (tokens == m.mask_index).any()
+    np.testing.assert_array_equal(tokens[:, :m.txt_length],
+                                  np.asarray(batch["input_ids"])[:, :m.txt_length])
