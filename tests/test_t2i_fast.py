@@ -64,4 +64,6 @@ def test_t2i_sampler_generates_valid_images():
     np.testing.assert_array_equal(tokens[:, :TXT], np.asarray(txt))
     assert (tokens[:, TXT:] >= m.text_vocab_size).all()
     assert (tokens[:, TXT:] < m.vocab_size).all()
-    assert int(out.nfe) == config.sampling.steps + 1
+    # noise-removal pass skipped when the schedule unmasked everything
+    assert int(out.nfe) in (config.sampling.steps,
+                            config.sampling.steps + 1)

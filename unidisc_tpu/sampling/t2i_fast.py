@@ -31,11 +31,10 @@ from unidisc_tpu.sampling.sampler import (SampleResult, adaptive_schedule,
                                           confidence_threshold)
 
 
-def _img_head(params, hidden_img, c, cfg, v0,
-              compute_dtype=jnp.bfloat16):
-    """DDitFinalLayer over the image span x image-vocab slice — BITWISE
-    mirror of models/dit.py DDitFinalLayer (weight-only fp32 norm rounded
-    back to compute_dtype, bf16 adaLN modulate, linear in logits dtype)."""
+def _head_pre(params, hidden_img, c, cfg, compute_dtype=jnp.bfloat16):
+    """Norm + adaLN modulate of DDitFinalLayer (everything before the
+    linear) — BITWISE mirror of models/dit.py (weight-only fp32 norm
+    rounded back to compute dtype, bf16 modulate)."""
     out = params["output_layer"]
     w = out["norm_final"]["weight"]
     x32 = hidden_img.astype(jnp.float32)
@@ -52,11 +51,23 @@ def _img_head(params, hidden_img, c, cfg, v0,
         cond = c.astype(compute_dtype) @ k + b
         shift, scale = jnp.split(cond[:, None, :], 2, axis=-1)
         y = y * (1 + scale) + shift  # image positions are always modulated
-    kernel = out["linear"]["kernel"][:, v0:]
-    bias = out["linear"]["bias"][v0:]
+    return y
+
+
+def _head_linear(params, y, cfg, v0):
+    kernel = params["output_layer"]["linear"]["kernel"][:, v0:]
+    bias = params["output_layer"]["linear"]["bias"][v0:]
     dt = jnp.bfloat16 if cfg.model.logits_dtype == "bfloat16" \
         else jnp.float32
     return (y.astype(dt) @ kernel.astype(dt)) + bias.astype(dt)
+
+
+def _img_head(params, hidden_img, c, cfg, v0,
+              compute_dtype=jnp.bfloat16):
+    """DDitFinalLayer over the image span x image-vocab slice."""
+    return _head_linear(
+        params, _head_pre(params, hidden_img, c, cfg, compute_dtype),
+        cfg, v0)
 
 
 def _sigma_cond(params, sigma, time_conditioning=True,
@@ -109,10 +120,14 @@ def build_t2i_sampler(model, config: Config,
             mm = jnp.concatenate([modality, modality], 0)
             hidden = trunk(params, xx, ss, mm, True)
             c = _sigma_cond(params, ss, m.time_conditioning)
-            logits = _img_head(params, hidden[:, Lt:], c, cfg, v0)
-            lc, lu = jnp.split(logits, 2, axis=0)
-            w = (s.cfg * (1 - t))[:, None, None]
-            logits = (1 + w) * lc - w * lu
+            # the head's linear is LINEAR: combine the normalized+modulated
+            # halves BEFORE the matmul — one (B, Li, V) head instead of two
+            # ((1+w)·Lin(y_c) − w·Lin(y_u) = Lin((1+w)y_c − w·y_u) up to the
+            # shared bias, which the combine weights sum to 1 over)
+            y = _head_pre(params, hidden[:, Lt:], c, cfg)
+            yc, yu = jnp.split(y, 2, axis=0)
+            w = (s.cfg * (1 - t))[:, None, None].astype(y.dtype)
+            logits = _head_linear(params, (1 + w) * yc - w * yu, cfg, v0)
         else:
             hidden = trunk(params, x, sigma, modality, True)
             c = _sigma_cond(params, sigma, m.time_conditioning)
@@ -152,12 +167,21 @@ def build_t2i_sampler(model, config: Config,
             return (x.at[:, Lt:].set(img_next), rng), None
 
         (x, rng), _ = jax.lax.scan(body, (x, rng), jnp.arange(steps))
-        # noise removal
-        t = jnp.full((b,), s.sampling_eps)
-        raw = img_log_weights(params, x, t, modality)
-        img = x[:, Lt:]
-        img = jnp.where(img == mask_index, jnp.argmax(raw, -1) + v0, img)
-        x = x.at[:, Lt:].set(img)
-        return SampleResult(tokens=x, nfe=jnp.int32(steps + 1))
+        # noise removal — the arccos schedule provably unmasks everything
+        # (per-step quota >= remaining/threshold selects >= quota), so this
+        # full pass only executes in the degenerate all-clamped case
+        any_left = (x[:, Lt:] == mask_index).any()
+
+        def remove_noise(x):
+            t = jnp.full((b,), s.sampling_eps)
+            raw = img_log_weights(params, x, t, modality)
+            img = x[:, Lt:]
+            img = jnp.where(img == mask_index,
+                            jnp.argmax(raw, -1) + v0, img)
+            return x.at[:, Lt:].set(img)
+
+        x = jax.lax.cond(any_left, remove_noise, lambda x: x, x)
+        nfe = steps + jnp.where(any_left, 1, 0)
+        return SampleResult(tokens=x, nfe=nfe.astype(jnp.int32))
 
     return sample
