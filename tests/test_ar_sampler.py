@@ -99,6 +99,24 @@ def test_ar_sampler_cfg_runs():
     assert not (np.asarray(out.tokens) == cfg.model.mask_index).any()
 
 
+def test_ar_sampler_is_stochastic():
+    """Gumbel-argmax must draw per-vocab noise — a per-row scalar broadcast
+    over the vocab axis is a no-op (argmax(l + c) == argmax(l)) and decoding
+    silently degenerates to greedy. Different seeds must differ."""
+    cfg = ar_config(**{"sampling.temperature": 2.0})
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    x0, modality = make_inputs(cfg)
+    x0_unmask = jnp.zeros((B, L), bool).at[:, :TXT].set(True)
+    sample = jax.jit(build_ar_sampler(make_apply_token(model), cfg))
+    out1 = sample(params, jax.random.PRNGKey(1), x0, x0_unmask, modality)
+    out2 = sample(params, jax.random.PRNGKey(2), x0, x0_unmask, modality)
+    assert (np.asarray(out1.tokens) != np.asarray(out2.tokens)).any()
+    # same seed stays deterministic
+    out1b = sample(params, jax.random.PRNGKey(1), x0, x0_unmask, modality)
+    np.testing.assert_array_equal(np.asarray(out1.tokens),
+                                  np.asarray(out1b.tokens))
+
+
 def test_ar_sampler_nucleus_runs():
     cfg = ar_config(**{"sampling.top_p": 0.9})
     model, params = init_dit(jax.random.PRNGKey(0), cfg.model)

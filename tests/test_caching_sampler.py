@@ -74,21 +74,64 @@ def test_caching_sampler_with_cfg():
 def test_txt_only_steps_freeze_image_tokens():
     """With ratio > steps, only step 0 (and the final pass) are full —
     image tokens must be unmasked only at those points; intermediate
-    txt-only steps can't reveal image tokens."""
+    txt-only steps can't reveal image tokens. Asserts the invariant on
+    the actual per-step trajectory (the -inf-threshold collapse where
+    txt-only steps unmask ALL image positions from stale cached p_x0
+    would fail here)."""
     cfg = cache_config(**{"sampling.steps": 6})
     model, params = init_dit(jax.random.PRNGKey(42), cfg.model)
     m = cfg.model
     # ratio larger than steps: steps 1..5 are txt-only
-    sample = jax.jit(build_caching_sampler(model, cfg,
-                                           txt_to_img_ratio=100))
+    sample = jax.jit(build_caching_sampler(model, cfg, txt_to_img_ratio=100,
+                                           return_trajectory=True))
     x0 = np.zeros((B, L), np.int32)
     unmask = np.zeros((B, L), bool)
     modality = np.concatenate([np.zeros((B, TXT)), np.ones((B, IMG))],
                               1).astype(np.int32)
-    out = sample(params, jax.random.PRNGKey(0), jnp.asarray(x0),
-                 jnp.asarray(unmask), jnp.asarray(modality))
+    out, traj = sample(params, jax.random.PRNGKey(0), jnp.asarray(x0),
+                       jnp.asarray(unmask), jnp.asarray(modality))
     tokens = np.asarray(out.tokens)
+    traj = np.asarray(traj)  # (steps, B, L)
+    # image tokens after step 0 (the only full step) must stay frozen
+    # through every txt-only step
+    for i in range(1, traj.shape[0]):
+        np.testing.assert_array_equal(traj[i, :, TXT:], traj[0, :, TXT:])
+    # txt-only steps make progress on the text side
+    assert (traj[-1, :, :TXT] != m.mask_index).sum() >= \
+        (traj[0, :, :TXT] != m.mask_index).sum()
     # the run must still fully unmask (final full pass handles the rest)
     assert not (tokens == m.mask_index).any()
     # 1 full step + 5 txt steps + final: eff = 2 + 5*8//24 = 3
     assert int(out.nfe) == 2 + (5 * TXT) // L
+
+
+def test_txt_only_steps_with_full_text_conditioning_select_nothing():
+    """t2i path: text fully conditioned, so txt-only steps have ZERO
+    eligible candidates — they must not unmask anything (previously thresh
+    was -inf and -inf>=-inf unmasked every image position at once)."""
+    cfg = cache_config(**{"sampling.steps": 6})
+    model, params = init_dit(jax.random.PRNGKey(42), cfg.model)
+    m = cfg.model
+    sample = jax.jit(build_caching_sampler(model, cfg, txt_to_img_ratio=100,
+                                           return_trajectory=True))
+    rngnp = np.random.RandomState(7)
+    x0 = np.concatenate([
+        rngnp.randint(0, m.text_vocab_size - 1, (B, TXT)),
+        np.zeros((B, IMG), np.int64)], 1).astype(np.int32)
+    unmask = np.zeros((B, L), bool)
+    unmask[:, :TXT] = True
+    modality = np.concatenate([np.zeros((B, TXT)), np.ones((B, IMG))],
+                              1).astype(np.int32)
+    out, traj = sample(params, jax.random.PRNGKey(0), jnp.asarray(x0),
+                       jnp.asarray(unmask), jnp.asarray(modality))
+    traj = np.asarray(traj)
+    # txt-only steps (1..5) change nothing at all
+    for i in range(1, traj.shape[0]):
+        np.testing.assert_array_equal(traj[i], traj[0])
+    # step 0 (full) must not unmask more than its schedule allows: the
+    # arccos schedule at 6 steps over 16 masked positions reveals far
+    # fewer than all 16 at step 0
+    step0_unmasked = (traj[0, :, TXT:] != m.mask_index).sum(-1)
+    assert (step0_unmasked < IMG).all()
+    # final pass completes the image
+    assert not (np.asarray(out.tokens) == m.mask_index).any()

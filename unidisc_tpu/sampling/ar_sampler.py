@@ -60,9 +60,13 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
             x_full = jnp.concatenate(
                 [x_init, jnp.full_like(x_init, mask_index)], axis=0)
             modality_full = jnp.concatenate([modality, modality], axis=0)
-            unmask_full = jnp.concatenate(
-                [x0_unmask, jnp.zeros_like(x0_unmask)], axis=0)
-            x0_full = jnp.concatenate([x0, x0], axis=0)
+            # uncond rows re-mask the conditioning EVERY step (reference:
+            # model_eval.py:2780 `_x[B:] = where(x0_unmask, mask, x)`) —
+            # forced positions write x0 into cond rows and mask_index into
+            # uncond rows, so logit_u never conditions on the prompt.
+            unmask_full = jnp.concatenate([x0_unmask, x0_unmask], axis=0)
+            x0_full = jnp.concatenate(
+                [x0, jnp.full_like(x0, mask_index)], axis=0)
             bb = 2 * b
         else:
             x_full = jnp.where(x0_unmask, x0, mask_index)
@@ -73,9 +77,7 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
 
         kv = init_kv_cache(m.n_blocks, bb, l, m.n_heads, m.head_dim)
 
-        # precomputed per-step Gumbel noise (reference: model_eval.py:2764)
         rng_g, rng_n = jax.random.split(rng)
-        gumbel = jax.random.gumbel(rng_g, (l, b)) * s.temperature
 
         def body(carry, i):
             x, kv = carry
@@ -107,8 +109,14 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
                 next_tok = nucleus_sample(
                     jax.random.fold_in(rng_n, i), probs, s.top_p)
             else:
-                # Gumbel-argmax (reference: model_eval.py:2800-2802)
-                next_tok = jnp.argmax(logits_b + gumbel[i][:, None], axis=-1)
+                # Gumbel-argmax categorical sampling at temperature
+                # (reference draws Gumbel over the full vocab per step,
+                # model_eval.py:2764,2800-2802). Per-step fold_in instead of
+                # a precomputed (L, B, V) tensor — that would be ~L*B*48k
+                # floats of HBM for noise XLA can fuse into the argmax.
+                g = jax.random.gumbel(jax.random.fold_in(rng_g, i),
+                                      logits_b.shape, dtype=logits_b.dtype)
+                next_tok = jnp.argmax(logits_b / s.temperature + g, axis=-1)
 
             if use_cfg:
                 next_tok = jnp.concatenate([next_tok, next_tok], axis=0)

@@ -37,11 +37,16 @@ from unidisc_tpu.diffusion.subs import subs_parameterization
 
 def build_caching_sampler(model, config: Config, *,
                           txt_to_img_ratio: int = 4,
-                          num_steps=None) -> Callable:
+                          num_steps=None,
+                          return_trajectory: bool = False) -> Callable:
     """Returns sample(params, rng, x0, x0_unmask, modality) -> SampleResult.
 
     The model must be a DIT with full (non-causal) attention; kv_cache
     support provides the cached-decode path.
+
+    With return_trajectory=True the sampler returns
+    (SampleResult, (steps, B, L) per-step token states) — used by tests to
+    enforce the txt-only-freeze invariant and by viz denoise strips.
     """
     m = config.model
     s = config.sampling
@@ -133,26 +138,33 @@ def build_caching_sampler(model, config: Config, *,
 
             # maskgit confidence update (reference: model_eval.py:3045-3114)
             copy = x != mask_index
-            num_unmask = jnp.minimum(schedule[:, i], (~copy).sum(-1))
+            # txt-only steps may only unmask text positions; clamp the
+            # schedule to the actually-eligible candidates so a step with
+            # zero finite-conf positions selects NOTHING (an all -inf row
+            # would otherwise make thresh=-inf and -inf>=-inf unmask every
+            # masked position from stale cached p_x0 at once).
+            img_pos = jnp.arange(L) >= Lt
+            eligible = (~copy) & (is_full | ~img_pos[None, :])
+            num_unmask = jnp.minimum(schedule[:, i], eligible.sum(-1))
             pred = sample_categorical(k_tok, p)
             conf = jnp.take_along_axis(p, pred[..., None], -1).squeeze(-1)
             gumbel = jax.random.gumbel(k_g, pred.shape)
             conf = jnp.log(jnp.maximum(conf, 1e-30)) + \
                 s.maskgit_r_temp * gumbel * t[:, None]
-            conf = jnp.where(copy, -jnp.inf, conf)
-            # txt-only steps may only unmask text positions
-            img_pos = jnp.arange(L) >= Lt
-            conf = jnp.where(~is_full & img_pos[None, :], -jnp.inf, conf)
+            conf = jnp.where(eligible, conf, -jnp.inf)
             thresh = confidence_threshold(conf, num_unmask)
-            x_next = jnp.where(conf >= thresh, pred, x)
+            sel = (conf >= thresh) & jnp.isfinite(conf)
+            x_next = jnp.where(sel, pred, x)
+            x_next = jnp.where(copy, x, x_next)
             x_next = jnp.where(x0_unmask, x0, x_next)
 
             nfe = nfe + jnp.where(is_full, 1, 0).astype(jnp.int32)
             txt_nfe = txt_nfe + jnp.where(is_full, 0, 1).astype(jnp.int32)
-            return (x_next, kv, p, rng, nfe, txt_nfe), None
+            ys = x_next if return_trajectory else None
+            return (x_next, kv, p, rng, nfe, txt_nfe), ys
 
         carry = (x, kv, p_cache, rng, jnp.int32(0), jnp.int32(0))
-        (x, kv, p, rng, nfe, txt_nfe), _ = jax.lax.scan(
+        (x, kv, p, rng, nfe, txt_nfe), traj = jax.lax.scan(
             body, carry, jnp.arange(steps))
 
         # noise removal with a final full pass
@@ -162,6 +174,9 @@ def build_caching_sampler(model, config: Config, *,
         x = jnp.where(x0_unmask, x0, x)
         # effective NFE: full passes + txt passes weighted by length share
         eff = nfe + 1 + (txt_nfe * Lt) // L
-        return SampleResult(tokens=x, nfe=eff)
+        result = SampleResult(tokens=x, nfe=eff)
+        if return_trajectory:
+            return result, traj
+        return result
 
     return sample
