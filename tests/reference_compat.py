@@ -1,0 +1,199 @@
+"""Import/execute the ACTUAL reference code at /root/reference in tests.
+
+Three facilities:
+
+  * add_reference_path() — put /root/reference on sys.path (appended, so it
+    never shadows repo modules) so `models.noise_schedule`, `models.dit_orig`
+    etc. import as the reference expects.
+  * install_torch_stubs() — minimal stand-ins for the CUDA-only modules the
+    reference imports (`flash_attn`, `omegaconf`): the flash-attn rotary stub
+    delegates to the reference's OWN pure-torch reimplementation
+    (models/standalone_rotary.py:14-31), and the varlen attention stub is
+    plain softmax attention at flash-attn's default head_dim**-0.5 scale.
+  * extract_functions(path, names) — AST-extract named top-level functions
+    from a reference source file and exec them in a provided namespace.
+    Used for model_eval.py, whose module-level imports (wandb, tensordict,
+    pandas, image_utils, ...) are irrelevant to the sampler math under test.
+
+This module contains NO reference code — it loads and runs the reference
+in-place so parity tests fail if our reading of its math drifted anywhere.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+import types
+
+REFERENCE = "/root/reference"
+
+
+def add_reference_path() -> None:
+    if REFERENCE not in sys.path:
+        # append (not prepend): reference top-level names (utils, model,
+        # constants, ...) must never shadow repo/test imports
+        sys.path.append(REFERENCE)
+
+
+def install_torch_stubs() -> None:
+    """Register flash_attn / omegaconf stand-ins in sys.modules."""
+    add_reference_path()
+    import torch
+
+    if "flash_attn" not in sys.modules:
+        from models.standalone_rotary import (
+            flash_torch_apply_rotary_emb_torch)
+
+        fa = types.ModuleType("flash_attn")
+        layers = types.ModuleType("flash_attn.layers")
+        rotary = types.ModuleType("flash_attn.layers.rotary")
+        iface = types.ModuleType("flash_attn.flash_attn_interface")
+
+        def apply_rotary_emb_qkv_(qkv, cos, sin):
+            # qkv (B, S, 3, H, D); flash-attn rotates q and k in place and
+            # leaves v untouched; cos/sin are (S, rotary_dim/2),
+            # non-interleaved (GPT-NeoX halves) convention.
+            q = flash_torch_apply_rotary_emb_torch(qkv[:, :, 0], cos, sin)
+            k = flash_torch_apply_rotary_emb_torch(qkv[:, :, 1], cos, sin)
+            return torch.stack([q, k, qkv[:, :, 2]], dim=2)
+
+        def flash_attn_varlen_qkvpacked_func(qkv, cu_seqlens, max_seqlen,
+                                             dropout_p, causal=False):
+            # qkv ((B*S), 3, H, D) with equal-length sequences (the only
+            # form dit_orig/autoregressive_orig use: cu_seqlens is an
+            # arange with constant step max_seqlen)
+            total, _, h, d = qkv.shape
+            s = int(max_seqlen)
+            b = total // s
+            q = qkv[:, 0].reshape(b, s, h, d).transpose(1, 2)  # (B,H,S,D)
+            k = qkv[:, 1].reshape(b, s, h, d).transpose(1, 2)
+            v = qkv[:, 2].reshape(b, s, h, d).transpose(1, 2)
+            scores = (q @ k.transpose(-2, -1)) * (d ** -0.5)
+            if causal:
+                i = torch.arange(s)[:, None]
+                j = torch.arange(s)[None, :]
+                scores = scores.masked_fill(j > i, float("-inf"))
+            out = torch.softmax(scores.float(), dim=-1).to(v.dtype) @ v
+            return out.transpose(1, 2).reshape(total, h, d)
+
+        rotary.apply_rotary_emb_qkv_ = apply_rotary_emb_qkv_
+        iface.flash_attn_varlen_qkvpacked_func = \
+            flash_attn_varlen_qkvpacked_func
+        fa.layers = layers
+        layers.rotary = rotary
+        fa.flash_attn_interface = iface
+        sys.modules["flash_attn"] = fa
+        sys.modules["flash_attn.layers"] = layers
+        sys.modules["flash_attn.layers.rotary"] = rotary
+        sys.modules["flash_attn.flash_attn_interface"] = iface
+
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+
+        class OmegaConf:
+            @staticmethod
+            def create(d):
+                return _to_namespace(d)
+
+        om.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = om
+
+
+def _to_namespace(d):
+    if isinstance(d, dict):
+        return types.SimpleNamespace(
+            **{k: _to_namespace(v) for k, v in d.items()})
+    return d
+
+
+def extract_functions(path: str, names, extra_globals=None) -> dict:
+    """Exec the named top-level function defs from a reference file.
+
+    Returns a namespace dict containing the compiled functions. Decorators
+    are kept (torch.inference_mode / torch.no_grad run fine on CPU).
+    """
+    with open(path) as f:
+        src = f.read()
+    import textwrap
+
+    tree = ast.parse(src)
+    wanted = set(names)
+    segments = []
+
+    def visit(body):
+        for node in body:
+            if isinstance(node, ast.FunctionDef) and node.name in wanted:
+                segments.append(
+                    textwrap.dedent(ast.get_source_segment(src, node)))
+                wanted.discard(node.name)
+            elif isinstance(node, ast.ClassDef):
+                visit(node.body)
+
+    visit(tree.body)
+    assert not wanted, f"functions not found in {path}: {sorted(wanted)}"
+
+    import math
+
+    import numpy as np
+    import torch
+
+    ns = {
+        "torch": torch,
+        "np": np,
+        "math": math,
+        "__builtins__": __builtins__,
+        # no-op hooks the extracted functions may reference on gated paths
+        "empty_device_cache": lambda *a, **k: None,
+        "optional_add_bos": lambda self, out, x0=None: out,
+        "rprint": lambda *a, **k: None,
+        "print": lambda *a, **k: None,  # adap_sche prints per-row seq_len
+    }
+    if extra_globals:
+        ns.update(extra_globals)
+    for seg in segments:
+        exec(compile(seg, path, "exec"), ns)
+    return ns
+
+
+class TorchShim:
+    """Proxy for the `torch` name inside extracted reference functions that
+    replaces torch.multinomial with an injectable Gumbel-trick sampler so
+    the same noise can be fed to our sampler (token-for-token parity;
+    torch.multinomial's RNG stream is not reproducible cross-framework)."""
+
+    def __init__(self, exp_queue):
+        self._exp_queue = exp_queue
+
+    def multinomial(self, probs2d, num_samples):
+        assert num_samples == 1
+        import torch
+        exp = self._exp_queue.pop(0).reshape(probs2d.shape)
+        return (probs2d / torch.as_tensor(exp)).argmax(-1, keepdim=True)
+
+    def __getattr__(self, name):
+        import torch
+        return getattr(torch, name)
+
+
+class NumpyShim:
+    """Proxy for `np` that makes np.random.gumbel consume pre-drawn noise."""
+
+    class _Random:
+        def __init__(self, queue):
+            self._queue = queue
+
+        def gumbel(self, size=None):
+            g = self._queue.pop(0)
+            assert tuple(size) == tuple(g.shape), (size, g.shape)
+            return g
+
+        def __getattr__(self, name):
+            import numpy as np
+            return getattr(np.random, name)
+
+    def __init__(self, gumbel_queue):
+        self.random = NumpyShim._Random(gumbel_queue)
+
+    def __getattr__(self, name):
+        import numpy as np
+        return getattr(np, name)

@@ -105,6 +105,30 @@ class SampleResult(NamedTuple):
     nfe: jax.Array      # scalar int32, number of model forward evaluations
 
 
+def guidance_weight(s, t):
+    """Time-annealed CFG weight w(t) (reference: model_eval.py:1737-1759).
+
+    s: SamplingConfig (cfg / cfg_min_timestep / cfg_max_timestep);
+    t: (B,) timesteps. cfg == -1 selects sweep mode: per-sample guidance
+    scales linspace(0, 10, B). Returns (B,) or None when CFG is off.
+    """
+    w = s.cfg
+    if w is None:
+        return None
+    if w == -1:
+        w = jnp.linspace(0.0, 10.0, t.shape[0])
+    lo, hi = s.cfg_min_timestep, s.cfg_max_timestep
+    if lo is not None and hi is not None:
+        wt = w * ((t - hi) / (lo - hi))
+    else:
+        wt = w * (1 - t)
+    if lo is not None:
+        wt = jnp.where(t > lo, wt, 0.0)
+    if hi is not None:
+        wt = jnp.where(t < hi, wt, 0.0)
+    return wt
+
+
 def build_sampler(forward_logits: Callable, config: Config,
                   num_steps: Optional[int] = None,
                   inject_noise: bool = False) -> Callable:
@@ -141,20 +165,7 @@ def build_sampler(forward_logits: Callable, config: Config,
     ) if mcfg.force_argmax_valid_indices else None
 
     def cfg_weight(t):
-        """Time-annealed guidance weight (reference: model_eval.py:1737-1759)."""
-        w = cfg.cfg
-        if w is None:
-            return None
-        lo, hi = cfg.cfg_min_timestep, cfg.cfg_max_timestep
-        if lo is not None and hi is not None:
-            wt = w * ((t - hi) / (lo - hi))
-        else:
-            wt = w * (1 - t)
-        if lo is not None:
-            wt = jnp.where(t > lo, wt, 0.0)
-        if hi is not None:
-            wt = jnp.where(t < hi, wt, 0.0)
-        return wt
+        return guidance_weight(cfg, t)
 
     def ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality,
                      normalize=True):
