@@ -195,11 +195,12 @@ class Attention(nn.Module):
         else:
             backend = c.attn_backend
             if backend == "auto":
-                # Pallas flash kernel wins when the head dim maps onto full
-                # MXU lanes and the sequence is long enough to amortize the
-                # kernel (measured on v5e: 3.8x XLA at L=4096/D=128, but
-                # slower at L=384/D=64 where padding doubles the K/V DMA)
-                backend = ("pallas" if d % 128 == 0 and l >= 512
+                # measured policy lives next to the kernel (pallas_auto_ok):
+                # head-batched single-tile kernel covers the production
+                # shapes (L=384, D64/D128); tiled online-softmax kernel
+                # covers long sequences
+                from unidisc_tpu.ops.pallas_attention import pallas_auto_ok
+                backend = ("pallas" if pallas_auto_ok(d, l)
                            and attn_mask is None else "xla")
             if backend == "pallas" and attn_mask is None:
                 # arbitrary dense masks aren't expressible in the kernel;
@@ -411,10 +412,18 @@ class DIT(nn.Module):
             rope_cos = rope_cos[:indices.shape[1]]
             rope_sin = rope_sin[:indices.shape[1]]
 
-        if sample_ids is not None and attn_mask is None and \
-                cfg.attn_backend != "pallas":
-            from unidisc_tpu.ops.attention import make_sample_ids_mask
-            attn_mask = make_sample_ids_mask(sample_ids)
+        if sample_ids is not None and attn_mask is None:
+            # packed interleaved batches: the pallas kernel takes structured
+            # segment masks directly — only materialize the dense (B,1,L,L)
+            # mask when the XLA backend will actually run
+            from unidisc_tpu.ops.pallas_attention import pallas_auto_ok
+            goes_pallas = cfg.attn_backend == "pallas" or (
+                cfg.attn_backend == "auto"
+                and pallas_auto_ok(cfg.head_dim, indices.shape[1])
+                and kv_cache is None)
+            if not goes_pallas:
+                from unidisc_tpu.ops.attention import make_sample_ids_mask
+                attn_mask = make_sample_ids_mask(sample_ids)
         segment_ids = (sample_ids, sample_ids) if sample_ids is not None \
             else None
 

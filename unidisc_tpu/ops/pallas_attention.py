@@ -116,6 +116,140 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _small_fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
+                      lse_ref, *, causal, scale, use_segs, need_lse):
+    """Short-sequence kernel: ONE kv tile per q row block, ALL heads of the
+    block batched into one program via batched dot_generals.
+
+    Rationale (measured on v5e): at the production t2i shape
+    (B16, H12, L384, D64) the tiled online-softmax kernel issues 192 tiny
+    programs whose fixed per-program cost (~4us) dominates — 819us vs XLA's
+    510us. Batching the 12 heads into one program per batch element and
+    skipping the head_dim 64->128 padding amortizes that overhead; with a
+    single kv tile the online-softmax state is unnecessary, so the scores
+    stay in registers/VMEM for a direct softmax.
+    """
+    q = q_ref[0]                                    # (hb, L, d)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # (hb, Lq, Lk) f32
+
+    mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        mask = cols <= rows
+    if use_segs:
+        qseg = qseg_ref[0][None, :, :1]             # (1, Lq, 1)
+        kseg = kseg_ref[0][:1, None, :]             # (1, 1, Lk)
+        seg_ok = (qseg == kseg) & (qseg >= 0)
+        mask = seg_ok if mask is None else (mask & seg_ok)
+    if mask is not None:
+        s = s + jnp.where(mask, 0.0, MASK_VALUE)
+
+    m = jnp.max(s, axis=-1, keepdims=True)          # (hb, Lq, 1)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    valid = m > MASK_VALUE * 0.5
+    l_inv = jnp.where(valid, 1.0 / jnp.maximum(l, 1e-30), 0.0)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # (hb, Lq, d)
+    # normalize the small (hb, Lq, d) output, not the big (hb, Lq, Lk)
+    # score matrix — saves a full VPU pass over the scores
+    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+    if need_lse:
+        lse = jnp.where(valid, m + jnp.log(jnp.maximum(l, 1e-30)), 0.0)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+    else:
+        # inference path: the (B,H,L,128) f32 residual is dead weight
+        # (~38MB HBM writes at the t2i shape) — emit a token-sized block
+        lse_ref[0] = jnp.zeros(lse_ref.shape[1:], lse_ref.dtype)
+
+
+def _small_fwd(q, k, v, segment_ids, causal, scale, need_lse=True):
+    """Head-batched single-kv-tile forward for L <= SMALL_MAX_L.
+    q,k,v: (B, H, L, D) unpadded in D. Returns (out, lse (B,H,Lq_p,128))."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    lq_p = ((lq + 127) // 128) * 128
+    lk_p = ((lk + 127) // 128) * 128
+    qp = _pad_to(q, lq_p, 2)
+    kp = _pad_to(k, lk_p, 2)
+    vp = _pad_to(v, lk_p, 2)
+
+    use_segs = segment_ids is not None or lk != lk_p
+    if segment_ids is not None:
+        qseg, kseg = segment_ids
+    else:
+        qseg = jnp.zeros((b, lq), jnp.int32)
+        kseg = jnp.zeros((b, lk), jnp.int32)
+    qseg = _pad_to(qseg, lq_p, 1, value=-1)
+    kseg = _pad_to(kseg, lk_p, 1, value=-2)
+    qseg_l = jnp.broadcast_to(qseg[:, :, None], (b, lq_p, 128))
+    kseg_s = jnp.broadcast_to(kseg[:, None, :], (b, 8, lk_p))
+
+    # head block: largest divisor of H whose fp32 score block fits ~6MB
+    hb = h
+    while hb > 1 and (hb * lq_p * lk_p * 4 > 6 * 1024 * 1024 or h % hb):
+        hb -= 1
+    while h % hb:
+        hb -= 1
+    nh = h // hb
+
+    lse_rows = lq_p if need_lse else 8
+    kernel = functools.partial(_small_fwd_kernel, causal=causal,
+                               scale=scale, use_segs=use_segs,
+                               need_lse=need_lse)
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, h, lq_p, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, lse_rows, 128), jnp.float32)),
+        grid=(b, nh),
+        in_specs=[
+            pl.BlockSpec((1, hb, lq_p, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, lk_p, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, lk_p, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, lq_p, 128), lambda bi, hi: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, lk_p), lambda bi, hi: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hb, lq_p, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, hb, lse_rows, 128),
+                         lambda bi, hi: (bi, hi, 0, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=_interpret(),
+    )(qp, kp, vp, qseg_l, kseg_s)
+    return out[:, :, :lq, :], lse
+
+
+# single-kv-tile head-batched path applies below this sequence length
+SMALL_MAX_L = 640
+
+
+def pallas_auto_ok(head_dim: int, seq_len: int) -> bool:
+    """Auto-policy: should the pallas kernel handle this shape?
+
+    Measured IN-CONTEXT on v5e (full DIT forward, not isolated microbench —
+    isolated attention chains mislead here: XLA overlaps the einsum
+    attention's HBM traffic with the surrounding matmuls, while pallas_call
+    is a fusion barrier and the (B,L,H,D)<->(B,H,L,D) transposes around the
+    kernel cost real HBM passes):
+      * L=384  D64  (115M t2i): XLA wins slightly (13.7 vs 14.6 ms/fwd)
+      * L=384  D128 (1.4B t2i): parity (30.8 ms/fwd both)
+      * L=1024 D64: tiled kernel wins 6% end-to-end (29.0 vs 30.8 ms/fwd)
+      * L=4096 D128: tiled kernel 3.8x XLA on the attention itself
+    The short-seq head-batched kernel (_small_fwd) keeps forced-pallas and
+    packed-segment use at small L at parity instead of the old 0.62x loss.
+    """
+    return (head_dim % 64 == 0 and seq_len >= 768) or \
+        (head_dim % 128 == 0 and seq_len >= 512)
+
+
 def _pad_to(x, size, axis, value=0):
     pad = size - x.shape[axis]
     if pad == 0:
@@ -164,10 +298,13 @@ def _prep(q, k, v, segment_ids):
             block_q, block_k, lq_p, lk_p, d_p)
 
 
-def _flash_fwd(q, k, v, segment_ids, causal, scale):
+def _flash_fwd(q, k, v, segment_ids, causal, scale, need_lse=True):
     """q,k,v: (B, H, L, D) — runs the kernel on padded shapes.
     Returns (out (B,H,L,D), lse (B,H,Lq_p,128) residual)."""
     b, h, lq, d = q.shape
+    if lq <= SMALL_MAX_L and k.shape[2] <= SMALL_MAX_L:
+        return _small_fwd(q, k, v, segment_ids, causal, scale,
+                          need_lse=need_lse)
     (qp, kp, vp, _, _, qseg, kseg, use_segs,
      block_q, block_k, lq_p, lk_p, d_p) = _prep(q, k, v, segment_ids)
 
@@ -427,7 +564,8 @@ def _flash_bwd(q, k, v, segment_ids, o, lse, g, causal, scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, segment_ids, causal, scale):
-    out, _ = _flash_fwd(q, k, v, segment_ids, causal, scale)
+    # primal (no-grad) path: skip the LSE residual writes entirely
+    out, _ = _flash_fwd(q, k, v, segment_ids, causal, scale, need_lse=False)
     return out
 
 
