@@ -27,7 +27,7 @@ from __graft_entry__ import _example_batch, _flagship_config
 from unidisc_tpu.models.dit import init_dit
 from unidisc_tpu.sampling.sampler import build_sampler
 
-BATCH = 8
+BATCH = 16  # per-chip optimum on v5e after the chunked-attention fix
 STEPS = 32
 WARMUP = 2
 ITERS = 5
@@ -97,6 +97,7 @@ def main():
         "metric": "sample_tokens_per_sec",
         "value": round(ours_tps, 2),
         "unit": f"tok/s (b{BATCH} x {STEPS}-step maskgit+CFG, 115M, 1 chip)",
+        # baseline loop batch matches ours; ratio is architecture A/B
         "vs_baseline": round(ours_tps / base_tps, 3),
     }))
 

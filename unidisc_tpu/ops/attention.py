@@ -62,6 +62,30 @@ def multihead_attention(q: jax.Array,
                                softmax_scale=softmax_scale)
 
     b, lq, h, d = q.shape
+
+    # Batch chunking: above ~128MB of fp32 scores XLA's fusion planner
+    # stops keeping the (B,H,Lq,Lk) scores in VMEM tiles and spills them
+    # to HBM fp32, tripling per-token attention cost (measured on v5e at
+    # the t2i shape: 20 -> 69 us/tok going from CFG-16 to CFG-64; the B32
+    # batch anti-scaling of BASELINE.md). Running the same einsum over
+    # batch chunks keeps every chunk on the fused strategy.
+    score_bytes = b * h * lq * k.shape[1] * 4
+    _CHUNK_LIMIT = 96 * 1024 * 1024  # swept on v5e: 64-96MB best, 256MB bad
+    if score_bytes > _CHUNK_LIMIT and mask is None and b > 1:
+        per = b * h * lq * k.shape[1] * 4 // b
+        chunk = max(1, _CHUNK_LIMIT // per)
+        while b % chunk:
+            chunk -= 1
+        if chunk < b:
+            qs = q.reshape(b // chunk, chunk, lq, h, d)
+            ks = k.reshape(b // chunk, chunk, *k.shape[1:])
+            vs = v.reshape(b // chunk, chunk, *v.shape[1:])
+            out = jax.lax.map(
+                lambda qkv: multihead_attention(
+                    qkv[0], qkv[1], qkv[2], causal=causal, backend="xla",
+                    softmax_scale=softmax_scale),
+                (qs, ks, vs))
+            return out.reshape(b, lq, h, d)
     lk = k.shape[1]
     scale = softmax_scale if softmax_scale is not None else 1.0 / (d ** 0.5)
 
