@@ -102,7 +102,18 @@ def _needs_assets(name: str, hint: str):
     return factory
 
 
-_needs_assets("clip", "openai/clip-vit-large-patch14")
+@register("clip")
+def _clip(*, assets=None, **kw):
+    """CLIP text-image alignment reward — loads the judge from the local
+    asset dir (eval/judges.py protocol); raises with guidance otherwise."""
+    from unidisc_tpu.eval.judges import clip_score_fn
+    score_fn = clip_score_fn(assets)
+
+    def score(batch):
+        return score_fn(batch["images"], batch["texts"])
+    return score
+
+
 _needs_assets("hpsv2", "HPSv2 checkpoint; reference: "
               "unidisc/tokenizers/hpsv2_img_score.py")
 _needs_assets("laion_aesthetic", "LAION aesthetic v2 head; reference: "

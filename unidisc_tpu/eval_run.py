@@ -28,6 +28,15 @@ def main(argv=None):
     parser.add_argument("--codec", default=None)
     parser.add_argument("--image-size", type=int, default=256)
     parser.add_argument("--use-ema", action="store_true")
+    parser.add_argument("--fid-ref", default=None,
+                        help=".npy of reference images (N,H,W,3) for FID")
+    parser.add_argument("--mauve-ref", default=None,
+                        help="text file of reference texts (one per line)")
+    parser.add_argument("--clip", action="store_true",
+                        help="CLIP score of generated images vs their "
+                             "prompts (needs $UNIDISC_ASSETS)")
+    parser.add_argument("--assets", default=None,
+                        help="judge-asset dir (overrides $UNIDISC_ASSETS)")
     args = parser.parse_args(argv)
 
     import jax
@@ -106,6 +115,66 @@ def main(argv=None):
     results["gen/token_entropy"] = token_entropy(toks, m.vocab_size)
     txt_share = (toks[:, :m.txt_length] < m.text_vocab_size).mean()
     results["gen/txt_vocab_respected"] = float(txt_share)
+
+    # ---- quality judges (eval/judges.py; reference battery
+    # model_eval.py:1275-1733) ------------------------------------------------
+    from unidisc_tpu.eval import judges
+
+    gen_imgs = None
+    if args.codec and (args.fid_ref or args.clip):
+        from unidisc_tpu.tokenizers.image_codecs import get_codec
+        codec = get_codec(args.codec, image_size=args.image_size)
+        img_ids = np.clip(toks[:, m.txt_length:] - m.text_vocab_size,
+                          0, m.image_vocab_size - 1)
+        gen_imgs = np.asarray(codec.decode(codec.params, img_ids))
+
+    if args.fid_ref and gen_imgs is not None:
+        from unidisc_tpu.eval.fid import FIDMetric
+        ref_imgs = np.load(args.fid_ref)
+        try:
+            feat_fn = judges.inception_features(args.assets)
+            dim, which = 2048, "inception"
+        except FileNotFoundError:
+            feat_fn = judges.random_conv_features()
+            dim, which = 192, "random_conv(seed7)"
+        fid = FIDMetric(feat_fn, dim)
+        fid.update_real(ref_imgs)
+        fid.update_fake(gen_imgs)
+        results[f"fid/{which}"] = fid.compute()
+
+    if args.mauve_ref:
+        from unidisc_tpu.tokenizers.text import get_tokenizer
+        tokenizer = get_tokenizer()
+        gen_texts = [tokenizer.decode(r[r < m.text_vocab_size - 1])
+                     for r in toks[:, :m.txt_length]]
+        with open(args.mauve_ref) as f:
+            ref_texts = [ln.strip() for ln in f if ln.strip()]
+        feat_fn = None
+        try:
+            _, feat_fn = judges.judge_lm(args.assets)
+            results["mauve/features"] = "gpt2-large"
+        except FileNotFoundError:
+            results["mauve/features"] = "bag_of_ngrams"
+        results["mauve/score"] = judges.mauve_score(
+            ref_texts, gen_texts, feature_fn=feat_fn)["mauve"]
+        try:
+            nll_fn, _ = judges.judge_lm(args.assets)
+            results["gen/judge_ppl"] = float(
+                np.exp(np.mean(nll_fn(gen_texts))))
+        except FileNotFoundError:
+            pass
+
+    if args.clip and args.codec:
+        try:
+            score = judges.clip_score_fn(args.assets)
+            from unidisc_tpu.tokenizers.text import get_tokenizer
+            tokenizer = get_tokenizer()
+            prompts = [tokenizer.decode(r[r < m.text_vocab_size - 1])
+                       for r in toks[:, :m.txt_length]]
+            imgs = (np.clip(gen_imgs, 0, 1) * 255).astype(np.uint8)
+            results["clip/score"] = float(np.mean(score(imgs, prompts)))
+        except FileNotFoundError as e:
+            results["clip/score"] = f"skipped ({e})"
 
     for k, v in results.items():
         print(f"{k}: {v:.6g}" if isinstance(v, float) else f"{k}: {v}")
