@@ -164,8 +164,56 @@ def _make_dummy(image_size: int, vocab: int = 16384) -> ImageCodec:
 
 
 # ---------------------------------------------------------------------------
+# MAGVITv2 (Show-o LFQ VQGAN) and TiTok 1D tokenizer
+# ---------------------------------------------------------------------------
 
-_TORCH_ONLY = {"cosmos", "titok", "chameleon", "anole", "showo", "sd-vae",
+def _make_magvit(rng, image_size: int, **kw) -> ImageCodec:
+    """MAGVITv2 LFQ conv tokenizer (reference: image_tokenizers.py:166-187,
+    showlab/magvitv2 — the small-scale-config codec)."""
+    from unidisc_tpu.tokenizers.magvit import MagvitConfig, MagvitLFQ
+    cfg = MagvitConfig(**kw)
+    model = MagvitLFQ(cfg)
+    grid = image_size // cfg.downsample
+    params = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))[
+        "params"]
+
+    def encode(params, images):
+        return model.apply({"params": params}, images, method=MagvitLFQ.encode)
+
+    def decode(params, ids):
+        g = int(math.isqrt(ids.shape[-1]))
+        return model.apply({"params": params}, ids, g,
+                           method=MagvitLFQ.decode)
+
+    return ImageCodec(name="magvitv2", params=params, encode=encode,
+                      decode=decode, vocab_size=cfg.codebook_size,
+                      downsample=cfg.downsample)
+
+
+def _make_titok(name: str, rng, image_size: int, **kw) -> ImageCodec:
+    """TiTok 1D tokenizer (reference: image_tokenizers.py:126-141). NOTE:
+    tokens are a 1D latent sequence (64/128/256), not a spatial grid —
+    `downsample` is reported as image_size/sqrt(K) equivalent for layout
+    bookkeeping only."""
+    from unidisc_tpu.tokenizers.titok import TiTok, titok_preset
+    cfg = titok_preset(name, image_size=image_size, **kw)
+    model = TiTok(cfg)
+    params = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))[
+        "params"]
+
+    def encode(params, images):
+        return model.apply({"params": params}, images, method=TiTok.encode)
+
+    def decode(params, ids):
+        return model.apply({"params": params}, ids, method=TiTok.decode)
+
+    eq_down = max(1, int(image_size / math.sqrt(cfg.num_latent_tokens)))
+    return ImageCodec(name=name, params=params, encode=encode,
+                      decode=decode, vocab_size=cfg.codebook_size,
+                      downsample=eq_down)
+
+
+_TORCH_ONLY = {"cosmos", "chameleon", "anole", "showo", "sd-vae",
                "maskgit-vqgan", "taming", "video-vqvae", "bsq", "lumina"}
 
 
@@ -179,6 +227,10 @@ def get_codec(name: str, *, rng=None, image_size: int = 256,
         return _make_vqgan(vq8_config(**kw), rng, image_size, "llamagen-vq8")
     if name == "lfq":
         return _make_lfq(rng, image_size, **kw)
+    if name in ("magvit", "magvitv2"):
+        return _make_magvit(rng, image_size, **kw)
+    if name.startswith("titok"):
+        return _make_titok(name, rng, image_size, **kw)
     if name == "pixels":
         return _make_pixels(image_size, **kw)
     if name == "dummy":
