@@ -108,5 +108,88 @@ def test_t2i_fast_path_dispatch():
     eng = tiny_engine()  # maskgit, steps=4
     out = eng.run(text="a cat", task="gen_image", seed=1)
     assert ("t2i", 4) in eng._samplers  # fast path sampler was built/used
+
+
+def test_run_batch_mixed_prompts():
+    """run_batch serves N different prompts in one device batch with
+    per-row results and pad rows dropped."""
+    eng = tiny_engine()
+    prepared = [eng.prepare(text=f"prompt {i}") for i in range(3)]
+    results = eng.run_batch(prepared, seed=5, pad_to=4)
+    assert len(results) == 3
+    for r in results:
+        assert r["task"] == "gen_image"
+        assert (r["image_ids"] >= 0).all() and (r["image_ids"] < 64).all()
+    # different prompts condition differently -> rows differ (3 prompts,
+    # at least one pair should differ)
+    ids = [tuple(r["image_ids"].reshape(-1)) for r in results]
+    assert len(set(ids)) > 1
+
+
+def test_batcher_coalesces_concurrent_requests():
+    """N concurrent clients share one device batch (reference queue
+    semantics demo/server.py:117-219, redesigned as micro-batching)."""
+    from unidisc_tpu.serving.batcher import RequestBatcher
+    eng = tiny_engine()
+    # warm the jit so the batching window isn't dominated by compile
+    eng.run(text="warmup", seed=0)
+    batcher = RequestBatcher(eng, max_batch=8, max_wait_ms=300)
+    try:
+        futures = [batcher.submit(text=f"client {i}", seed=i)
+                   for i in range(6)]
+        results = [f.result(timeout=120) for f in futures]
+        assert len(results) == 6
+        assert all(r["task"] == "gen_image" for r in results)
+        # batching actually happened: fewer sampler launches than requests
+        assert batcher.batches_run < 6
+        assert batcher.requests_served == 6
+    finally:
+        batcher.shutdown()
+
+
+def test_batcher_no_batch_runs_alone():
+    from unidisc_tpu.serving.batcher import RequestBatcher
+    eng = tiny_engine()
+    eng.run(text="warmup", seed=0)
+    batcher = RequestBatcher(eng, max_batch=8, max_wait_ms=50)
+    try:
+        f = batcher.submit(text="solo", seed=3, no_batch=True)
+        r = f.result(timeout=120)
+        assert r["task"] == "gen_image"
+        # reproducibility: no_batch single runs with the same seed match
+        f2 = batcher.submit(text="solo", seed=3, no_batch=True)
+        r2 = f2.result(timeout=120)
+        np.testing.assert_array_equal(r["image_ids"], r2["image_ids"])
+    finally:
+        batcher.shutdown()
+
+
+def test_http_streaming():
+    eng = tiny_engine()
+    server = make_server(eng, port=0, max_wait_ms=5)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = {"messages": [{"role": "user", "content": "stream me"}],
+               "seed": 9, "steps": 4, "stream": True}
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}))
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        events = []
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        assert chunks[0]["choices"][0]["delta"]["role"] == "assistant"
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        assert any("content" in c["choices"][0]["delta"] for c in chunks)
+    finally:
+        server.batcher.shutdown()
+        server.shutdown()
     out2 = eng.run(text="a <mask:2> cat", task="gen_image", seed=1)
     assert 4 in eng._samplers  # generic sampler used for the masked prompt

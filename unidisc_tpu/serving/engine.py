@@ -78,18 +78,15 @@ class InferenceEngine:
         return modality
 
     # ------------------------------------------------------------------
-    def run(self, *, text: Optional[str] = None,
-            image_ids: Optional[np.ndarray] = None,
-            image_mask: Optional[np.ndarray] = None,
-            task: str = "auto", steps: Optional[int] = None,
-            seed: int = 0, batch: int = 1) -> dict:
-        """One request.
+    def prepare(self, *, text: Optional[str] = None,
+                image_ids: Optional[np.ndarray] = None,
+                image_mask: Optional[np.ndarray] = None,
+                task: str = "auto") -> dict:
+        """Build one request's conditioning row.
 
-        task: 'gen_image' (text given, image masked), 'gen_text' (image
-        given, text masked), 'infill' (both given; `<mask>` spans in text
-        and/or image_mask positions are regenerated), 'joint'
-        (unconditional joint generation), or 'auto'.
-        """
+        Returns {"task", "x0" (L,), "unmask" (L,), "fastpath" (bool)} —
+        fastpath means the span-factored t2i sampler applies (text fully
+        conditioned, whole image generated)."""
         m = self.m
         if task == "auto":
             if text is not None and image_ids is None:
@@ -101,8 +98,8 @@ class InferenceEngine:
             else:
                 task = "infill"
 
-        x0 = np.zeros((batch, m.length), np.int32)
-        unmask = np.zeros((batch, m.length), bool)
+        x0 = np.zeros(m.length, np.int32)
+        unmask = np.zeros(m.length, bool)
 
         if text is not None:
             text = expand_mask_tokens(text)
@@ -119,20 +116,20 @@ class InferenceEngine:
                     known.append(False)  # masked slot
             ids = ids[:m.txt_length]
             known = known[:m.txt_length]
-            x0[:, :len(ids)] = np.asarray(ids)
+            x0[:len(ids)] = np.asarray(ids)
             if task in ("gen_image", "infill"):
-                unmask[:, :len(known)] = np.asarray(known)
+                unmask[:len(known)] = np.asarray(known)
             if task == "gen_image" and "<mask>" not in text:
                 # t2i semantics: the prompt IS the full text conditioning —
                 # pad the rest of the text span (pad id) and mark it known
                 # (enables the span-factored fast sampler)
                 pad = getattr(self.tokenizer, "pad_token_id", 0)
-                x0[:, len(ids):m.txt_length] = pad
-                unmask[:, :m.txt_length] = True
+                x0[len(ids):m.txt_length] = pad
+                unmask[:m.txt_length] = True
 
         if image_ids is not None:
             image_ids = np.asarray(image_ids).reshape(-1)[:m.img_length]
-            x0[:, m.txt_length:m.txt_length + len(image_ids)] = \
+            x0[m.txt_length:m.txt_length + len(image_ids)] = \
                 image_ids + (0 if image_ids.max(initial=0) >=
                              m.text_vocab_size else m.text_vocab_size)
             img_known = np.ones(len(image_ids), bool)
@@ -140,17 +137,36 @@ class InferenceEngine:
                 img_known &= ~np.asarray(image_mask).reshape(-1)[
                     :len(image_ids)]
             if task in ("gen_text", "infill"):
-                unmask[:, m.txt_length:m.txt_length + len(image_ids)] = \
+                unmask[m.txt_length:m.txt_length + len(image_ids)] = \
                     img_known
 
-        modality = self._layout(batch)
-        # fast path: text fully conditioned + whole image generated
-        txt_fully_known = (task == "gen_image" and
-                           bool(unmask[:, :m.txt_length].all()) and
-                           not unmask[:, m.txt_length:].any() and
-                           self.config.sampling.predictor.startswith(
-                               "maskgit"))
-        if txt_fully_known:
+        fastpath = (task == "gen_image" and
+                    bool(unmask[:m.txt_length].all()) and
+                    not unmask[m.txt_length:].any() and
+                    self.config.sampling.predictor.startswith("maskgit"))
+        return {"task": task, "x0": x0, "unmask": unmask,
+                "fastpath": fastpath}
+
+    def run_batch(self, prepared: List[dict], *, steps: Optional[int] = None,
+                  seed: int = 0, pad_to: Optional[int] = None) -> List[dict]:
+        """Run N prepared requests as ONE device batch.
+
+        All rows must agree on `fastpath`. pad_to rounds the batch up with
+        duplicate rows so only a few batch shapes ever compile (the
+        batcher passes powers of two up to the per-chip optimum)."""
+        m = self.m
+        n = len(prepared)
+        assert n > 0
+        fastpath = all(p["fastpath"] for p in prepared)
+        x0 = np.stack([p["x0"] for p in prepared])
+        unmask = np.stack([p["unmask"] for p in prepared])
+        if pad_to and pad_to > n:
+            reps = pad_to - n
+            x0 = np.concatenate([x0, np.repeat(x0[-1:], reps, 0)])
+            unmask = np.concatenate([unmask, np.repeat(unmask[-1:], reps, 0)])
+        b = x0.shape[0]
+
+        if fastpath:
             sample = self._t2i_sampler(steps)
             out = sample(self.params, jax.random.PRNGKey(seed),
                          jnp.asarray(x0[:, :m.txt_length]))
@@ -158,21 +174,52 @@ class InferenceEngine:
             sample = self._sampler(steps)
             out = sample(self.params, jax.random.PRNGKey(seed),
                          jnp.asarray(x0), jnp.asarray(unmask),
-                         jnp.asarray(modality))
-        tokens = np.asarray(out.tokens)
+                         jnp.asarray(self._layout(b)))
+        tokens = np.asarray(out.tokens)[:n]
 
         txt_ids = tokens[:, :m.txt_length]
         img_ids = tokens[:, m.txt_length:] - m.text_vocab_size
         from unidisc_tpu.tokenizers.text import wrapped_batch_decode
         texts = wrapped_batch_decode(self.tokenizer, txt_ids)
 
-        result = {"task": task, "text": texts[0], "texts": texts,
-                  "image_ids": img_ids, "nfe": int(out.nfe)}
-        if self.codec is not None and task != "gen_text":
+        results = []
+        decode_imgs = self.codec is not None
+        if decode_imgs:
             imgs = np.asarray(self.codec.decode(
                 self.codec.params, jnp.asarray(np.maximum(img_ids, 0))))
-            result["images_b64"] = [encode_image_b64(img) for img in imgs]
-        return result
+        for i, p in enumerate(prepared):
+            r = {"task": p["task"], "text": texts[i], "texts": [texts[i]],
+                 "image_ids": img_ids[i:i + 1], "nfe": int(out.nfe)}
+            if decode_imgs and p["task"] != "gen_text":
+                r["images_b64"] = [encode_image_b64(imgs[i])]
+            results.append(r)
+        return results
+
+    def run(self, *, text: Optional[str] = None,
+            image_ids: Optional[np.ndarray] = None,
+            image_mask: Optional[np.ndarray] = None,
+            task: str = "auto", steps: Optional[int] = None,
+            seed: int = 0, batch: int = 1) -> dict:
+        """One request (batch>1 replicates it; see run_batch for true
+        multi-request batching).
+
+        task: 'gen_image' (text given, image masked), 'gen_text' (image
+        given, text masked), 'infill' (both given; `<mask>` spans in text
+        and/or image_mask positions are regenerated), 'joint'
+        (unconditional joint generation), or 'auto'.
+        """
+        p = self.prepare(text=text, image_ids=image_ids,
+                         image_mask=image_mask, task=task)
+        results = self.run_batch([p] * batch, steps=steps, seed=seed)
+        first = dict(results[0])
+        first["texts"] = [r["text"] for r in results]
+        if "images_b64" in first:
+            first["images_b64"] = [b for r in results
+                                   for b in r.get("images_b64", [])]
+        import numpy as _np
+        first["image_ids"] = _np.concatenate(
+            [r["image_ids"] for r in results], 0)
+        return first
 
 
 def encode_image_b64(img: np.ndarray) -> str:

@@ -20,6 +20,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+from unidisc_tpu.serving.batcher import RequestBatcher
 from unidisc_tpu.serving.engine import InferenceEngine, decode_image_b64
 
 
@@ -48,6 +49,7 @@ def parse_messages(messages: list) -> dict:
 
 class Handler(BaseHTTPRequestHandler):
     engine: InferenceEngine = None
+    batcher: RequestBatcher = None
     cache: dict = {}
     lock = threading.Lock()
 
@@ -98,12 +100,16 @@ class Handler(BaseHTTPRequestHandler):
                 image_ids = np.asarray(codec.encode(
                     codec.params, jnp.asarray(img[None])))[0]
 
-            with self.lock:  # one sampler run at a time per host
-                result = self.engine.run(
-                    text=parsed["text"], image_ids=image_ids,
-                    steps=req.get("steps"),
-                    seed=req.get("seed", int(time.time()) % 2 ** 31),
-                    task=req.get("task", "auto"))
+            kwargs = dict(
+                text=parsed["text"], image_ids=image_ids,
+                steps=req.get("steps"),
+                seed=req.get("seed", int(time.time()) % 2 ** 31),
+                task=req.get("task", "auto"),
+                no_batch=bool(req.get("no_batch", False)))
+            # concurrent requests coalesce into one device batch
+            result = self.batcher.run(**kwargs) if self.batcher is not None \
+                else self.engine.run(**{k: v for k, v in kwargs.items()
+                                        if k != "no_batch"})
 
             content = [{"type": "text", "text": result["text"]}]
             for b64 in result.get("images_b64", []):
@@ -119,17 +125,48 @@ class Handler(BaseHTTPRequestHandler):
                 "usage": {"nfe": result["nfe"]},
             }
             self.cache[key] = payload
-            self._json(200, payload)
+            if req.get("stream"):
+                self._stream(payload)
+            else:
+                self._json(200, payload)
         except Exception as e:  # noqa: BLE001
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
+    def _stream(self, payload: dict):
+        """OpenAI-style SSE chunks (role, then content items, then DONE)."""
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+
+        def chunk(delta, finish=None):
+            body = {"id": payload["id"], "object": "chat.completion.chunk",
+                    "model": payload["model"],
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}]}
+            self.wfile.write(f"data: {json.dumps(body)}\n\n".encode())
+
+        chunk({"role": "assistant"})
+        for item in payload["choices"][0]["message"]["content"]:
+            chunk({"content": [item]})
+        chunk({}, finish="stop")
+        self.wfile.write(b"data: [DONE]\n\n")
+
 
 def make_server(engine: InferenceEngine, port: int = 8000,
-                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+                host: str = "127.0.0.1", *,
+                batcher: Optional[RequestBatcher] = None,
+                max_batch: int = 16,
+                max_wait_ms: float = 25.0) -> ThreadingHTTPServer:
+    if batcher is None:
+        batcher = RequestBatcher(engine, max_batch=max_batch,
+                                 max_wait_ms=max_wait_ms)
     handler = type("BoundHandler", (Handler,),
-                   {"engine": engine, "cache": {},
+                   {"engine": engine, "batcher": batcher, "cache": {},
                     "lock": threading.Lock()})
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.batcher = batcher
+    return srv
 
 
 def main(argv: Optional[list] = None):
