@@ -164,6 +164,71 @@ def test_batcher_no_batch_runs_alone():
         batcher.shutdown()
 
 
+def test_interleaved_two_image_doc_with_spatial_mask():
+    """Interleaved request: [txt | img1(given, spatially masked) |
+    txt-slot | img2(generate)] — the engine must regenerate only the
+    masked region of img1, fill the text slot, and generate img2
+    (reference: demo/inference.py:161-330)."""
+    eng = tiny_engine()
+    g = 4  # 16-token images fit the tiny 32-token image span
+    img1 = (np.arange(g * g) % 64).astype(np.int32)
+    pixel_mask = np.zeros((16, 16), bool)
+    pixel_mask[:8, :8] = True  # top-left quadrant to regenerate
+    segments = [
+        {"kind": "text", "text": "two cats"},
+        {"kind": "image", "ids": img1, "pixel_mask": pixel_mask},
+        {"kind": "text", "generate": 4},
+        {"kind": "image", "generate": True, "grid": g},
+    ]
+    out = eng.run_interleaved(segments, seed=3)
+    assert [s["kind"] for s in out["segments"]] == \
+        ["text", "image", "text", "image"]
+    m = eng.m
+    # img1: unmasked (kept) region preserved exactly; token-grid mask is
+    # the 2x2 top-left of the 4x4 grid
+    tok_mask = np.zeros((g, g), bool)
+    tok_mask[:2, :2] = True
+    got1 = out["segments"][1]["ids"].reshape(g, g)
+    ref1 = img1.reshape(g, g)
+    np.testing.assert_array_equal(got1[~tok_mask], ref1[~tok_mask])
+    # everything generated lives in the image vocab
+    for idx in (1, 3):
+        ids = out["segments"][idx]["ids"]
+        assert (ids >= 0).all() and (ids < 64).all()
+    # text slot decoded to a string
+    assert isinstance(out["segments"][2]["text"], str)
+    # no masks remain in the document span
+    doc_len = sum(16 if s["kind"] == "image" else
+                  (s.get("generate") or len(eng.tokenizer.encode(
+                      s.get("text", ""), add_bos=False, add_eos=False)) + 1)
+                  for s in segments)
+    assert not (out["tokens"][:doc_len] == m.mask_index).any()
+
+
+def test_interleaved_http_roundtrip():
+    eng = tiny_engine()
+    server = make_server(eng, port=0, max_wait_ms=5)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = {"segments": [
+            {"kind": "text", "text": "hi"},
+            {"kind": "image", "generate": True, "grid": 4},
+        ], "seed": 11, "steps": 4}
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}))
+        body = json.load(r)
+        assert body["object"] == "interleaved.completion"
+        assert body["segments"][1]["kind"] == "image"
+        assert len(body["segments"][1]["ids"]) == 16
+    finally:
+        server.batcher.shutdown()
+        server.shutdown()
+
+
 def test_http_streaming():
     eng = tiny_engine()
     server = make_server(eng, port=0, max_wait_ms=5)

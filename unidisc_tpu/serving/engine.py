@@ -195,6 +195,136 @@ class InferenceEngine:
             results.append(r)
         return results
 
+    # ------------------------------------------------------------------
+    # interleaved documents (multi-image, generate-slots, spatial masks)
+    # ------------------------------------------------------------------
+    def _interleaved_sampler(self, steps: Optional[int] = None):
+        """Jitted sampler threading sample_ids/rope_index through the
+        forward via closure over TRACED values (one compile per shape, not
+        per request — the arrays are jit arguments, not constants)."""
+        key = ("interleaved", steps or self.config.sampling.steps)
+        if key not in self._samplers:
+            model = self.model
+
+            def run(params, rng, x0, unmask, modality, sample_ids,
+                    rope_index):
+                def fwd(p, x, sigma, m):
+                    # CFG doubles the batch inside the sampler: tile the
+                    # packing metadata to match
+                    reps = x.shape[0] // sample_ids.shape[0]
+                    si = jnp.tile(sample_ids, (reps, 1))
+                    ri = jnp.tile(rope_index, (reps, 1))
+                    return model.apply({"params": p}, x, sigma, modality=m,
+                                       sample_ids=si, rope_index=ri)
+
+                sample = build_sampler(fwd, self.config, num_steps=key[1])
+                return sample(params, rng, x0, unmask, modality)
+
+            self._samplers[key] = jax.jit(run)
+        return self._samplers[key]
+
+    def run_interleaved(self, segments: List[dict], *,
+                        steps: Optional[int] = None, seed: int = 0) -> dict:
+        """Generate over one interleaved multimodal document
+        (reference: demo/inference.py:161-330 interleaved requests).
+
+        segments: ordered list of dicts —
+          {"kind": "text", "text": str}                    given text
+          {"kind": "text", "generate": N}                  N-token text slot
+          {"kind": "image", "ids": (G*G,) array,
+           "pixel_mask": optional (H,W[,C]) bool}          given image; the
+             pixel mask (any-pooled to the token grid) marks the region to
+             REGENERATE (spatial inpainting)
+          {"kind": "image", "generate": True, "grid": G}   full image slot
+
+        Returns segments with generated content filled in, plus raw tokens.
+        """
+        m = self.m
+        L = m.length
+        x0 = np.zeros(L, np.int32)
+        unmask = np.zeros(L, bool)
+        modality = np.zeros(L, np.int32)
+        sample_ids = np.full(L, -1, np.int32)
+        rope_index = np.zeros(L, np.int32)
+        spans = []  # (kind, start, end, grid)
+        pos, txt_pos = 0, 0
+
+        for seg in segments:
+            if seg["kind"] == "text":
+                if seg.get("generate"):
+                    n = int(seg["generate"])
+                    ids = np.zeros(n, np.int32)
+                    known = np.zeros(n, bool)
+                else:
+                    # given text is fully conditioning; use a generate
+                    # slot for free-text spans (the flat run() API handles
+                    # <mask> infilling within a single text)
+                    ids = np.asarray(self.tokenizer.encode(
+                        seg["text"], add_bos=(pos == 0), add_eos=False),
+                        np.int32)
+                    known = np.ones(len(ids), bool)
+                n = len(ids)
+                assert pos + n <= L, "document exceeds model length"
+                x0[pos:pos + n] = ids
+                unmask[pos:pos + n] = known
+                rope_index[pos:pos + n] = np.arange(txt_pos, txt_pos + n)
+                txt_pos += n
+                spans.append(("text", pos, pos + n, 0))
+            else:
+                if seg.get("generate"):
+                    g = int(seg.get("grid", int(m.img_length ** 0.5)))
+                    ids = np.zeros(g * g, np.int32)
+                    known = np.zeros(g * g, bool)
+                else:
+                    raw = np.asarray(seg["ids"], np.int32).reshape(-1)
+                    g = int(len(raw) ** 0.5)
+                    ids = raw + (0 if raw.max(initial=0) >=
+                                 m.text_vocab_size else m.text_vocab_size)
+                    known = np.ones(g * g, bool)
+                    if seg.get("pixel_mask") is not None:
+                        pm = np.asarray(seg["pixel_mask"])
+                        d = pm.shape[0] // g
+                        known &= ~downscale_bool_mask(pm, d).reshape(-1)
+                n = len(ids)
+                assert pos + n <= L, "document exceeds model length"
+                x0[pos:pos + n] = ids
+                unmask[pos:pos + n] = known
+                modality[pos:pos + n] = 1
+                rope_index[pos:pos + n] = np.arange(n)  # raster, per image
+                spans.append(("image", pos, pos + n, g))
+            pos += n
+
+        sample_ids[:pos] = 0  # one document per row
+
+        sampler = self._interleaved_sampler(steps)
+        out = sampler(self.params, jax.random.PRNGKey(seed),
+                      jnp.asarray(x0[None]), jnp.asarray(unmask[None]),
+                      jnp.asarray(modality[None]),
+                      jnp.asarray(sample_ids[None]),
+                      jnp.asarray(rope_index[None]))
+        tokens = np.asarray(out.tokens)[0]
+
+        from unidisc_tpu.tokenizers.text import wrapped_batch_decode
+        result_segments = []
+        for kind, start, end, g in spans:
+            if kind == "text":
+                txt = wrapped_batch_decode(self.tokenizer,
+                                           tokens[None, start:end])[0]
+                result_segments.append({"kind": "text", "text": txt})
+            else:
+                ids = np.maximum(tokens[start:end] - m.text_vocab_size, 0)
+                seg_out = {"kind": "image", "ids": ids, "grid": g}
+                if self.codec is not None:
+                    try:
+                        img = np.asarray(self.codec.decode(
+                            self.codec.params, jnp.asarray(ids[None])))[0]
+                        seg_out["image_b64"] = encode_image_b64(img)
+                    except Exception:  # grid/codec mismatch: ids only
+                        pass
+                result_segments.append(seg_out)
+        return {"segments": result_segments, "tokens": tokens,
+                "nfe": int(out.nfe)}
+
     def run(self, *, text: Optional[str] = None,
             image_ids: Optional[np.ndarray] = None,
             image_mask: Optional[np.ndarray] = None,
@@ -220,6 +350,17 @@ class InferenceEngine:
         first["image_ids"] = _np.concatenate(
             [r["image_ids"] for r in results], 0)
         return first
+
+
+def downscale_bool_mask(mask: np.ndarray, d: int) -> np.ndarray:
+    """Pixel-space edit mask (H, W[, C]) -> token-grid mask via any-pooling
+    (reference: demo/inference.py:267-284 downscale_bool)."""
+    mask = np.asarray(mask)
+    if mask.ndim == 3:
+        mask = mask.any(-1)
+    h, w = mask.shape
+    assert h % d == 0 and w % d == 0, f"mask {h}x{w} not divisible by {d}"
+    return mask.reshape(h // d, d, w // d, d).any(axis=(1, 3))
 
 
 def encode_image_b64(img: np.ndarray) -> str:

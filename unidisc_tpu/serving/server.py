@@ -83,6 +83,42 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, self.cache[key])
                 return
 
+            if "segments" in req:
+                # interleaved multimodal document request (multi-image,
+                # generate-slots, spatial masks) — engine.run_interleaved
+                segs = []
+                for s in req["segments"]:
+                    s = dict(s)
+                    if s.get("kind") == "image" and "image_b64" in s:
+                        img = decode_image_b64(s.pop("image_b64"))
+                        codec = self.engine.codec
+                        import jax.numpy as jnp
+                        import numpy as np
+                        s["ids"] = np.asarray(codec.encode(
+                            codec.params, jnp.asarray(img[None])))[0]
+                    if s.get("pixel_mask") is not None:
+                        import numpy as np
+                        s["pixel_mask"] = np.asarray(s["pixel_mask"], bool)
+                    segs.append(s)
+                result = self.engine.run_interleaved(
+                    segs, steps=req.get("steps"),
+                    seed=req.get("seed", int(time.time()) % 2 ** 31))
+                out_segs = []
+                for s in result["segments"]:
+                    if s["kind"] == "text":
+                        out_segs.append({"kind": "text", "text": s["text"]})
+                    else:
+                        o = {"kind": "image", "grid": s["grid"],
+                             "ids": [int(i) for i in s["ids"]]}
+                        if "image_b64" in s:
+                            o["image_b64"] = s["image_b64"]
+                        out_segs.append(o)
+                self._json(200, {"id": f"unidisc-{key[:12]}",
+                                 "object": "interleaved.completion",
+                                 "segments": out_segs,
+                                 "usage": {"nfe": result["nfe"]}})
+                return
+
             parsed = parse_messages(req.get("messages", []))
             image_ids = None
             if parsed["image"] is not None and self.engine.codec is not None:
