@@ -44,6 +44,9 @@ def main(argv=None):
     parser.add_argument("--data", default=None,
                         help="comma-separated token-shard dirs; default "
                              "synthetic data")
+    parser.add_argument("--stream", action="store_true",
+                        help="sequential shard streaming with mid-epoch "
+                             "resume (shard-*.npz / ishard-*.npz dirs)")
     parser.add_argument("--overfit", action="store_true",
                         help="overfit the first batch (loss-down smoke; "
                              "reference trainer.overfit_on_first_batch)")
@@ -69,7 +72,20 @@ def main(argv=None):
 
     from unidisc_tpu.training.trainer import Trainer
 
-    if args.data:
+    if args.data and args.stream:
+        # webdataset-style sequential shard streaming with exact mid-epoch
+        # resume (the loader's counters ride the checkpoint meta)
+        from unidisc_tpu.data.streaming import StreamingShardReader
+        mk = lambda seed: StreamingShardReader(  # noqa: E731
+            args.data, batch_size=batch_global, seed=seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            pack_length=(config.model.length
+                         if config.trainer.interleaved else None),
+            eos_id=2 if config.trainer.interleaved else None)
+        train_loader = mk(config.seed)
+        val_loader = mk(config.seed + 777)
+    elif args.data:
         from unidisc_tpu.data.token_shards import (TokenShardDataset,
                                                    WeightedDatasetSampler)
         dsets = [TokenShardDataset(d) for d in args.data.split(",")]
