@@ -191,12 +191,22 @@ class Trainer:
         standalone_metrics MeanMetric collections)."""
         rng = jax.random.PRNGKey(self.config.seed + 2)
         sums = None
+        multihost = jax.process_count() > 1
         for i, batch in enumerate(val_loader):
             if i >= max_batches:
                 break
-            jbatch = jax.device_put(
-                {k: v for k, v in batch.items()
-                 if isinstance(v, np.ndarray)}, self.data_sharding)
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
+            if multihost:
+                # per-host local slices -> one global sharded batch; the
+                # eval_step's metric sums are global (computed over the
+                # sharded batch inside jit), so device_get on any host
+                # yields the SAME aggregate — no gather_object needed
+                from unidisc_tpu.utils.dist import host_batch_to_global
+                jbatch = host_batch_to_global(arrays, self.mesh,
+                                              self.data_sharding)
+            else:
+                jbatch = jax.device_put(arrays, self.data_sharding)
             m = self.eval_step(self.state, jbatch,
                                jax.random.fold_in(rng, i))
             vals = jax.device_get(m)

@@ -84,15 +84,31 @@ def barrier(name: str = "barrier"):
 def param_hash(params) -> str:
     """Deterministic hash of a parameter pytree (reference determinism
     hashes: module_hash/parameter_hash decoupled_utils.py:423-436, printed
-    at start/ckpt to catch cross-rank/resume divergence)."""
+    at start/ckpt to catch cross-rank/resume divergence).
+
+    Multi-host safe: sharded global arrays span non-addressable devices
+    (device_get would throw), so each host hashes its ADDRESSABLE shards in
+    deterministic order and the per-host digests are allgathered into one
+    global hash — identical on every host iff every host's shards agree."""
     import hashlib
 
     import numpy as np
     h = hashlib.sha256()
-    leaves, _ = jax.tree_util.tree_flatten(params)
-    for leaf in leaves:
-        h.update(np.asarray(jax.device_get(leaf)).tobytes())
-    return h.hexdigest()[:16]
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "addressable_shards"):
+            shards = sorted(leaf.addressable_shards,
+                            key=lambda s: str(s.index))
+            for sh in shards:
+                h.update(np.asarray(sh.data).tobytes())
+        else:
+            h.update(np.asarray(leaf).tobytes())
+    digest = h.hexdigest()[:16]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        local = np.frombuffer(bytes.fromhex(digest), np.uint8)
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        return hashlib.sha256(gathered.tobytes()).hexdigest()[:16]
+    return digest
 
 
 def host_local_batch_size(global_batch: int) -> int:
