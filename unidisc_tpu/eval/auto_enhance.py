@@ -77,6 +77,65 @@ def build_auto_enhance(sample_fn: Callable, config: Config,
     return enhance
 
 
+def build_caption_enhance(sample_fn: Callable, config: Config,
+                          reward_fn: Callable, tokenizer, augmenter,
+                          *, max_augmentations: int = 10) -> Callable:
+    """Caption-augmented enhance: regenerate the image span under LLM-style
+    caption variants and keep the best-scoring candidate.
+
+    Mirrors the reference's augmented-caption battery
+    (model_eval.py:3755-3800: decode captions, llm_func per caption,
+    re-tokenize each variant into the text span, regenerate, score); the
+    augmenter comes from utils/caption_llm.get_caption_augmenter. All K
+    variant regenerations for a sample run as ONE vmapped device program.
+
+    Returns enhance(params, rng, tokens, modality) ->
+    (best_tokens (B, L), rewards (K+1, B), variant_captions list[list[str]]).
+    """
+    import numpy as np
+
+    from unidisc_tpu.utils.caption_llm import augment_batch
+
+    m = config.model
+
+    def regen(params, rng, variant_tokens, modality):
+        # Keep the (new) text span, regenerate the whole image span.
+        keep = jnp.concatenate([
+            jnp.ones((variant_tokens.shape[0], m.txt_length), bool),
+            jnp.zeros((variant_tokens.shape[0], m.img_length), bool)], -1)
+        out = sample_fn(params, rng, variant_tokens, keep, modality)
+        return out.tokens, reward_fn(out.tokens)
+
+    def enhance(params, rng, tokens, modality):
+        b = tokens.shape[0]
+        captions = tokenizer.batch_decode(
+            np.asarray(tokens[:, :m.txt_length]))
+        variants = augment_batch(augmenter, captions,
+                                 max_per_caption=max_augmentations,
+                                 shuffle_seed=0)
+        k = min(len(v) for v in variants)
+        txt = np.stack([
+            tokenizer([v[j] for v in variants],
+                      max_length=m.txt_length)["input_ids"]
+            for j in range(k)])                       # (K, B, Lt)
+        variant_tokens = jnp.concatenate([
+            jnp.asarray(txt),
+            jnp.broadcast_to(tokens[None, :, m.txt_length:],
+                             (k, b, m.img_length))], -1)
+        cand_tokens, cand_rewards = jax.vmap(
+            lambda key, vt: regen(params, key, vt, modality))(
+            jax.random.split(rng, k), variant_tokens)  # (K,B,L), (K,B)
+        all_tokens = jnp.concatenate([tokens[None], cand_tokens], 0)
+        all_rewards = jnp.concatenate(
+            [reward_fn(tokens)[None], cand_rewards], 0)
+        best = jnp.argmax(all_rewards, axis=0)
+        best_tokens = jnp.take_along_axis(
+            all_tokens, best[None, :, None], axis=0)[0]
+        return best_tokens, all_rewards, variants
+
+    return enhance
+
+
 def model_likelihood_reward(config: Config, apply_fn, params,
                             rng: jax.Array) -> Callable:
     """Reward = negative NELBO estimate (higher = more likely under the
