@@ -66,6 +66,11 @@ class ModelConfig:
     # HBM traffic for inference (the (B, L, 48k) tensor dominates sampler
     # memory time)
     logits_dtype: str = "float32"
+    # muP (maximal-update parameterization) hyperparameter transfer: scale
+    # per-matrix learning rates by mup_base_width/hidden_size (the MuAdam
+    # rule; reference: model.mup flag + mup.MuAdam, model_setup.py:163/416)
+    mup: bool = False
+    mup_base_width: int = 256
 
     @property
     def vocab_size(self) -> int:
@@ -103,7 +108,12 @@ class TrainerConfig:
     beta2: float = 0.999
     opt_eps: float = 1e-8
     warmup_steps: int = 2500
-    lr_schedule: str = "constant_warmup"  # constant_warmup | cosine_decay
+    # constant_warmup | cosine_decay | constant_warmup_cosine_decay |
+    # cosine_hard_restarts (reference: configs/lr_scheduler/*.yaml)
+    lr_schedule: str = "constant_warmup"
+    lr_min: float = 1e-6      # floor for the decaying schedules
+    warmup_lr_init: float = 0.0
+    num_cycles: int = 1       # cosine_hard_restarts cycle count
     max_steps: int = 1_000_000
     gradient_clip_val: float = 1.0
     ema_decay: float = 0.9999

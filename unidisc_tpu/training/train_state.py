@@ -76,16 +76,40 @@ def _split_metrics(out: LossOutput, modality, loss, grad_norm) -> StepMetrics:
 # ---------------------------------------------------------------------------
 
 def make_lr_schedule(config: Config):
-    """constant_warmup / cosine_decay (reference: configs/lr_scheduler/*)."""
+    """The reference's schedule zoo (configs/lr_scheduler/*.yaml):
+    constant_warmup, cosine_decay (get_cosine_schedule_with_warmup),
+    constant_warmup_cosine_decay (timm CosineDecayWarmupLRScheduler with
+    warmup_prefix + lr_min floor), cosine_hard_restarts
+    (get_cosine_with_hard_restarts_schedule_with_warmup, num_cycles)."""
     t = config.trainer
+    total = max(t.max_steps, t.warmup_steps + 1)
+    warmup = optax.linear_schedule(t.warmup_lr_init, t.lr, t.warmup_steps)
     if t.lr_schedule == "constant_warmup":
         return optax.join_schedules(
-            [optax.linear_schedule(0.0, t.lr, t.warmup_steps),
-             optax.constant_schedule(t.lr)],
-            [t.warmup_steps])
+            [warmup, optax.constant_schedule(t.lr)], [t.warmup_steps])
     if t.lr_schedule == "cosine_decay":
         return optax.warmup_cosine_decay_schedule(
-            0.0, t.lr, t.warmup_steps, max(t.max_steps, t.warmup_steps + 1))
+            t.warmup_lr_init, t.lr, t.warmup_steps, total)
+    if t.lr_schedule == "constant_warmup_cosine_decay":
+        return optax.join_schedules(
+            [warmup,
+             optax.cosine_decay_schedule(
+                 t.lr, max(total - t.warmup_steps, 1),
+                 alpha=t.lr_min / t.lr)],
+            [t.warmup_steps])
+    if t.lr_schedule == "cosine_hard_restarts":
+        # HF formula: after warmup, lr = peak * 0.5 * (1 + cos(pi *
+        # ((num_cycles * progress) % 1))) — each cycle decays to 0 then
+        # restarts at peak; 0 past the end of training.
+        decay_len = max(total - t.warmup_steps, 1)
+
+        def restarts(step):
+            progress = step / decay_len
+            phase = (t.num_cycles * jnp.minimum(progress, 1.0)) % 1.0
+            return t.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * phase)) \
+                * (progress < 1.0)
+
+        return optax.join_schedules([warmup, restarts], [t.warmup_steps])
     raise ValueError(t.lr_schedule)
 
 
@@ -103,8 +127,13 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     else:
         opt = optax.adamw(make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
                           eps=t.opt_eps, weight_decay=t.weight_decay)
-    return optax.chain(
-        optax.clip_by_global_norm(t.gradient_clip_val), opt)
+    parts = [optax.clip_by_global_norm(t.gradient_clip_val), opt]
+    if config.model.mup:
+        # MuAdam rule: per-matrix LR *= base_width/width (training/mup.py;
+        # reference: mup.MuAdam wrapping, model_setup.py:416-418)
+        from unidisc_tpu.training.mup import mup_lr_scale
+        parts.append(mup_lr_scale(config))
+    return optax.chain(*parts)
 
 
 def init_train_state(config: Config, params: Any) -> TrainState:
