@@ -104,13 +104,21 @@ def _needs_assets(name: str, hint: str):
 
 @register("clip")
 def _clip(*, assets=None, **kw):
-    """CLIP text-image alignment reward — loads the judge from the local
-    asset dir (eval/judges.py protocol); raises with guidance otherwise."""
-    from unidisc_tpu.eval.judges import clip_score_fn
-    score_fn = clip_score_fn(assets)
+    """CLIP text-image alignment reward — lazily loads the judge from the
+    local asset dir on first call (eval/judges.py protocol); raises with
+    guidance when the assets are missing."""
+    state = {}
 
     def score(batch):
-        return score_fn(batch["images"], batch["texts"])
+        if "fn" not in state:
+            from unidisc_tpu.eval.judges import clip_score_fn
+            try:
+                state["fn"] = clip_score_fn(assets)
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"reward 'clip' needs downloaded judge weights: {e}"
+                ) from e
+        return state["fn"](batch["images"], batch["texts"])
     return score
 
 

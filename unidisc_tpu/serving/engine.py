@@ -50,6 +50,9 @@ class InferenceEngine:
             return model.apply({"params": params}, x, sigma,
                                modality=modality)
         self._forward = forward_logits
+        # public alias: the eval/reward stack wants a bare apply_fn
+        # (params, x, sigma, modality) -> logits
+        self.apply_fn = forward_logits
 
     # ------------------------------------------------------------------
     def _sampler(self, steps: Optional[int] = None):
@@ -350,6 +353,39 @@ class InferenceEngine:
         first["image_ids"] = _np.concatenate(
             [r["image_ids"] for r in results], 0)
         return first
+
+
+def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
+                 codec_name: Optional[str] = None, steps: Optional[int] = None
+                 ) -> "InferenceEngine":
+    """Construct an engine from a config preset and optional run dir
+    (EMA params) + codec — the shared bootstrap for the server, the
+    scoring battery, and scripts."""
+    import json as _json
+
+    import jax
+
+    from unidisc_tpu.config import Config
+    from unidisc_tpu.models.dit import init_dit
+
+    over = {"sampling.steps": steps} if steps else {}
+    config = Config.make(preset, **over)
+    model, params = init_dit(jax.random.PRNGKey(config.seed), config.model)
+    if checkpoint:
+        from unidisc_tpu.training.checkpoint import CheckpointManager
+        from unidisc_tpu.training.train_state import init_train_state
+        mgr = CheckpointManager(f"{checkpoint}/checkpoints")
+        state, meta = mgr.restore(init_train_state(config, params))
+        params = state.ema_params
+        config = Config.from_json(_json.dumps(meta["config"]))
+    codec = None
+    if codec_name:
+        from unidisc_tpu.tokenizers.image_codecs import get_codec
+        grid = int(config.model.img_length ** 0.5)
+        probe = get_codec(codec_name)
+        codec = get_codec(codec_name,
+                          image_size=grid * probe.downsample)
+    return InferenceEngine(config, model, params, codec=codec)
 
 
 def downscale_bool_mask(mask: np.ndarray, d: int) -> np.ndarray:

@@ -29,6 +29,7 @@ def parse_messages(messages: list) -> dict:
     demo/inference.py:125-160 messages_to_batch)."""
     text_parts = []
     image = None
+    mask = None
     for msg in messages:
         if msg.get("role") not in ("user", "system"):
             continue
@@ -42,9 +43,16 @@ def parse_messages(messages: list) -> dict:
                 elif item.get("type") == "image_url":
                     url = item["image_url"]["url"]
                     if url.startswith("data:"):
-                        image = decode_image_b64(url.split(",", 1)[1])
+                        decoded = decode_image_b64(url.split(",", 1)[1])
+                        # an image item flagged is_mask is a spatial edit
+                        # mask over the previous image (reference:
+                        # demo/scoring/call_model.py:85-92)
+                        if item.get("is_mask"):
+                            mask = decoded
+                        else:
+                            image = decoded
     text = "\n".join(p for p in text_parts if p) or None
-    return {"text": text, "image": image}
+    return {"text": text, "image": image, "mask": mask}
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -121,6 +129,7 @@ class Handler(BaseHTTPRequestHandler):
 
             parsed = parse_messages(req.get("messages", []))
             image_ids = None
+            image_mask = None
             if parsed["image"] is not None and self.engine.codec is not None:
                 import jax.numpy as jnp
                 import numpy as np
@@ -135,9 +144,19 @@ class Handler(BaseHTTPRequestHandler):
                 img = np.asarray(pil, np.float32) / 127.5 - 1
                 image_ids = np.asarray(codec.encode(
                     codec.params, jnp.asarray(img[None])))[0]
+                if parsed["mask"] is not None:
+                    from unidisc_tpu.serving.engine import \
+                        downscale_bool_mask
+                    m = parsed["mask"]
+                    pil_m = Image.fromarray(
+                        ((m + 1) * 127.5).clip(0, 255).astype("uint8"))
+                    m = np.asarray(pil_m.resize((size, size))).mean(-1) > 127
+                    image_mask = downscale_bool_mask(
+                        m, codec.downsample).reshape(-1)
 
             kwargs = dict(
                 text=parsed["text"], image_ids=image_ids,
+                image_mask=image_mask,
                 steps=req.get("steps"),
                 seed=req.get("seed", int(time.time()) % 2 ** 31),
                 task=req.get("task", "auto"),
