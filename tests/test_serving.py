@@ -258,3 +258,54 @@ def test_http_streaming():
         server.shutdown()
     out2 = eng.run(text="a <mask:2> cat", task="gen_image", seed=1)
     assert 4 in eng._samplers  # generic sampler used for the masked prompt
+
+
+def test_webui_and_mask_attachment():
+    """GET / serves the chat UI; an is_mask image attachment becomes the
+    engine's spatial edit mask (reference wire format:
+    demo/scoring/call_model.py:85-92)."""
+    from unidisc_tpu.serving.engine import encode_image_b64
+    from unidisc_tpu.tokenizers.image_codecs import get_codec
+
+    cfg = Config.make("tiny").override(**{
+        "model.text_vocab_size": 261, "model.image_vocab_size": 64,
+        "model.length": 32, "model.txt_length": 16, "model.img_length": 16,
+        "model.force_argmax_valid_indices": True, "model.dropout": 0.0,
+        "sampling.steps": 2, "sampling.predictor": "maskgit"})
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    codec = get_codec("dummy", image_size=64, vocab=64)
+    eng = InferenceEngine(cfg, model, params, codec=codec)
+    server = make_server(eng, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert "UniDisc-TPU" in page and "/v1/chat/completions" in page
+
+        img = np.random.RandomState(0).rand(64, 64, 3) * 2 - 1
+        mask = np.full((64, 64, 3), -1.0)
+        mask[:32] = 1.0  # top half masked
+        content = [
+            {"type": "text", "text": "a red square"},
+            {"type": "image_url", "image_url": {
+                "url": "data:image/png;base64," +
+                       encode_image_b64(img.astype(np.float32))},
+             "is_mask": False},
+            {"type": "image_url", "image_url": {
+                "url": "data:image/png;base64," +
+                       encode_image_b64(mask.astype(np.float32))},
+             "is_mask": True},
+        ]
+        req = {"messages": [{"role": "user", "content": content}],
+               "seed": 3, "task": "infill", "no_batch": True}
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}))
+        body = json.load(r)
+        kinds = [c["type"] for c in body["choices"][0]["message"]["content"]]
+        assert "image_url" in kinds  # regenerated image comes back
+    finally:
+        server.shutdown()

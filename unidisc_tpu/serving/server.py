@@ -75,6 +75,18 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             self._json(200, {"status": "ok"})
+        elif self.path in ("/", "/index.html"):
+            # browser chat/editing UI (reference: demo/client.py fasthtml
+            # app; here a dependency-free static page)
+            import os
+            page = os.path.join(os.path.dirname(__file__), "webui.html")
+            with open(page, "rb") as f:
+                body = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._json(404, {"error": "not found"})
 
