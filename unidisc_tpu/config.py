@@ -66,6 +66,11 @@ class ModelConfig:
     # HBM traffic for inference (the (B, L, 48k) tensor dominates sampler
     # memory time)
     logits_dtype: str = "float32"
+    # inference quantization: None | "int8" (W8A8 — per-channel int8
+    # weights + dynamic per-token int8 activations on the trunk matmuls
+    # and vocab head; 1.7-1.8x matmul speedup measured on v5e, see
+    # ops/quant.py). Convert params with quant.quantize_dit_params.
+    quant: Optional[str] = None
     # muP (maximal-update parameterization) hyperparameter transfer: scale
     # per-matrix learning rates by mup_base_width/hidden_size (the MuAdam
     # rule; reference: model.mup flag + mup.MuAdam, model_setup.py:163/416)

@@ -55,6 +55,46 @@ def embedding_init(dtype=jnp.float32):
     return init
 
 
+class QDense(nn.Module):
+    """int8 W8A8 dense for inference (ops/quant.py): per-out-channel int8
+    kernel + scale params, dynamic per-token activation quantization,
+    int32 MXU accumulation. Params come from quant.quantize_dit_params;
+    the init here only fixes shapes/dtypes."""
+
+    features: int
+    use_bias: bool = True
+    out_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from unidisc_tpu.ops.quant import qdot
+        k = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            lambda key, shape: jnp.round(
+                torch_linear_init()(key, shape) * 127).astype(jnp.int8),
+            (k, self.features))
+        scale = self.param("scale",
+                           lambda key, shape: jnp.full(shape, 1 / 127.0),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        return qdot(x, kernel_q, scale, bias=bias, out_dtype=self.out_dtype)
+
+
+def make_dense(cfg: ModelConfig, features: int, *, use_bias: bool,
+               dtype, name: str, kernel_init, bias_init=None):
+    """nn.Dense, or QDense when cfg.quant == 'int8' (inference)."""
+    if cfg.quant == "int8":
+        return QDense(features, use_bias=use_bias, out_dtype=dtype,
+                      name=name)
+    kw = dict(use_bias=use_bias, dtype=dtype, kernel_init=kernel_init,
+              name=name)
+    if use_bias and bias_init is not None:
+        kw["bias_init"] = bias_init
+    return nn.Dense(features, **kw)
+
+
 class Norm(nn.Module):
     """Weight-only LayerNorm/RMSNorm computed in fp32
     (reference: models/dit.py:384-404)."""
@@ -153,8 +193,10 @@ class Attention(nn.Module):
         c = self.cfg
         h, d = c.n_heads, c.head_dim
         dim = c.hidden_size
-        qkv = nn.Dense(3 * dim, use_bias=False, dtype=self.compute_dtype,
-                       kernel_init=torch_linear_init(), name="attn_qkv")(x)
+        qkv = make_dense(c, 3 * dim, use_bias=False,
+                         dtype=self.compute_dtype,
+                         kernel_init=torch_linear_init(),
+                         name="attn_qkv")(x)
 
         if c.qk_norm:
             # full-width LayerNorm with bias over the q and k slices
@@ -214,8 +256,9 @@ class Attention(nn.Module):
                                           backend=backend)
 
         out = out.reshape(b, l, dim)
-        out = nn.Dense(dim, use_bias=False, dtype=self.compute_dtype,
-                       kernel_init=torch_linear_init(), name="attn_out")(out)
+        out = make_dense(c, dim, use_bias=False, dtype=self.compute_dtype,
+                         kernel_init=torch_linear_init(),
+                         name="attn_out")(out)
         return out, new_cache
 
 
@@ -271,13 +314,17 @@ class DDiTBlock(nn.Module):
         hidden = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm2")(x)
         if cfg.time_conditioning:
             hidden = modulate(hidden, shift_mlp, scale_mlp, modality)
-        hidden = nn.Dense(cfg.mlp_ratio * dim, dtype=self.compute_dtype,
-                          kernel_init=torch_linear_init(),
-                          bias_init=torch_linear_init(), name="mlp_0")(hidden)
+        hidden = make_dense(cfg, cfg.mlp_ratio * dim, use_bias=True,
+                            dtype=self.compute_dtype,
+                            kernel_init=torch_linear_init(),
+                            bias_init=torch_linear_init(),
+                            name="mlp_0")(hidden)
         hidden = nn.gelu(hidden, approximate=True)
-        hidden = nn.Dense(dim, dtype=self.compute_dtype,
-                          kernel_init=torch_linear_init(),
-                          bias_init=torch_linear_init(), name="mlp_2")(hidden)
+        hidden = make_dense(cfg, dim, use_bias=True,
+                            dtype=self.compute_dtype,
+                            kernel_init=torch_linear_init(),
+                            bias_init=torch_linear_init(),
+                            name="mlp_2")(hidden)
         if cfg.sandwich_normalization:
             hidden = Norm(dim, cfg.norm_type, self.compute_dtype,
                           name="post_ff_norm")(hidden)
@@ -312,10 +359,10 @@ class DDitFinalLayer(nn.Module):
         # always accumulates in fp32 (preferred_element_type via dtype).
         out_dtype = jnp.bfloat16 if cfg.logits_dtype == "bfloat16" \
             else jnp.float32
-        x = nn.Dense(cfg.vocab_size, dtype=out_dtype,
-                     kernel_init=kernel_init,
-                     bias_init=nn.initializers.zeros, name="linear")(
-                         x.astype(out_dtype))
+        x = make_dense(cfg, cfg.vocab_size, use_bias=True, dtype=out_dtype,
+                       kernel_init=kernel_init,
+                       bias_init=nn.initializers.zeros, name="linear")(
+                           x.astype(out_dtype))
         return x
 
 

@@ -1,0 +1,106 @@
+"""W8A8 int8 quantized matmuls for TPU inference.
+
+v5e's MXU runs int8xint8->int32 at 2x the bf16 rate (394 vs 197 peak);
+measured on-chip here: 1.7-1.8x over bf16 at the production shapes
+(head 768x48385, qkv 768x2304, mlp 768x3072 — see BASELINE.md). The
+sampler's forward is trunk-matmul-bound, so this is the headline lever the
+attention kernels can't reach.
+
+Scheme (standard dynamic W8A8):
+  - weights: symmetric per-out-channel int8, quantized ONCE offline
+    (quantize_per_channel / quantize_dit_params);
+  - activations: symmetric per-token (row) int8, quantized on the fly
+    inside the jitted program (dynamic_quantize) — one max-abs reduction
+    per token, fused by XLA into the surrounding elementwise work;
+  - dot in int8 with int32 accumulation, then a rank-1 rescale
+    (row_scale x col_scale) applied to the int32 result.
+
+No reference counterpart: the reference serves in bf16/fp16 (torch).
+This is inference-only; training stays bf16-compute/fp32-params.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_per_channel(w: jax.Array, axis: int = 0
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-out-channel int8 weight quantization.
+
+    `axis` is the CONTRACTING (fan-in) axis; scales are per output channel.
+    Returns (w_q int8 same shape, scale f32 with axis reduced)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    w_q = jnp.round(w.astype(jnp.float32) /
+                    jnp.expand_dims(scale, axis)).astype(jnp.int8)
+    return w_q, scale
+
+
+def dynamic_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row (last-dim) symmetric int8 activation quantization."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x_q = jnp.round(x.astype(jnp.float32) / scale).astype(jnp.int8)
+    return x_q, scale.astype(jnp.float32)
+
+
+def qdot(x: jax.Array, w_q: jax.Array, w_scale: jax.Array, *,
+         bias: Optional[jax.Array] = None,
+         out_dtype=jnp.bfloat16) -> jax.Array:
+    """y = x @ dequant(w_q) with int8 MXU math.
+
+    x: (..., K) float; w_q: (K, N) int8; w_scale: (N,) f32.
+    Accumulates int32 on the MXU, rescales by (x_row_scale * w_scale)."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    x_q, x_scale = dynamic_quantize(x2)
+    y = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * x_scale * w_scale[None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)[None, :]
+    return y.astype(out_dtype).reshape(*lead, w_q.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# DIT parameter-tree conversion
+# ---------------------------------------------------------------------------
+
+def _quant_leaf(sub: dict, axis: int) -> dict:
+    """{'kernel', ...} -> {'kernel_q', 'scale', ...} (bias passes through)."""
+    sub = dict(sub)
+    w_q, scale = quantize_per_channel(sub.pop("kernel"), axis=axis)
+    sub["kernel_q"], sub["scale"] = w_q, scale
+    return sub
+
+
+def quantize_dit_params(params) -> dict:
+    """fp32 DIT param tree -> the tree a quant="int8" DIT expects.
+
+    Quantized: the trunk matmuls (attn_qkv, attn_out, mlp_0, mlp_2 —
+    scan-stacked (n_blocks, K, N), per-layer per-out-channel) and the vocab
+    head (output_layer/linear). adaLN modulation, timestep MLP, embeddings
+    and norms are tiny and stay fp."""
+    try:
+        from flax.core import unfreeze
+        params = unfreeze(params)
+    except Exception:
+        pass
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    attn = dict(blocks["attention"])
+    for name in ("attn_qkv", "attn_out"):
+        attn[name] = _quant_leaf(attn[name], axis=1)
+    blocks["attention"] = attn
+    for name in ("mlp_0", "mlp_2"):
+        blocks[name] = _quant_leaf(blocks[name], axis=1)
+    out["blocks"] = blocks
+    head = dict(params["output_layer"])
+    head["linear"] = _quant_leaf(head["linear"], axis=0)
+    out["output_layer"] = head
+    return out

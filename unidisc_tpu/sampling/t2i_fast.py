@@ -55,10 +55,17 @@ def _head_pre(params, hidden_img, c, cfg, compute_dtype=jnp.bfloat16):
 
 
 def _head_linear(params, y, cfg, v0):
-    kernel = params["output_layer"]["linear"]["kernel"][:, v0:]
-    bias = params["output_layer"]["linear"]["bias"][v0:]
+    lin = params["output_layer"]["linear"]
     dt = jnp.bfloat16 if cfg.model.logits_dtype == "bfloat16" \
         else jnp.float32
+    if "kernel_q" in lin:
+        # int8 W8A8 head (ops/quant.py): slice the image-vocab columns of
+        # the quantized kernel + its per-channel scales
+        from unidisc_tpu.ops.quant import qdot
+        return qdot(y, lin["kernel_q"][:, v0:], lin["scale"][v0:],
+                    bias=lin["bias"][v0:], out_dtype=dt)
+    kernel = lin["kernel"][:, v0:]
+    bias = lin["bias"][v0:]
     return (y.astype(dt) @ kernel.astype(dt)) + bias.astype(dt)
 
 
