@@ -124,3 +124,26 @@ def test_quant_sampler_runs():
     toks = np.asarray(out.tokens)
     assert toks.shape == (b, l)
     assert (toks != cfg.model.mask_index).all()
+
+
+def test_engine_quantized_serving():
+    """build_engine(quantize='int8') serves a t2i request end-to-end."""
+    import dataclasses as _dc
+
+    from unidisc_tpu.models.dit import DIT as _DIT
+    from unidisc_tpu.ops.quant import quantize_dit_params as _qp
+    from unidisc_tpu.serving.engine import InferenceEngine
+
+    cfg = _tiny_cfg(**{"sampling.steps": 2,
+                       "sampling.predictor": "maskgit",
+                       "model.force_argmax_valid_indices": True,
+                       "model.text_vocab_size": 261})
+    from unidisc_tpu.models.dit import init_dit as _init
+    model, params = _init(jax.random.PRNGKey(0), cfg.model)
+    qm = _dc.replace(cfg.model, quant="int8")
+    eng = InferenceEngine(_dc.replace(cfg, model=qm), DIT(qm),
+                          quantize_dit_params(params))
+    out = eng.run(text="a cat", task="gen_image", seed=1)
+    ids = np.asarray(out["image_ids"])
+    assert ids.shape[-1] == cfg.model.img_length
+    assert (ids >= 0).all() and (ids < cfg.model.image_vocab_size).all()

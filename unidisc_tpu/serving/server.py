@@ -244,25 +244,17 @@ def main(argv: Optional[list] = None):
                         help="run dir with checkpoints/ (EMA params used)")
     parser.add_argument("--model", default="small")
     parser.add_argument("--steps", type=int, default=32)
+    parser.add_argument("--codec", default=None,
+                        help="image codec for pixel I/O (e.g. llamagen-vq16)")
+    parser.add_argument("--quantize", default=None, choices=[None, "int8"],
+                        help="serve with int8 W8A8 matmuls (~1.4x on v5e)")
     args = parser.parse_args(argv)
 
-    import jax
+    from unidisc_tpu.serving.engine import build_engine
 
-    from unidisc_tpu.config import Config
-    from unidisc_tpu.models.dit import init_dit
-
-    config = Config.make(args.model, **{"sampling.steps": args.steps})
-    model, params = init_dit(jax.random.PRNGKey(config.seed), config.model)
-    if args.ckpt:
-        from unidisc_tpu.training.checkpoint import CheckpointManager
-        from unidisc_tpu.training.train_state import init_train_state
-        mgr = CheckpointManager(f"{args.ckpt}/checkpoints")
-        state, meta = mgr.restore(init_train_state(config, params))
-        params = state.ema_params
-        config = Config.from_json(json.dumps(meta["config"]))
-        print(f"[serve] restored step {meta['step']}")
-
-    engine = InferenceEngine(config, model, params)
+    engine = build_engine(preset=args.model, checkpoint=args.ckpt,
+                          codec_name=args.codec, steps=args.steps,
+                          quantize=args.quantize)
     server = make_server(engine, args.port, args.host)
     print(f"[serve] listening on {args.host}:{args.port}")
     server.serve_forever()
