@@ -307,6 +307,16 @@ EXPERIMENTS = {
         "model.full_attention": False,
         "model.time_conditioning": False,
     },
+    # 8192-token long-context stress layout (reference:
+    # eval.big_seq_len_eval — model.py:158-168 swaps in synthetic
+    # [4096 txt | 4096 img] batches for long-sequence speed evals; here
+    # it is a first-class preset the eval harness / bench scripts apply)
+    "big_seq_len_eval": {
+        "model.length": 8192,
+        "model.txt_length": 4096,
+        "model.img_length": 4096,
+        "sampling.steps": 32,
+    },
     # interleaved variable-length training (reference:
     # configs/experiments/interleaved*.yaml)
     "interleaved": {
