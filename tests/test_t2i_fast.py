@@ -67,3 +67,38 @@ def test_t2i_sampler_generates_valid_images():
     # noise-removal pass skipped when the schedule unmasked everything
     assert int(out.nfe) in (config.sampling.steps,
                             config.sampling.steps + 1)
+
+
+def test_dilated_unmasking_schedule():
+    """Dilated maskgit (PAPERS.md 'Plan for Speed'): in every restricted
+    step all newly revealed image tokens share one dilated 2D group
+    (>= d apart in both grid axes), and sampling still completes."""
+    from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler as _build
+
+    d = 2
+    config = cfg(**{"sampling.maskgit_dilation": d,
+                    "sampling.steps": 8})
+    m = config.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    sample = jax.jit(_build(model, config, return_trajectory=True))
+    txt = jnp.zeros((2, m.txt_length), jnp.int32)
+    out, traj = sample(params, jax.random.PRNGKey(3), txt)
+    toks = np.asarray(out.tokens)
+    assert (toks[:, m.txt_length:] != m.mask_index).all()
+
+    side = int(round(m.img_length ** 0.5))
+    rr, cc = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    group = ((rr % d) * d + (cc % d)).reshape(-1)
+    traj = np.asarray(traj)  # (steps, B, L)
+    steps, n_groups = traj.shape[0], d * d
+    prev = np.full_like(traj[0][:, m.txt_length:], m.mask_index)
+    for i in range(steps):
+        img = traj[i][:, m.txt_length:]
+        new = (prev == m.mask_index) & (img != m.mask_index)
+        if i < steps - n_groups:  # restricted steps
+            for b in range(new.shape[0]):
+                gs = np.unique(group[new[b]])
+                assert len(gs) <= 1, (i, b, gs)
+                if len(gs) == 1:
+                    assert gs[0] == i % n_groups
+        prev = img

@@ -153,6 +153,12 @@ class SamplingConfig:
     cfg_max_timestep: Optional[float] = None
     maskgit_r_temp: float = 10.0
     maskgit_mode: str = "arccos"  # root | linear | square | cosine | arccos
+    # dilated unmasking ("Plan for Speed: Dilated Scheduling for Masked
+    # Diffusion LMs", PAPERS.md): restrict each maskgit step's reveals to
+    # one of d^2 spatially-dilated 2D groups (tokens in a group are >= d
+    # apart in both grid axes), weakening intra-step independence errors
+    # so fewer steps reach equal quality. 0 = off.
+    maskgit_dilation: int = 0
     top_p: Optional[float] = None
     temperature: float = 1.0
     sampling_eps: float = 1e-5

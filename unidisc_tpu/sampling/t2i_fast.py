@@ -97,9 +97,14 @@ def _sigma_cond(params, sigma, time_conditioning=True,
 
 
 def build_t2i_sampler(model, config: Config,
-                      num_steps: Optional[int] = None) -> Callable:
+                      num_steps: Optional[int] = None,
+                      return_trajectory: bool = False) -> Callable:
     """sample(params, rng, txt_tokens (B, txt_len), modality) ->
-    SampleResult over the full [txt | img] sequence."""
+    SampleResult over the full [txt | img] sequence.
+
+    return_trajectory=True additionally returns the (steps, B, L) token
+    state after every denoise step (for denoise-strip viz and schedule
+    tests)."""
     cfg = config
     m = cfg.model
     s = cfg.sampling
@@ -141,6 +146,22 @@ def build_t2i_sampler(model, config: Config,
             logits = _img_head(params, hidden[:, Lt:], c, cfg, v0)
         return logits.astype(jnp.float32)  # (B, Li, img_vocab)
 
+    # dilated unmasking groups (PAPERS.md "Plan for Speed"): group id per
+    # image-grid position = (row % d) * d + (col % d); same-group tokens
+    # are >= d apart in both axes. Constant folded into the jitted graph.
+    dilation = s.maskgit_dilation
+    if dilation and dilation > 1:
+        import numpy as _np
+        side = int(round(Li ** 0.5))
+        rr, cc = _np.meshgrid(_np.arange(side), _np.arange(side),
+                              indexing="ij")
+        group_of_pos = jnp.asarray(
+            ((rr % dilation) * dilation + (cc % dilation)).reshape(-1))
+        n_groups = dilation * dilation
+    else:
+        group_of_pos = None
+        n_groups = 1
+
     def sample(params, rng, txt_tokens, modality=None):
         b = txt_tokens.shape[0]
         if modality is None:
@@ -165,15 +186,27 @@ def build_t2i_sampler(model, config: Config,
                                        -1).squeeze(-1) - lse
             img = x[:, Lt:]
             copy = img != mask_index
-            num = jnp.minimum(schedule[:, i], (~copy).sum(-1))
+            eligible = ~copy
+            if group_of_pos is not None:
+                # rotate through dilated groups; the final n_groups steps
+                # are unrestricted so stragglers always finish
+                in_group = group_of_pos[None, :] == (i % n_groups)
+                restrict = i < steps - n_groups
+                eligible = eligible & (in_group | ~restrict)
+            # clamp the quota to eligible candidates: with fewer finite
+            # confidences than the quota the threshold would be -inf and
+            # -inf >= -inf unmasks everything at once (ADVICE round-1 bug)
+            num = jnp.minimum(schedule[:, i], eligible.sum(-1))
             gumbel = jax.random.gumbel(k_g, conf.shape)
             conf = conf + s.maskgit_r_temp * gumbel * t[:, None]
-            conf = jnp.where(copy, -jnp.inf, conf)
+            conf = jnp.where(eligible, conf, -jnp.inf)
             thresh = confidence_threshold(conf, num)
-            img_next = jnp.where(conf >= thresh, pred_local + v0, img)
-            return (x.at[:, Lt:].set(img_next), rng), None
+            img_next = jnp.where((conf >= thresh) & eligible,
+                                 pred_local + v0, img)
+            x_next = x.at[:, Lt:].set(img_next)
+            return (x_next, rng), (x_next if return_trajectory else None)
 
-        (x, rng), _ = jax.lax.scan(body, (x, rng), jnp.arange(steps))
+        (x, rng), traj = jax.lax.scan(body, (x, rng), jnp.arange(steps))
         # noise removal — the arccos schedule provably unmasks everything
         # (per-step quota >= remaining/threshold selects >= quota), so this
         # full pass only executes in the degenerate all-clamped case
@@ -189,6 +222,7 @@ def build_t2i_sampler(model, config: Config,
 
         x = jax.lax.cond(any_left, remove_noise, lambda x: x, x)
         nfe = steps + jnp.where(any_left, 1, 0)
-        return SampleResult(tokens=x, nfe=nfe.astype(jnp.int32))
+        result = SampleResult(tokens=x, nfe=nfe.astype(jnp.int32))
+        return (result, traj) if return_trajectory else result
 
     return sample
