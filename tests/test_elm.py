@@ -61,3 +61,58 @@ def test_kv_cache_decode_matches_full():
         outs.append(np.asarray(logits)[:, 0])
     step = np.stack(outs, axis=1)
     np.testing.assert_allclose(step, full, atol=2e-2, rtol=1e-2)
+
+
+def test_int8_elm_tracks_fp():
+    """int8 W8A8 ELM (quantize_elm_params + quant='int8') ranks tokens
+    like the fp model, including the quantized shared-embedding head."""
+    import dataclasses
+
+    from unidisc_tpu.models.elm import OpenELM
+    from unidisc_tpu.ops.quant import quantize_elm_params
+
+    cfg = ELM_PRESETS["tiny"]
+    model, params = init_elm(jax.random.PRNGKey(0), cfg)
+    qcfg = dataclasses.replace(cfg, quant="int8")
+    qmodel = OpenELM(qcfg)
+    qparams = quantize_elm_params(params, cfg)
+    # structure check vs a quant-mode init
+    expected = jax.tree_util.tree_structure(
+        qmodel.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8), jnp.int32))["params"])
+    assert jax.tree_util.tree_structure(qparams) == expected
+
+    ids = jnp.asarray(np.random.RandomState(1).randint(
+        0, cfg.total_vocab, (2, 16)))
+    lf = np.asarray(model.apply({"params": params}, ids), np.float64)
+    lq = np.asarray(qmodel.apply({"params": qparams}, ids), np.float64)
+    a, b = lf.reshape(-1), lq.reshape(-1)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.99, cos
+    assert (lf.argmax(-1) == lq.argmax(-1)).mean() > 0.9
+
+
+def test_int8_elm_kv_decode():
+    """Quantized ELM runs the KV-cache decode path."""
+    import dataclasses
+
+    from unidisc_tpu.models.elm import OpenELM, init_elm_cache
+    from unidisc_tpu.ops.quant import quantize_elm_params
+
+    cfg = ELM_PRESETS["tiny"]
+    model, params = init_elm(jax.random.PRNGKey(0), cfg)
+    qcfg = dataclasses.replace(cfg, quant="int8")
+    qmodel = OpenELM(qcfg)
+    qparams = quantize_elm_params(params, cfg)
+    cache = init_elm_cache(cfg, batch=1, max_len=16)
+    ids = jnp.asarray(np.random.RandomState(2).randint(
+        0, cfg.total_vocab, (1, 16)))
+    full = np.asarray(qmodel.apply({"params": qparams}, ids))
+    logits = []
+    for i in range(16):
+        step, cache = qmodel.apply({"params": qparams}, ids[:, i:i + 1],
+                                   kv_cache=cache, cache_index=i)
+        logits.append(np.asarray(step)[:, 0])
+    dec = np.stack(logits, 1)
+    # decode path matches the full forward (same quantized math)
+    np.testing.assert_allclose(dec, full, rtol=0.05, atol=0.05)

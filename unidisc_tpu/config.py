@@ -362,3 +362,43 @@ MODEL_PRESETS = {
     "xxl": ModelConfig(name="xxl", hidden_size=4096, cond_dim=128, n_blocks=30,
                        n_heads=32, length=1024, txt_length=128, img_length=896),
 }
+
+
+# ---------------------------------------------------------------------------
+# Config resolvers (reference: utils.py:314-396 OmegaConf resolvers —
+# adjust_n_blocks, find_grad_accum, custom_batch_size; here plain helpers
+# used by CLIs/scripts instead of string-interpolated hydra magic)
+# ---------------------------------------------------------------------------
+
+def adjust_n_blocks(base_n_blocks: int, backbone: str = "dit") -> int:
+    """Param-count matching between backbones (reference utils.py:383-390):
+    maskdit-style backbones carry adaLN parameters per block, so they drop
+    1 block (<24) or 2 blocks (>=24) to match the plain-DIT budget."""
+    if backbone == "maskdit":
+        return base_n_blocks - (1 if base_n_blocks < 24 else 2)
+    return base_n_blocks
+
+
+def find_grad_accum(global_batch_size: int, per_device_batch_size: int,
+                    n_devices: Optional[int] = None) -> int:
+    """Accumulation steps to reach the global batch (reference
+    find_grad_accum resolver)."""
+    import jax
+    n = n_devices if n_devices is not None else jax.device_count()
+    per_step = per_device_batch_size * n
+    return max(1, -(-global_batch_size // per_step))
+
+
+# per-chip HBM (GB) -> suggested per-chip batch at the flagship 384-seq
+# layout (reference custom_batch_size maps GPU memory to batch; numbers
+# here from the measured v5e sweeps in BASELINE.md)
+_HBM_BATCH_TABLE = {16: 16, 32: 32, 95: 64}
+
+
+def custom_batch_size(hbm_gb: int = 16) -> int:
+    keys = sorted(_HBM_BATCH_TABLE)
+    best = keys[0]
+    for k in keys:
+        if hbm_gb >= k:
+            best = k
+    return _HBM_BATCH_TABLE[best]

@@ -53,6 +53,9 @@ class ELMConfig:
     max_length: int = 2048
     rope_freq: float = 10_000.0
     causal: bool = True              # reference optional full-attention flag
+    # inference quantization: None | "int8" (W8A8 via ops/quant.py; convert
+    # trained params with quantize_elm_params)
+    quant: Optional[str] = None
 
     @property
     def total_vocab(self) -> int:
@@ -102,6 +105,19 @@ class RMSNorm(nn.Module):
         return (y * w).astype(x.dtype)
 
 
+def _dense(c: "ELMConfig", features: int, name: str,
+           compute_dtype=jnp.bfloat16):
+    """nn.Dense, or int8 W8A8 QDense when cfg.quant == 'int8' (the same
+    inference quantization as the DIT — ops/quant.py; AR decode is
+    weight-bandwidth-bound so int8 weights halve the per-step HBM read)."""
+    if getattr(c, "quant", None) == "int8":
+        from unidisc_tpu.models.dit import QDense
+        return QDense(features, use_bias=False, out_dtype=compute_dtype,
+                      name=name)
+    return nn.Dense(features, use_bias=False, dtype=compute_dtype,
+                    name=name)
+
+
 class ELMAttention(nn.Module):
     cfg: ELMConfig
     layer_idx: int
@@ -115,8 +131,8 @@ class ELMAttention(nn.Module):
         kvh = c.layer_kv_heads()[self.layer_idx]
         b, l, _ = x.shape
 
-        qkv = nn.Dense((qh + 2 * kvh) * hd, use_bias=False,
-                       dtype=self.compute_dtype, name="qkv_proj")(x)
+        qkv = _dense(c, (qh + 2 * kvh) * hd, "qkv_proj",
+                     self.compute_dtype)(x)
         q = qkv[..., :qh * hd].reshape(b, l, qh, hd)
         k = qkv[..., qh * hd:(qh + kvh) * hd].reshape(b, l, kvh, hd)
         v = qkv[..., (qh + kvh) * hd:].reshape(b, l, kvh, hd)
@@ -150,9 +166,8 @@ class ELMAttention(nn.Module):
             q, k, v, mask=mask,
             causal=c.causal and kv_cache is None, backend="xla")
         out = out.reshape(b, l, qh * hd)
-        return nn.Dense(c.model_dim, use_bias=False,
-                        dtype=self.compute_dtype, name="out_proj")(out), \
-            new_cache
+        return _dense(c, c.model_dim, "out_proj",
+                      self.compute_dtype)(out), new_cache
 
 
 class ELMBlock(nn.Module):
@@ -171,12 +186,10 @@ class ELMBlock(nn.Module):
         ffn_dim = c.layer_ffn_dims()[self.layer_idx]
         y = RMSNorm(c.model_dim, name="ffn_norm")(x)
         # SwiGLU (reference ffn_with_glu)
-        gate_up = nn.Dense(2 * ffn_dim, use_bias=False,
-                           dtype=self.compute_dtype, name="proj_1")(y)
+        gate_up = _dense(c, 2 * ffn_dim, "proj_1", self.compute_dtype)(y)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         y = nn.silu(gate) * up
-        y = nn.Dense(c.model_dim, use_bias=False, dtype=self.compute_dtype,
-                     name="proj_2")(y)
+        y = _dense(c, c.model_dim, "proj_2", self.compute_dtype)(y)
         return x + y, new_cache
 
 
@@ -225,8 +238,22 @@ class OpenELM(nn.Module):
         x = RMSNorm(c.model_dim, name="norm")(x)
         # shared input/output embedding incl. extra tokens (reference
         # share_input_output_layers + lm_extra concat)
-        logits = jnp.einsum("bld,vd->blv", x.astype(jnp.float32),
-                            table.astype(jnp.float32))
+        if getattr(c, "quant", None) == "int8":
+            # int8 copy of the (transposed) shared table for the head;
+            # lookups above stay fp (quantize_elm_params fills these)
+            from unidisc_tpu.ops.quant import qdot
+            v_total = c.vocab_size + c.extra_tokens
+            head_q = self.param(
+                "lm_head_q",
+                lambda key, shape: jnp.zeros(shape, jnp.int8),
+                (c.model_dim, v_total))
+            head_scale = self.param("lm_head_scale",
+                                    nn.initializers.ones, (v_total,))
+            logits = qdot(x, head_q, head_scale,
+                          out_dtype=jnp.float32)
+        else:
+            logits = jnp.einsum("bld,vd->blv", x.astype(jnp.float32),
+                                table.astype(jnp.float32))
         if kv_cache is not None:
             return logits, new_caches
         return logits

@@ -104,3 +104,32 @@ def quantize_dit_params(params) -> dict:
     head["linear"] = _quant_leaf(head["linear"], axis=0)
     out["output_layer"] = head
     return out
+
+
+def quantize_elm_params(params, cfg) -> dict:
+    """fp32 OpenELM param tree -> the tree a quant="int8" ELM expects.
+
+    Per-layer qkv/out/SwiGLU projections quantize per out-channel; the
+    shared-embedding head becomes an int8 copy of the transposed table
+    (lm_head_q (D, V) + per-vocab scales) while the fp tables stay for
+    embedding lookups. cfg: models.elm.ELMConfig."""
+    try:
+        from flax.core import unfreeze
+        params = unfreeze(params)
+    except Exception:
+        pass
+    out = dict(params)
+    for i in range(cfg.num_layers):
+        layer = dict(params[f"layer_{i}"])
+        attn = dict(layer["attn"])
+        for name in ("qkv_proj", "out_proj"):
+            attn[name] = _quant_leaf(attn[name], axis=0)
+        layer["attn"] = attn
+        for name in ("proj_1", "proj_2"):
+            layer[name] = _quant_leaf(layer[name], axis=0)
+        out[f"layer_{i}"] = layer
+    table = jnp.concatenate([params["token_embeddings"],
+                             params["token_embeddings_extra"]], axis=0)
+    head_q, head_scale = quantize_per_channel(table.T, axis=0)
+    out["lm_head_q"], out["lm_head_scale"] = head_q, head_scale
+    return out

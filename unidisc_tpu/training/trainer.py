@@ -143,19 +143,30 @@ class Trainer:
         step = start
         last = {}
         multihost = jax.process_count() > 1
-        for batch in train_loader:
-            if step >= max_steps or self._stop:
+        # per-phase wall-times (reference: model.py:1392/1435/1548 —
+        # dataloading/h2d/dispatch; device compute is async and shows up
+        # in tokens/sec)
+        from unidisc_tpu.utils.monitor import PhaseTimer
+        phases = PhaseTimer()
+        loader_it = iter(train_loader)
+        while True:
+            with phases("data"):
+                batch = next(loader_it, None)
+            if batch is None or step >= max_steps or self._stop:
                 break
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray)}
-            if multihost:
-                # each host feeds its local slice of the global batch
-                from unidisc_tpu.utils.dist import host_batch_to_global
-                jbatch = host_batch_to_global(arrays, self.mesh,
-                                              self.data_sharding)
-            else:
-                jbatch = jax.device_put(arrays, self.data_sharding)
-            self.state, metrics = self.train_step(self.state, jbatch, rng)
+            with phases("h2d"):
+                if multihost:
+                    # each host feeds its local slice of the global batch
+                    from unidisc_tpu.utils.dist import host_batch_to_global
+                    jbatch = host_batch_to_global(arrays, self.mesh,
+                                                  self.data_sharding)
+                else:
+                    jbatch = jax.device_put(arrays, self.data_sharding)
+            with phases("dispatch"):
+                self.state, metrics = self.train_step(self.state, jbatch,
+                                                      rng)
             step += 1
             if self.throw_failure_at and step == self.throw_failure_at:
                 self._save(step, train_loader, force=True)
@@ -170,6 +181,7 @@ class Trainer:
             if step % self.log_every == 0 or step == max_steps:
                 last = metrics_to_host(metrics)
                 last.update(self.monitor.stats())
+                last.update(phases.stats())
                 self.logger.log(last, step)
 
             if self.val_every and val_loader is not None and \

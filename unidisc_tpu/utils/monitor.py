@@ -80,3 +80,42 @@ class ThroughputMonitor:
             achieved = flops_per_token(self.n_params) * tokens / dt
             out["mfu"] = achieved / (self.peak * self.n_devices)
         return out
+
+
+class PhaseTimer:
+    """Windowed per-phase wall-time accumulator for the train loop
+    (reference: per-step dataloading/forward/backward/grad-sync wall-times,
+    model.py:1392/1435/1548; on XLA the device step is async so the
+    'dispatch' phase measures enqueue time, not compute — compute shows up
+    in tokens/sec instead).
+
+    Usage: with timer("data"): batch = next(it)  ... stats() -> mean ms.
+    """
+
+    def __init__(self, window: int = 50):
+        from collections import defaultdict, deque
+        self._window = window
+        self._times = defaultdict(lambda: deque(maxlen=window))
+
+    def __call__(self, phase: str):
+        import contextlib
+        import time as _t
+
+        @contextlib.contextmanager
+        def span():
+            t0 = _t.perf_counter()
+            try:
+                yield
+            finally:
+                self._times[phase].append(_t.perf_counter() - t0)
+        return span()
+
+    def add(self, phase: str, seconds: float):
+        self._times[phase].append(seconds)
+
+    def stats(self) -> dict:
+        out = {}
+        for phase, xs in self._times.items():
+            if xs:
+                out[f"{phase}_ms"] = round(1e3 * sum(xs) / len(xs), 3)
+        return out
