@@ -147,3 +147,45 @@ def test_engine_quantized_serving():
     ids = np.asarray(out["image_ids"])
     assert ids.shape[-1] == cfg.model.img_length
     assert (ids >= 0).all() and (ids < cfg.model.image_vocab_size).all()
+
+
+def test_quant_sharded_sampling_8dev():
+    """int8 params shard over the FSDP mesh (int8 kernels via the
+    largest-dim rule, per-channel scales alongside) and the quantized
+    sampler runs SPMD — serving-at-scale with quantization."""
+    import dataclasses as _dc
+
+    from unidisc_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           params_shardings)
+    from unidisc_tpu.sampling.sampler import build_sampler
+
+    cfg = _tiny_cfg(**{"mesh.fsdp": 8, "sampling.steps": 2,
+                       "sampling.predictor": "maskgit",
+                       "sampling.cfg": 1.5,
+                       "model.force_argmax_valid_indices": True})
+    mesh = make_mesh(cfg.mesh)
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    qm = _dc.replace(cfg.model, quant="int8")
+    qmodel = DIT(qm)
+    qparams = quantize_dit_params(params)
+    qparams = jax.device_put(qparams, params_shardings(qparams, mesh))
+    # at least one int8 kernel actually sharded across the mesh
+    flat = jax.tree_util.tree_leaves(qparams)
+    assert any(l.dtype == jnp.int8 and
+               not l.sharding.is_fully_replicated for l in flat)
+
+    def fw(p, x, sigma, modality):
+        return qmodel.apply({"params": p}, x, sigma, modality=modality)
+
+    sample = jax.jit(build_sampler(fw, cfg))
+    B, L = 16, cfg.model.length
+    x0 = jax.device_put(jnp.zeros((B, L), jnp.int32), batch_sharding(mesh))
+    unmask = jax.device_put(jnp.zeros((B, L), bool), batch_sharding(mesh))
+    modality = jax.device_put(
+        jnp.concatenate([jnp.zeros((B, 16), jnp.int32),
+                         jnp.ones((B, 16), jnp.int32)], -1),
+        batch_sharding(mesh))
+    out = sample(qparams, jax.random.PRNGKey(2), x0, unmask, modality)
+    toks = np.asarray(out.tokens)
+    assert toks.shape == (B, L)
+    assert not (toks == cfg.model.mask_index).any()
