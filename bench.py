@@ -61,18 +61,12 @@ def main():
     # NOTE: on the tunneled TPU platform block_until_ready() can return
     # before execution completes; a host transfer (np.asarray) is the only
     # reliable completion barrier, so all timings force one.
-    import dataclasses
-
     import numpy as np
 
-    from unidisc_tpu.models.dit import DIT
-    from unidisc_tpu.ops.quant import quantize_dit_params
+    from unidisc_tpu.ops.quant import quantize_model
     from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
 
-    qm = dataclasses.replace(m, quant="int8")
-    qcfg = dataclasses.replace(cfg, model=qm)
-    qmodel = DIT(qm)
-    qparams = quantize_dit_params(params)
+    qcfg, qmodel, qparams = quantize_model(cfg, model, params)
     sample = jax.jit(build_t2i_sampler(qmodel, qcfg))
     txt = tokens[:, :m.txt_length]
     rng = jax.random.PRNGKey(1)

@@ -36,15 +36,9 @@ def main():
 
     # int8 W8A8 inference (ops/quant.py): measured 1.52x over bf16 at this
     # config (628 -> 954 tok/s @B4, round 2)
-    import dataclasses
+    from unidisc_tpu.ops.quant import quantize_model
 
-    from unidisc_tpu.models.dit import DIT
-    from unidisc_tpu.ops.quant import quantize_dit_params
-
-    qm = dataclasses.replace(m, quant="int8")
-    cfg = dataclasses.replace(cfg, model=qm)
-    model = DIT(qm)
-    params = quantize_dit_params(params)
+    cfg, model, params = quantize_model(cfg, model, params)
 
     sample = jax.jit(build_t2i_sampler(model, cfg))
     txt = jnp.zeros((BATCH, m.txt_length), jnp.int32)

@@ -125,3 +125,21 @@ def test_ar_sampler_nucleus_runs():
     sample = jax.jit(build_ar_sampler(make_apply_token(model), cfg))
     out = sample(params, jax.random.PRNGKey(1), x0, x0_unmask, modality)
     assert out.tokens.shape == (B, L)
+
+
+def test_temperature_zero_is_greedy():
+    """temperature=0 must decode greedily (review fix: logits/0 produced
+    +-inf and argmax picked arbitrary tokens)."""
+    cfg0 = ar_config(**{"sampling.temperature": 0.0,
+                        "sampling.cfg": None})
+    model, params = init_dit(jax.random.PRNGKey(0), cfg0.model)
+    apply_token = make_apply_token(model)
+    sample = jax.jit(build_ar_sampler(apply_token, cfg0))
+    b, l = 2, cfg0.model.length
+    x0 = jnp.zeros((b, l), jnp.int32)
+    unmask = jnp.zeros((b, l), bool).at[:, :4].set(True)
+    out1 = np.asarray(sample(params, jax.random.PRNGKey(1), x0, unmask).tokens)
+    out2 = np.asarray(sample(params, jax.random.PRNGKey(2), x0, unmask).tokens)
+    # greedy: independent of the rng
+    np.testing.assert_array_equal(out1, out2)
+    assert (out1 < cfg0.model.vocab_size).all() and (out1 >= 0).all()

@@ -123,3 +123,60 @@ def test_tokenize_t2i_batch_with_codec():
     assert grids[0].shape == (g, g)
     # Image ids round-trip through the codec vocabulary.
     assert (grids[0] >= 0).all() and (grids[0] < codec.vocab_size).all()
+
+
+def test_var_crop_selection_parity_vs_reference_code():
+    """The aspect-ranking crop selection must match the REAL reference
+    functions (unidisc/tokenizers/chameleon_tokenizers.py:87-113
+    tensor_center_crop / var_center_crop) executed via torch on identical
+    inputs. random_top_k=1 makes the reference's choice deterministic; the
+    center-crop comparison uses constant images so torch-vs-jax resize
+    differences cancel."""
+    import torch
+
+    from tests.reference_compat import extract_functions
+
+    ns = extract_functions(
+        "/root/reference/unidisc/tokenizers/chameleon_tokenizers.py",
+        ["tensor_center_crop", "var_center_crop"],
+        extra_globals={"torch": torch, "F": torch.nn.functional,
+                       "random": __import__("random")})
+
+    from unidisc_tpu.tokenizers.chameleon import (build_crop_size_list,
+                                                  var_center_crop)
+
+    # NOTE: the reference unpacks list entries as (cw, ch) when RANKING
+    # (var_center_crop:106) but tensor_center_crop treats the same entry
+    # as (crop_h, crop_w) when CROPPING (:87-102) — internally transposed
+    # for non-square crops. The transposition-invariant quantity both
+    # implementations must agree on is the retained-aspect score of the
+    # chosen crop; with our symmetric size list the winning score is
+    # well-defined either way.
+    # symmetrize (every transposed twin present) so the aspect choice is
+    # orientation-invariant and the two conventions comparable
+    base = build_crop_size_list(patch_size=16, max_grids=64)
+    sizes = sorted(set(base) | {(w, h) for (h, w) in base})
+
+    def rem(crop_hw, H, W):
+        ch, cw = crop_hw
+        return min(cw / W, ch / H) / max(cw / W, ch / H)
+
+    for (H, W) in [(300, 150), (150, 300), (224, 224), (640, 100)]:
+        img = np.full((H, W, 3), 0.25, np.float32)
+        ours = var_center_crop(img, sizes)  # top_k=1, deterministic
+
+        t_img = torch.full((1, 3, H, W), 0.25)
+        __import__("random").seed(0)
+        ref = ns["var_center_crop"](t_img, [tuple(s) for s in sizes],
+                                    random_top_k=1)
+        ref_hw = tuple(ref.shape[-2:])
+        # both pick a crop with the maximal retained-aspect score (the
+        # dims-set is orientation-invariant on a symmetric list)
+        assert abs(max(rem(ours.shape[:2], H, W),
+                       rem(ours.shape[:2][::-1], H, W)) -
+                   max(rem(ref_hw, H, W),
+                       rem(ref_hw[::-1], H, W))) < 1e-9, \
+            (ours.shape, ref.shape)
+        # constant image -> identical content regardless of resize impl
+        np.testing.assert_allclose(ours, 0.25, atol=1e-5)
+        np.testing.assert_allclose(ref.numpy(), 0.25, atol=1e-5)

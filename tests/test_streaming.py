@@ -126,3 +126,23 @@ def test_train_cli_streams_with_resume(tmp_path):
     r2 = train_main(common + ["trainer.max_steps=8"])  # resume mid-epoch
     assert r2["step"] == 8
     assert np.isfinite(r2["loss"])
+
+def test_adjacent_image_segments_roundtrip(tmp_path):
+    """Two back-to-back image segments must NOT merge on shard round-trip
+    (review fix: modality-diff cuts can't see same-modality boundaries —
+    the shard now stores explicit per-token segment indices)."""
+    from unidisc_tpu.data.interleaved import make_document
+    from unidisc_tpu.data.streaming import (docs_from_ishard,
+                                            write_interleaved_shard)
+
+    doc = make_document(interleave=[
+        ("text", np.arange(5)),
+        ("image", np.arange(256), 16),
+        ("image", np.arange(64), 8)])
+    write_interleaved_shard(str(tmp_path), [doc], shard_index=0)
+    docs = docs_from_ishard(str(tmp_path / "ishard-00000.npz"))
+    assert len(docs) == 1
+    segs = docs[0].segments
+    assert [s.kind for s in segs] == ["text", "image", "image"]
+    assert [len(s.ids) for s in segs] == [5, 256, 64]
+    assert segs[1].grid == 16 and segs[2].grid == 8

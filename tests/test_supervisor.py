@@ -101,3 +101,41 @@ def test_cli_subprocess_roundtrip(tmp_path):
                      log_path=str(tmp_path / "log.jsonl"))
     assert sup.run() == 0
     assert (tmp_path / "log.jsonl").exists()
+
+
+def test_sigterm_forwards_to_child(tmp_path):
+    """request_stop sends SIGTERM to the live child so it can
+    signal-checkpoint (review fix: the stop flag alone left the child
+    running forever)."""
+    import subprocess
+    import threading
+    import time
+
+    script = tmp_path / "sleeper.py"
+    script.write_text(
+        "import signal, sys, time\n"
+        "signal.signal(signal.SIGTERM, lambda *a: sys.exit(143))\n"
+        "time.sleep(60)\n")
+    sup = Supervisor([sys.executable, str(script)],
+                     SupervisorPolicy(backoff_s=0.01))
+
+    done = {}
+
+    def run():
+        done["code"] = sup.run()
+
+    t = threading.Thread(target=run)
+    t.start()
+    # wait until the child exists, then request stop
+    for _ in range(100):
+        if sup._child is not None:
+            break
+        time.sleep(0.05)
+    assert sup._child is not None
+    sup.request_stop()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    # 143 = handler ran; -15 = SIGTERM landed before the handler installed.
+    # Either way the signal reached the child — the forwarding contract.
+    assert done["code"] in (143, -15)
+    assert sup.events[-1]["event"] == "stopped"

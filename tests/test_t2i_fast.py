@@ -102,3 +102,39 @@ def test_dilated_unmasking_schedule():
                 if len(gs) == 1:
                     assert gs[0] == i % n_groups
         prev = img
+
+
+def test_cfg_zero_weight_skips_uncond_and_matches_no_cfg():
+    """When the guidance window zeroes w(t) the uncond trunk pass is
+    skipped (lax.cond); cfg=0.0 zeroes every step, so the result must be
+    token-identical to sampling with CFG off entirely."""
+    config_on = cfg(**{"sampling.cfg": 0.0})
+    config_off = cfg(**{"sampling.cfg": None})
+    m = config_on.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    txt = jnp.zeros((2, m.txt_length), jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    toks_on = np.asarray(jax.jit(build_t2i_sampler(model, config_on))(
+        params, rng, txt).tokens)
+    toks_off = np.asarray(jax.jit(build_t2i_sampler(model, config_off))(
+        params, rng, txt).tokens)
+    np.testing.assert_array_equal(toks_on, toks_off)
+
+
+def test_cfg_window_weights_respected():
+    """The fast path honors cfg_min/max_timestep windows via
+    guidance_weight (reference model_eval.py:1737-1759) — windowed
+    sampling differs from plain annealed CFG."""
+    base = cfg(**{"sampling.cfg": 5.0})
+    windowed = cfg(**{"sampling.cfg": 5.0,
+                      "sampling.cfg_min_timestep": 0.1,
+                      "sampling.cfg_max_timestep": 0.6})
+    m = base.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    txt = jnp.zeros((2, m.txt_length), jnp.int32)
+    rng = jax.random.PRNGKey(9)
+    a = np.asarray(jax.jit(build_t2i_sampler(model, base))(
+        params, rng, txt).tokens)
+    b = np.asarray(jax.jit(build_t2i_sampler(model, windowed))(
+        params, rng, txt).tokens)
+    assert (a != b).any()

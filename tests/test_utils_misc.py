@@ -111,3 +111,33 @@ def test_fault_injection_and_restart(tmp_path):
     out = tr2.fit(loader2, max_steps=8)
     assert out["step"] == 8
     tr2.close()
+
+
+def test_config_validate():
+    """Flag-legality checks (reference _validate_configuration,
+    model_setup.py:435-470)."""
+    import pytest
+
+    from unidisc_tpu.config import Config
+
+    Config.make("tiny").validate()  # defaults are legal
+    with pytest.raises(ValueError, match="n_heads"):
+        Config.make("tiny").override(**{"model.hidden_size": 65}).validate()
+    with pytest.raises(ValueError, match="full_attention"):
+        Config.make("tiny").override(**{
+            "trainer.parameterization": "ar",
+            "trainer.ar_shift": True}).validate()
+    with pytest.raises(ValueError, match="square"):
+        Config.make("tiny").override(**{
+            "model.length": 40, "model.txt_length": 20,
+            "model.img_length": 20,
+            "sampling.maskgit_dilation": 2}).validate()
+    with pytest.raises(ValueError, match="lr_schedule"):
+        Config.make("tiny").override(**{
+            "trainer.lr_schedule": "nope"}).validate()
+    with pytest.raises(ValueError, match="length"):
+        Config.make("tiny").override(**{"model.length": 999}).validate()
+    # AR configured correctly passes
+    Config.make("tiny").override(**{
+        "trainer.parameterization": "ar", "trainer.ar_shift": True,
+        "model.full_attention": False}).validate()

@@ -230,6 +230,56 @@ class Config:
                 cfg = new
         return cfg
 
+    def validate(self) -> "Config":
+        """Flag-combination legality checks (reference:
+        _validate_configuration, model_setup.py:435-470). Returns self so
+        CLIs can chain ``Config.make(...).validate()``; raises ValueError
+        with the offending flags otherwise."""
+        m, t, s = self.model, self.trainer, self.sampling
+        errs = []
+        if m.hidden_size % m.n_heads != 0:
+            errs.append(f"hidden_size {m.hidden_size} not divisible by "
+                        f"n_heads {m.n_heads}")
+        if not t.interleaved and m.txt_length + m.img_length != m.length:
+            errs.append(f"txt_length {m.txt_length} + img_length "
+                        f"{m.img_length} != length {m.length} "
+                        f"(non-interleaved layout)")
+        if t.parameterization == "ar":
+            if m.full_attention:
+                errs.append("parameterization=ar needs "
+                            "model.full_attention=False (causal)")
+            if not t.ar_shift:
+                errs.append("parameterization=ar needs trainer.ar_shift")
+        if t.parameterization not in ("subs", "ar", "sedd", "d3pm"):
+            errs.append(f"unknown parameterization {t.parameterization!r}")
+        if t.importance_sampling and t.parameterization == "sedd":
+            errs.append("sedd excludes importance_sampling (reference "
+                        "model_setup.py:437-439)")
+        if s.maskgit_dilation:
+            side = int(round(m.img_length ** 0.5))
+            if side * side != m.img_length:
+                errs.append(f"maskgit_dilation needs a square image grid; "
+                            f"img_length={m.img_length}")
+        if s.cfg is not None and s.cfg < 0 and s.cfg != -1:
+            errs.append("sampling.cfg must be >= 0 or the sweep "
+                        "sentinel -1")
+        if m.mup and m.mup_base_width > m.hidden_size:
+            errs.append(f"mup_base_width {m.mup_base_width} > hidden_size "
+                        f"{m.hidden_size} (transfer goes small -> large)")
+        if m.quant not in (None, "int8"):
+            errs.append(f"unknown model.quant {m.quant!r}")
+        if t.lr_schedule not in ("constant_warmup", "cosine_decay",
+                                 "constant_warmup_cosine_decay",
+                                 "cosine_hard_restarts"):
+            errs.append(f"unknown lr_schedule {t.lr_schedule!r}")
+        if m.cond_label and m.time_conditioning:
+            errs.append("cond_label and time_conditioning are exclusive "
+                        "conditioning paths")
+        if errs:
+            raise ValueError("invalid configuration:\n  " +
+                             "\n  ".join(errs))
+        return self
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 

@@ -69,7 +69,8 @@ def write_interleaved_shard(directory: str, documents: Sequence[Document],
     """Store ragged interleaved documents flat (packing happens at stream
     time, not build time)."""
     os.makedirs(directory, exist_ok=True)
-    toks, mods, grids, offsets = [], [], [], [0]
+    toks, mods, grids, segidx, offsets = [], [], [], [], [0]
+    seg_counter = 0
     for doc in documents:
         for seg in doc.segments:
             toks.append(np.asarray(seg.ids, np.int32))
@@ -77,11 +78,18 @@ def write_interleaved_shard(directory: str, documents: Sequence[Document],
             mods.append(np.full(len(seg.ids), 1 if is_img else 0, np.int8))
             grids.append(np.full(len(seg.ids),
                                  seg.grid if is_img else 0, np.int16))
+            # explicit per-token segment index: adjacent same-modality
+            # segments (e.g. two images back-to-back) must NOT merge on
+            # read — a modality-diff cut alone can't see the boundary
+            segidx.append(np.full(len(seg.ids), seg_counter, np.int32))
+            seg_counter += 1
         offsets.append(offsets[-1] + len(doc))
+    cat = lambda xs, dt: (np.concatenate(xs) if xs else np.zeros(0, dt))
     np.savez(os.path.join(directory, f"ishard-{shard_index:05d}.npz"),
-             tokens=np.concatenate(toks) if toks else np.zeros(0, np.int32),
-             modality=np.concatenate(mods) if mods else np.zeros(0, np.int8),
-             grids=np.concatenate(grids) if grids else np.zeros(0, np.int16),
+             tokens=cat(toks, np.int32),
+             modality=cat(mods, np.int8),
+             grids=cat(grids, np.int16),
+             segments=cat(segidx, np.int32),
              offsets=np.asarray(offsets, np.int64))
     mpath = os.path.join(directory, "stream_meta.json")
     prev = {}
@@ -101,7 +109,12 @@ def docs_from_ishard(path: str) -> List[Document]:
     for di in range(len(offsets) - 1):
         sl = slice(offsets[di], offsets[di + 1])
         toks, mods, grids = z["tokens"][sl], z["modality"][sl], z["grids"][sl]
-        cuts = np.flatnonzero(np.diff(mods.astype(np.int32))) + 1
+        if "segments" in z:
+            # explicit segment boundaries (handles adjacent same-modality
+            # segments, e.g. two consecutive images)
+            cuts = np.flatnonzero(np.diff(z["segments"][sl])) + 1
+        else:  # legacy shards: modality-change cuts
+            cuts = np.flatnonzero(np.diff(mods.astype(np.int32))) + 1
         segs = []
         for part in np.split(np.arange(len(toks)), cuts):
             if not len(part):

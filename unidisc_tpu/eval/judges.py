@@ -127,19 +127,25 @@ def bag_of_ngrams_features(texts: Sequence[str], dim: int = 512,
     `dim` buckets, l2-normalized. Zero-asset stand-in for the GPT-2
     feature extractor — distributional differences in vocabulary and
     phrasing still register."""
-    rng_sign = 1
+    import zlib
+
+    # zlib.crc32 is process-stable (Python's str hash() is salted per
+    # process, which would make the metric irreproducible across runs)
+    def h32(kind, n, payload):
+        return zlib.crc32(f"{kind}|{n}|{seed}|{payload}".encode())
+
     feats = np.zeros((len(texts), dim), np.float64)
     for i, t in enumerate(texts):
         toks = _tokenize(t)
         for n in range(1, max_n + 1):
             for j in range(len(toks) - n + 1):
-                h = hash(("w", n, tuple(toks[j:j + n]), seed))
-                feats[i, h % dim] += 1 if (h >> 32) & 1 else -1
+                h = h32("w", n, " ".join(toks[j:j + n]))
+                feats[i, h % dim] += 1 if (h >> 16) & 1 else -1
         for n in (3, 5):
             s = t.lower()
             for j in range(len(s) - n + 1):
-                h = hash(("c", n, s[j:j + n], seed))
-                feats[i, h % dim] += 1 if (h >> 32) & 1 else -1
+                h = h32("c", n, s[j:j + n])
+                feats[i, h % dim] += 1 if (h >> 16) & 1 else -1
     norms = np.linalg.norm(feats, axis=1, keepdims=True)
     return feats / np.maximum(norms, 1e-12)
 

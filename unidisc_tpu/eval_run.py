@@ -171,7 +171,9 @@ def main(argv=None):
             tokenizer = get_tokenizer()
             prompts = [tokenizer.decode(r[r < m.text_vocab_size - 1])
                        for r in toks[:, :m.txt_length]]
-            imgs = (np.clip(gen_imgs, 0, 1) * 255).astype(np.uint8)
+            # codec.decode emits [-1, 1] (same convention as
+            # serving.engine.encode_image_b64)
+            imgs = ((np.clip(gen_imgs, -1, 1) + 1) * 127.5).astype(np.uint8)
             results["clip/score"] = float(np.mean(score(imgs, prompts)))
         except FileNotFoundError as e:
             results["clip/score"] = f"skipped ({e})"

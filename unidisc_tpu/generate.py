@@ -30,6 +30,8 @@ def main(argv=None):
                         help="decode images (e.g. lfq, llamagen-vq16)")
     parser.add_argument("--image-size", type=int, default=256)
     parser.add_argument("--use-ema", action="store_true")
+    parser.add_argument("--quantize", default=None, choices=[None, "int8"],
+                        help="int8 W8A8 inference (~1.4x on v5e)")
     args = parser.parse_args(argv)
 
     import jax
@@ -59,6 +61,10 @@ def main(argv=None):
     params = state.ema_params if args.use_ema else state.params
     print(f"[generate] restored step {step} "
           f"({'EMA' if args.use_ema else 'live'} params)")
+    if args.quantize:
+        from unidisc_tpu.ops.quant import quantize_model
+        config, model, params = quantize_model(config, model, params)
+        print(f"[generate] int8 W8A8 inference enabled")
 
     codec = None
     if args.codec:

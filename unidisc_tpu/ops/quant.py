@@ -133,3 +133,16 @@ def quantize_elm_params(params, cfg) -> dict:
     head_q, head_scale = quantize_per_channel(table.T, axis=0)
     out["lm_head_q"], out["lm_head_scale"] = head_q, head_scale
     return out
+
+
+def quantize_model(config, model, params):
+    """One-call int8 conversion for a DIT: returns (config, model, params)
+    with model.quant='int8' and the converted tree. The single place the
+    quantize-swap lives (bench.py, generate CLI, serving all call this)."""
+    import dataclasses
+
+    from unidisc_tpu.models.dit import DIT
+
+    qm = dataclasses.replace(config.model, quant="int8")
+    return (dataclasses.replace(config, model=qm), DIT(qm),
+            quantize_dit_params(params))

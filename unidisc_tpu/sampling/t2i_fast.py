@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from unidisc_tpu.config import Config
 from unidisc_tpu.diffusion.noise import get_noise
 from unidisc_tpu.sampling.sampler import (SampleResult, adaptive_schedule,
-                                          confidence_threshold)
+                                          confidence_threshold,
+                                          guidance_weight)
 
 
 def _head_pre(params, hidden_img, c, cfg, compute_dtype=jnp.bfloat16):
@@ -122,10 +123,26 @@ def build_t2i_sampler(model, config: Config,
         del logits  # head recomputed span-factored below
         return hidden
 
+    def _cond_only(params, x, sigma, modality):
+        hidden = trunk(params, x, sigma, modality, True)
+        c = _sigma_cond(params, sigma, m.time_conditioning)
+        return _img_head(params, hidden[:, Lt:], c, cfg, v0)
+
     def img_log_weights(params, x, t, modality):
-        """Unnormalized image-span log-weights with CFG."""
+        """Unnormalized image-span log-weights with CFG.
+
+        The guidance weight honors the cfg_min/max_timestep windows
+        (guidance_weight, reference model_eval.py:1737-1759); on steps
+        where the window zeroes the whole batch's weight — including the
+        very first step of the default anneal, w(1)=0 — the unconditional
+        trunk pass is skipped via lax.cond (half the step's FLOPs)."""
         sigma = noise.total(t)
-        if use_cfg:
+        if not use_cfg:
+            return _cond_only(params, x, sigma, modality
+                              ).astype(jnp.float32)
+        wt = guidance_weight(s, t)  # (B,)
+
+        def full(x):
             x_uncond = x.at[:, :Lt].set(mask_index)
             xx = jnp.concatenate([x, x_uncond], 0)
             ss = jnp.concatenate([sigma, sigma], 0)
@@ -138,12 +155,12 @@ def build_t2i_sampler(model, config: Config,
             # shared bias, which the combine weights sum to 1 over)
             y = _head_pre(params, hidden[:, Lt:], c, cfg)
             yc, yu = jnp.split(y, 2, axis=0)
-            w = (s.cfg * (1 - t))[:, None, None].astype(y.dtype)
-            logits = _head_linear(params, (1 + w) * yc - w * yu, cfg, v0)
-        else:
-            hidden = trunk(params, x, sigma, modality, True)
-            c = _sigma_cond(params, sigma, m.time_conditioning)
-            logits = _img_head(params, hidden[:, Lt:], c, cfg, v0)
+            w = wt[:, None, None].astype(y.dtype)
+            return _head_linear(params, (1 + w) * yc - w * yu, cfg, v0)
+
+        logits = jax.lax.cond(
+            jnp.all(wt == 0.0),
+            lambda x: _cond_only(params, x, sigma, modality), full, x)
         return logits.astype(jnp.float32)  # (B, Li, img_vocab)
 
     # dilated unmasking groups (PAPERS.md "Plan for Speed"): group id per
@@ -153,6 +170,10 @@ def build_t2i_sampler(model, config: Config,
     if dilation and dilation > 1:
         import numpy as _np
         side = int(round(Li ** 0.5))
+        if side * side != Li:
+            raise ValueError(
+                f"maskgit_dilation needs a square image grid; "
+                f"img_length={Li} is not a perfect square")
         rr, cc = _np.meshgrid(_np.arange(side), _np.arange(side),
                               indexing="ij")
         group_of_pos = jnp.asarray(

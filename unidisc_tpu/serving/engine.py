@@ -45,6 +45,11 @@ class InferenceEngine:
         self.tokenizer = tokenizer
         self.codec = codec  # optional ImageCodec for pixel I/O
         self._samplers: Dict[int, Any] = {}
+        # serializes device execution + sampler-cache mutation across
+        # threads (HTTP handler threads and the batcher worker both call
+        # into the engine)
+        import threading
+        self._device_lock = threading.Lock()
 
         def forward_logits(params, x, sigma, modality):
             return model.apply({"params": params}, x, sigma,
@@ -157,6 +162,11 @@ class InferenceEngine:
         All rows must agree on `fastpath`. pad_to rounds the batch up with
         duplicate rows so only a few batch shapes ever compile (the
         batcher passes powers of two up to the per-chip optimum)."""
+        with self._device_lock:
+            return self._run_batch_locked(prepared, steps=steps, seed=seed,
+                                          pad_to=pad_to)
+
+    def _run_batch_locked(self, prepared, *, steps, seed, pad_to):
         m = self.m
         n = len(prepared)
         assert n > 0
@@ -242,6 +252,11 @@ class InferenceEngine:
 
         Returns segments with generated content filled in, plus raw tokens.
         """
+        with self._device_lock:
+            return self._run_interleaved_locked(segments, steps=steps,
+                                                seed=seed)
+
+    def _run_interleaved_locked(self, segments, *, steps, seed):
         m = self.m
         L = m.length
         x0 = np.zeros(L, np.int32)
@@ -381,13 +396,12 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         state, meta = mgr.restore(init_train_state(config, params))
         params = state.ema_params
         config = Config.from_json(_json.dumps(meta["config"]))
+        if over:
+            # CLI overrides beat the checkpoint's config snapshot
+            config = config.override(**over)
     if quantize:
-        from unidisc_tpu.models.dit import DIT
-        from unidisc_tpu.ops.quant import quantize_dit_params
-        qm = dataclasses.replace(config.model, quant=quantize)
-        config = dataclasses.replace(config, model=qm)
-        model = DIT(qm)
-        params = quantize_dit_params(params)
+        from unidisc_tpu.ops.quant import quantize_model
+        config, model, params = quantize_model(config, model, params)
     codec = None
     if codec_name:
         from unidisc_tpu.tokenizers.image_codecs import get_codec

@@ -100,12 +100,24 @@ class Handler(BaseHTTPRequestHandler):
             key = hashlib.sha256(
                 json.dumps(req, sort_keys=True).encode()).hexdigest()
             if key in self.cache:
-                self._json(200, self.cache[key])
+                # replay in the format the client asked for — a cached
+                # stream:true request must still come back as SSE
+                if req.get("stream"):
+                    self._stream(self.cache[key])
+                else:
+                    self._json(200, self.cache[key])
                 return
 
             if "segments" in req:
                 # interleaved multimodal document request (multi-image,
                 # generate-slots, spatial masks) — engine.run_interleaved
+                if self.engine.codec is None and any(
+                        "image_b64" in s for s in req["segments"]):
+                    # token-level interleaved requests work codec-free;
+                    # pixel payloads need one
+                    self._json(400, {"error": "image_b64 segments need a "
+                                     "codec (--codec) for pixel I/O"})
+                    return
                 segs = []
                 for s in req["segments"]:
                     s = dict(s)
@@ -120,6 +132,9 @@ class Handler(BaseHTTPRequestHandler):
                         import numpy as np
                         s["pixel_mask"] = np.asarray(s["pixel_mask"], bool)
                     segs.append(s)
+                # interleaved requests bypass the batcher (ragged layouts
+                # don't coalesce); the engine's device lock serializes them
+                # against the batcher worker and each other
                 result = self.engine.run_interleaved(
                     segs, steps=req.get("steps"),
                     seed=req.get("seed", int(time.time()) % 2 ** 31))

@@ -59,7 +59,7 @@ def main(argv=None):
     args, rest = parser.parse_known_args(argv)
 
     model, overrides = parse_overrides(rest)
-    config = Config.make(model, **overrides)
+    config = Config.make(model, **overrides).validate()
 
     import jax
 

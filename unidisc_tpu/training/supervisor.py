@@ -52,6 +52,7 @@ class Supervisor:
         self.restarts: List[float] = []   # restart timestamps
         self.events: List[dict] = []
         self._stop = False
+        self._child = None                # live subprocess.Popen, if any
 
     def _log(self, **event):
         event["t"] = round(self._clock(), 3)
@@ -68,8 +69,15 @@ class Supervisor:
 
     def request_stop(self, *_):
         """Graceful stop (SIGTERM/SIGINT): forward to the child so it
-        signal-checkpoints, then stop supervising."""
+        signal-checkpoints (training/checkpoint.py handler), then stop
+        supervising once it exits."""
         self._stop = True
+        child = self._child
+        if child is not None and child.poll() is None:
+            try:
+                child.send_signal(signal.SIGTERM)
+            except OSError:
+                pass
 
     def run(self, run_child=None) -> int:
         """Supervise until clean exit / budget exhausted / stop requested.
@@ -82,7 +90,11 @@ class Supervisor:
             def run_child():
                 t0 = self._clock()
                 proc = subprocess.Popen(self.argv)
-                code = proc.wait()
+                self._child = proc
+                try:
+                    code = proc.wait()
+                finally:
+                    self._child = None
                 return code, self._clock() - t0
 
         attempt = 0
