@@ -220,18 +220,42 @@ class Attention(nn.Module):
             # or to the ENTIRE cache (non-causal attention-caching inference:
             # txt queries against live txt + cached img K/V, reference
             # flex KV cache models/dit.py:610-614,784-812).
+            # cache_index may be a scalar (all rows in lockstep: AR sampler,
+            # attention-caching) or a (B,) vector of PER-ROW positions
+            # (continuous batching, serving/continuous.py) — rows at
+            # different decode depths share one device batch.
             ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache_index, 0, 0))
+            vector_index = (cache_index is not None
+                            and jnp.ndim(cache_index) == 1)
+            if vector_index:
+                def write(cache, new):
+                    return jax.vmap(
+                        lambda cr, nr, p: jax.lax.dynamic_update_slice(
+                            cr, nr.astype(cr.dtype), (p, 0, 0))
+                    )(cache, new, cache_index)
+                ck, cv = write(ck, k), write(cv, v)
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                                  (0, cache_index, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                                  (0, cache_index, 0, 0))
             new_cache = (ck, cv)
             lk = ck.shape[1]
             if c.full_attention:
                 mask = None
             else:
-                pos_mask = (jnp.arange(lk)[None, :] <= (cache_index + l - 1))
-                mask = pos_mask[None, None, :, :]
+                # causal WITHIN the new block too (query j attends keys
+                # <= index+j), so multi-token prompt prefill is exact
+                q_pos = jnp.arange(l)
+                if vector_index:
+                    key_ok = (jnp.arange(lk)[None, None, :]
+                              <= cache_index[:, None, None]
+                              + q_pos[None, :, None])      # (B, l, lk)
+                    mask = key_ok[:, None, :, :]
+                else:
+                    key_ok = (jnp.arange(lk)[None, :]
+                              <= cache_index + q_pos[:, None])  # (l, lk)
+                    mask = key_ok[None, None, :, :]
             out = multihead_attention(q, ck, cv, mask=mask, causal=False,
                                       backend="xla")
         else:
@@ -450,6 +474,14 @@ class DIT(nn.Module):
                             eff)
             rope_cos = jnp.take(rope_cos, eff, axis=0)   # (B, L, d2)
             rope_sin = jnp.take(rope_sin, eff, axis=0)
+        elif kv_cache is not None and jnp.ndim(cache_index) == 1:
+            # per-row decode positions (continuous batching): gather each
+            # row's rotary rows at cache_index[b] + [0, l)
+            pos = (cache_index[:, None]
+                   + jnp.arange(indices.shape[1])[None, :])   # (B, l)
+            pos = jnp.clip(pos, 0, rope_cos.shape[0] - 1)
+            rope_cos = jnp.take(rope_cos, pos, axis=0)        # (B, l, d2)
+            rope_sin = jnp.take(rope_sin, pos, axis=0)
         elif kv_cache is not None:
             rope_cos = jax.lax.dynamic_slice_in_dim(
                 rope_cos, cache_index, indices.shape[1], axis=0)

@@ -1,0 +1,317 @@
+"""AR continuous batching: a persistent on-device decode batch that
+requests join and leave without restarting decode.
+
+The reference serves AR generation one fixed batch per request
+(reference: demo/server.py:117-219 queues whole requests to per-GPU
+workers); this is the vLLM-style generalization built TPU-native:
+
+  * ALL decode state lives on device — tokens (S, L), per-layer KV cache
+    (n_blocks, S, L, H, D), per-row positions / activity / stop bounds /
+    temperatures — and every mutation is a jitted program with donated
+    buffers (no reallocation, no host round-trip per token).
+  * Rows advance at PER-ROW cache positions: the DIT's cached path accepts
+    a (B,) cache_index vector (models/dit.py Attention), so a row that
+    joined late decodes its 3rd token while its neighbor decodes its 400th
+    — one model call serves both.
+  * Admission is one jitted `insert`: the prompt prefills its K/V in a
+    single multi-token causal pass (bucketed lengths, so only a few shapes
+    ever compile), the first token is sampled from the last prompt logit,
+    and the row is spliced into the live state.
+  * Decode advances `chunk` tokens per dispatch via `lax.scan` — the host
+    only looks at (pos, active, x) between chunks to emit stream deltas
+    and retire finished rows.
+
+Finished rows simply deactivate: their slots are reused by the next
+admission, and stale K/V above the new prompt is never attended because
+the causal mask only exposes keys <= the row's own position.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.diffusion.subs import NEG_INFINITY, restrict_modality_logits
+from unidisc_tpu.sampling.ar_sampler import init_kv_cache
+
+
+class DecodeState(NamedTuple):
+    """Device-resident continuous-batching state (S slots, length L)."""
+    x: jax.Array        # (S, L) int32 — prompt + generated tokens
+    mod: jax.Array      # (S, L) int32 — per-position modality
+    kv_k: jax.Array     # (n_blocks, S, L, H, D)
+    kv_v: jax.Array     # (n_blocks, S, L, H, D)
+    pos: jax.Array      # (S,) int32 — next KV write position; x[s, pos[s]]
+    #                      is the latest token whose K/V is not yet written
+    active: jax.Array   # (S,) bool
+    stop: jax.Array     # (S,) int32 — absolute position bound (plen+max_new)
+    temp: jax.Array     # (S,) float32 — per-row temperature (<=0 -> greedy)
+
+
+def _sample_row(logits, temp, g):
+    """Per-row temperature Gumbel-argmax; temp<=0 decodes greedy."""
+    greedy = jnp.argmax(logits, axis=-1)
+    t = jnp.maximum(temp, 1e-6)[:, None]
+    noisy = jnp.argmax(logits / t + g, axis=-1)
+    return jnp.where(temp > 0, noisy, greedy)
+
+
+def build_continuous_decoder(model, config: Config, *, slots: int = 8,
+                             chunk: int = 8, eos_id: int = -1):
+    """Build the jitted state machine for continuous AR decoding.
+
+    Returns (init_state, make_insert, decode_chunk):
+      init_state() -> DecodeState of `slots` empty rows.
+      make_insert(bucket) -> jitted insert(params, state, slot, prompt,
+        mod_row, prompt_len, max_new, temperature, rng) -> DecodeState.
+        `prompt` is (bucket,) padded; one compile per bucket length.
+      decode_chunk(params, state, rng) -> DecodeState advanced by `chunk`
+        tokens on every active row (inactive rows are untouched).
+    """
+    m = config.model
+    L = m.length
+    mask_index = m.mask_index
+    assert not m.full_attention, "continuous batching needs a causal model"
+
+    def init_state() -> DecodeState:
+        k, v = init_kv_cache(m.n_blocks, slots, L, m.n_heads, m.head_dim)
+        return DecodeState(
+            x=jnp.zeros((slots, L), jnp.int32),
+            mod=jnp.zeros((slots, L), jnp.int32),
+            kv_k=k, kv_v=v,
+            pos=jnp.zeros((slots,), jnp.int32),
+            active=jnp.zeros((slots,), bool),
+            stop=jnp.zeros((slots,), jnp.int32),
+            temp=jnp.ones((slots,), jnp.float32))
+
+    def _restrict(logits, mod_next):
+        ids = jnp.arange(logits.shape[-1])
+        logits = logits + jnp.where(ids == mask_index, NEG_INFINITY, 0.0)
+        if m.force_argmax_valid_indices:
+            logits = restrict_modality_logits(logits, mod_next,
+                                              m.text_vocab_size)
+        return logits
+
+    def _insert(params, state: DecodeState, slot, prompt, mod_row,
+                prompt_len, max_new, temperature, rng) -> DecodeState:
+        bucket = prompt.shape[0]
+        # multi-token causal prefill: one pass writes K/V for positions
+        # [0, bucket); garbage beyond prompt_len is never attended (the
+        # causal mask exposes keys <= pos only) and is overwritten as the
+        # row decodes forward
+        kv1 = init_kv_cache(m.n_blocks, 1, L, m.n_heads, m.head_dim)
+        sigma = jnp.zeros((1,), jnp.float32)
+        mod_prompt = jax.lax.dynamic_slice_in_dim(mod_row, 0, bucket)
+        logits, (k1, v1) = model.apply(
+            {"params": params}, prompt[None], sigma,
+            modality=mod_prompt[None], kv_cache=kv1, cache_index=0)
+        last = logits[0, prompt_len - 1].astype(jnp.float32)
+        mod_next = jax.lax.dynamic_index_in_dim(
+            mod_row, jnp.minimum(prompt_len, L - 1), keepdims=False)
+        last = _restrict(last[None], mod_next[None])
+        g = jax.random.gumbel(rng, last.shape, dtype=last.dtype)
+        tok0 = _sample_row(last, jnp.asarray([temperature], jnp.float32),
+                           g)[0].astype(jnp.int32)
+
+        x_row = jnp.zeros((L,), jnp.int32)
+        x_row = jax.lax.dynamic_update_slice(x_row, prompt, (0,))
+        x_row = x_row.at[jnp.minimum(prompt_len, L - 1)].set(tok0)
+
+        upd = lambda a, r: jax.lax.dynamic_update_slice_in_dim(
+            a, r[None].astype(a.dtype), slot, axis=0)
+        kv_k = jax.lax.dynamic_update_slice(
+            state.kv_k, k1.astype(state.kv_k.dtype), (0, slot, 0, 0, 0))
+        kv_v = jax.lax.dynamic_update_slice(
+            state.kv_v, v1.astype(state.kv_v.dtype), (0, slot, 0, 0, 0))
+        started_done = (tok0 == eos_id) | (max_new <= 1)
+        return DecodeState(
+            x=upd(state.x, x_row),
+            mod=upd(state.mod, mod_row),
+            kv_k=kv_k, kv_v=kv_v,
+            pos=state.pos.at[slot].set(prompt_len),
+            active=state.active.at[slot].set(~started_done),
+            stop=state.stop.at[slot].set(
+                jnp.minimum(prompt_len + max_new, L)),
+            temp=state.temp.at[slot].set(temperature))
+
+    _insert_cache = {}
+
+    def make_insert(bucket: int):
+        if bucket not in _insert_cache:
+            _insert_cache[bucket] = jax.jit(_insert, donate_argnums=(1,))
+        return _insert_cache[bucket]
+
+    def _step(params, state: DecodeState, rng) -> DecodeState:
+        x, mod, pos, active = state.x, state.mod, state.pos, state.active
+        tok = jnp.take_along_axis(x, pos[:, None], axis=1)       # (S, 1)
+        mod_tok = jnp.take_along_axis(mod, pos[:, None], axis=1)
+        sigma = jnp.zeros((slots,), jnp.float32)
+        logits, (kv_k, kv_v) = model.apply(
+            {"params": params}, tok, sigma, modality=mod_tok,
+            kv_cache=(state.kv_k, state.kv_v), cache_index=pos)
+        logits = logits[:, 0].astype(jnp.float32)                # (S, V)
+
+        nxt = jnp.minimum(pos + 1, L - 1)
+        mod_next = jnp.take_along_axis(mod, nxt[:, None], axis=1)[:, 0]
+        logits = _restrict(logits, mod_next)
+        g = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
+        tok_new = _sample_row(logits, state.temp, g).astype(jnp.int32)
+
+        x_written = jax.vmap(
+            lambda row, t, p: jax.lax.dynamic_update_slice(row, t[None], (p,))
+        )(x, tok_new, nxt)
+        x = jnp.where(active[:, None], x_written, x)
+        pos = jnp.where(active, nxt, pos)
+        hit_eos = active & (tok_new == eos_id)
+        exhausted = nxt + 1 >= state.stop
+        active = active & ~hit_eos & ~exhausted
+        return DecodeState(x=x, mod=mod, kv_k=kv_k, kv_v=kv_v, pos=pos,
+                           active=active, stop=state.stop, temp=state.temp)
+
+    def _decode_chunk(params, state: DecodeState, rng) -> DecodeState:
+        def body(s, r):
+            return _step(params, s, r), None
+        state, _ = jax.lax.scan(body, state, jax.random.split(rng, chunk))
+        return state
+
+    decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1,))
+    return init_state, make_insert, decode_chunk
+
+
+def _bucket(n: int, lo: int = 32) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ContinuousBatcher:
+    """Thread-safe front end: submit() returns a Future; a worker thread
+    admits pending requests into free slots and advances the device batch.
+
+    `device_lock` (e.g. InferenceEngine._device_lock) serializes device
+    use against other samplers sharing the chip.
+    """
+
+    def __init__(self, model, params, config: Config, *, slots: int = 8,
+                 chunk: int = 8, eos_id: int = -1,
+                 device_lock: Optional[threading.Lock] = None):
+        self.config = config
+        self.params = params
+        self.slots = slots
+        self.eos_id = eos_id
+        self._lock = device_lock or threading.Lock()
+        self._init_state, self._make_insert, self._decode = \
+            build_continuous_decoder(model, config, slots=slots,
+                                     chunk=chunk, eos_id=eos_id)
+        self.state = self._init_state()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._slot_req: list = [None] * slots
+        self._seq = 0
+        self._stopping = False
+        self._worker_thread = threading.Thread(target=self._worker,
+                                               daemon=True)
+        self._worker_thread.start()
+
+    def submit(self, prompt_ids: Sequence[int], *, max_new_tokens: int = 64,
+               temperature: float = 0.0, modality: Optional[Sequence[int]]
+               = None, stream_cb: Optional[Callable] = None) -> Future:
+        """Queue a decode request. The Future resolves to a dict with
+        'tokens' (generated ids, EOS stripped) and 'prompt_len'."""
+        fut: Future = Future()
+        self._queue.put(dict(prompt=np.asarray(prompt_ids, np.int32),
+                             modality=(None if modality is None else
+                                       np.asarray(modality, np.int32)),
+                             max_new=int(max_new_tokens),
+                             temperature=float(temperature),
+                             stream_cb=stream_cb, future=fut, emitted=0))
+        return fut
+
+    def shutdown(self):
+        self._stopping = True
+        self._worker_thread.join(timeout=30)
+
+    # -- worker internals --------------------------------------------------
+
+    def _admit(self, req, slot):
+        m = self.config.model
+        L = m.length
+        p = req["prompt"]
+        plen = len(p)
+        if plen >= L - 1:
+            raise ValueError(f"prompt length {plen} >= model length {L}")
+        bucket = min(_bucket(plen), L)
+        padded = np.zeros(bucket, np.int32)
+        padded[:plen] = p
+        mod_row = np.zeros(L, np.int32)
+        if req["modality"] is not None:
+            n = min(len(req["modality"]), L)
+            mod_row[:n] = req["modality"][:n]
+        insert = self._make_insert(bucket)
+        self._seq += 1
+        rng = jax.random.PRNGKey(self._seq)
+        self.state = insert(self.params, self.state, slot,
+                            jnp.asarray(padded), jnp.asarray(mod_row),
+                            plen, req["max_new"], req["temperature"], rng)
+        req["slot"] = slot
+        req["prompt_len"] = plen
+        self._slot_req[slot] = req
+
+    def _drain(self):
+        """Emit deltas / retire finished rows from a host snapshot."""
+        pos = np.asarray(self.state.pos)
+        active = np.asarray(self.state.active)
+        x = np.asarray(self.state.x)
+        for slot, req in enumerate(self._slot_req):
+            if req is None:
+                continue
+            plen = req["prompt_len"]
+            gen = x[slot, plen:pos[slot] + 1]
+            if req["stream_cb"] is not None and len(gen) > req["emitted"]:
+                req["stream_cb"](gen[req["emitted"]:].tolist())
+                req["emitted"] = len(gen)
+            if not active[slot]:
+                toks = gen.tolist()
+                if self.eos_id >= 0 and toks and toks[-1] == self.eos_id:
+                    toks = toks[:-1]
+                req["future"].set_result(
+                    dict(tokens=toks, prompt_len=plen))
+                self._slot_req[slot] = None
+
+    def _worker(self):
+        while not self._stopping:
+            admitted = False
+            with self._lock:
+                for slot in range(self.slots):
+                    if self._slot_req[slot] is not None:
+                        continue
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    try:
+                        self._admit(req, slot)
+                        admitted = True
+                    except Exception as e:  # bad request: fail its future
+                        req["future"].set_exception(e)
+                if any(r is not None for r in self._slot_req):
+                    self._seq += 1
+                    self.state = self._decode(
+                        self.params, self.state,
+                        jax.random.PRNGKey(2 ** 20 + self._seq))
+                    self._drain()
+                    continue
+            if not admitted:
+                # idle: block briefly on the queue
+                try:
+                    req = self._queue.get(timeout=0.05)
+                    self._queue.put(req)  # re-queue; admitted next loop
+                except queue.Empty:
+                    pass
