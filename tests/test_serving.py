@@ -309,3 +309,92 @@ def test_webui_and_mask_attachment():
         assert "image_url" in kinds  # regenerated image comes back
     finally:
         server.shutdown()
+
+
+def ar_engine():
+    """Tiny causal AR model served through the continuous batcher."""
+    cfg = Config.make("tiny").override(**{
+        "model.text_vocab_size": 261,
+        "model.image_vocab_size": 0,
+        "model.length": 48,
+        "model.txt_length": 48,
+        "model.img_length": 0,
+        "model.full_attention": False,
+        "model.dropout": 0.0,
+        "trainer.parameterization": "ar",
+        "sampling.cfg": None,
+        "sampling.temperature": 0.0,
+        "sampling.top_p": None,
+    })
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    # perturb the zero-init head so greedy decode emits varied (non-pad)
+    # tokens — streaming deltas must carry visible text
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    leaves = [p + 0.5 * jax.random.normal(k, p.shape, p.dtype)
+              for p, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    return InferenceEngine(cfg, model, params)
+
+
+def test_ar_http_completion_and_streaming():
+    """AR models route text completions through the continuous batcher:
+    concurrent requests share the device batch, and stream:true sends
+    token deltas incrementally (serving/continuous.py)."""
+    eng = ar_engine()
+    server = make_server(eng, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(req):
+            return urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/chat/completions",
+                data=json.dumps(req).encode(),
+                headers={"Content-Type": "application/json"}), timeout=300)
+
+        # two concurrent non-streaming completions
+        results = {}
+
+        def go(name, prompt):
+            r = post({"messages": [{"role": "user", "content": prompt}],
+                      "max_tokens": 8, "seed": 3})
+            results[name] = json.load(r)
+
+        threads = [threading.Thread(target=go, args=(f"r{i}", p))
+                   for i, p in enumerate(["hello", "abcdef"])]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        for name in ("r0", "r1"):
+            body = results[name]
+            assert body["object"] == "chat.completion"
+            assert isinstance(
+                body["choices"][0]["message"]["content"], str)
+            assert body["usage"]["completion_tokens"] >= 1
+
+        # incremental SSE streaming: deltas must reassemble the exact
+        # text a non-streamed completion of the same request produces
+        # (greedy -> deterministic)
+        base = {"messages": [{"role": "user", "content": "stream"}],
+                "max_tokens": 6, "seed": 5}
+        expect = json.load(post(base))["choices"][0]["message"]["content"]
+        r = post({**base, "stream": True})
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        events = []
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        assert chunks[0]["choices"][0]["delta"]["role"] == "assistant"
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        got = "".join(c["choices"][0]["delta"].get("content", "")
+                      for c in chunks)
+        assert got == expect and len(expect) > 0
+    finally:
+        eng._continuous.shutdown()
+        server.batcher.shutdown()
+        server.shutdown()

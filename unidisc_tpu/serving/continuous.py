@@ -221,8 +221,9 @@ class ContinuousBatcher:
         self._worker_thread.start()
 
     def submit(self, prompt_ids: Sequence[int], *, max_new_tokens: int = 64,
-               temperature: float = 0.0, modality: Optional[Sequence[int]]
-               = None, stream_cb: Optional[Callable] = None) -> Future:
+               temperature: float = 0.0, seed: Optional[int] = None,
+               modality: Optional[Sequence[int]] = None,
+               stream_cb: Optional[Callable] = None) -> Future:
         """Queue a decode request. The Future resolves to a dict with
         'tokens' (generated ids, EOS stripped) and 'prompt_len'."""
         fut: Future = Future()
@@ -230,7 +231,7 @@ class ContinuousBatcher:
                              modality=(None if modality is None else
                                        np.asarray(modality, np.int32)),
                              max_new=int(max_new_tokens),
-                             temperature=float(temperature),
+                             temperature=float(temperature), seed=seed,
                              stream_cb=stream_cb, future=fut, emitted=0))
         return fut
 
@@ -256,7 +257,8 @@ class ContinuousBatcher:
             mod_row[:n] = req["modality"][:n]
         insert = self._make_insert(bucket)
         self._seq += 1
-        rng = jax.random.PRNGKey(self._seq)
+        rng = jax.random.PRNGKey(self._seq if req.get("seed") is None
+                                 else req["seed"])
         self.state = insert(self.params, self.state, slot,
                             jnp.asarray(padded), jnp.asarray(mod_row),
                             plen, req["max_new"], req["temperature"], rng)

@@ -60,6 +60,50 @@ class InferenceEngine:
         self.apply_fn = forward_logits
 
     # ------------------------------------------------------------------
+    @property
+    def continuous(self):
+        """Continuous AR batcher (parameterization=ar models): requests
+        join/leave a persistent device batch (serving/continuous.py).
+        Lazily built; shares the engine's device lock so it serializes
+        against the diffusion samplers."""
+        if self.config.trainer.parameterization != "ar":
+            raise ValueError("continuous batching needs an AR model "
+                             "(trainer.parameterization=ar)")
+        if getattr(self, "_continuous", None) is None:
+            from unidisc_tpu.serving.continuous import ContinuousBatcher
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            self._continuous = ContinuousBatcher(
+                self.model, self.params, self.config,
+                slots=8, chunk=8,
+                eos_id=eos if eos is not None else -1,
+                device_lock=self._device_lock)
+        return self._continuous
+
+    def complete_text(self, text: str, *, max_new_tokens: int = 64,
+                      temperature: float = 0.0, seed: Optional[int] = None,
+                      stream_cb=None):
+        """Text completion through the continuous batcher. Returns a
+        Future resolving to {'text', 'tokens', 'prompt_len'}."""
+        prompt = self.tokenizer.encode(text or "", add_bos=True,
+                                       add_eos=False)[:self.m.length - 2]
+        fut = self.continuous.submit(
+            prompt, max_new_tokens=max_new_tokens, temperature=temperature,
+            seed=seed, stream_cb=stream_cb)
+
+        from concurrent.futures import Future
+        out: Future = Future()
+
+        def _done(f):
+            try:
+                res = f.result()
+                res["text"] = self.tokenizer.decode(res["tokens"])
+                out.set_result(res)
+            except Exception as e:  # noqa: BLE001
+                out.set_exception(e)
+        fut.add_done_callback(_done)
+        return out
+
+    # ------------------------------------------------------------------
     def _sampler(self, steps: Optional[int] = None):
         key = steps or self.config.sampling.steps
         if key not in self._samplers:

@@ -155,6 +155,16 @@ class Handler(BaseHTTPRequestHandler):
                 return
 
             parsed = parse_messages(req.get("messages", []))
+
+            if (self.engine.config.trainer.parameterization == "ar"
+                    and parsed["image"] is None):
+                # AR text completion: continuous batching — the request
+                # joins the persistent device batch immediately instead of
+                # waiting for a full diffusion batch slot, and stream:true
+                # sends tokens AS THEY DECODE (serving/continuous.py)
+                self._ar_completion(req, parsed, key)
+                return
+
             image_ids = None
             image_mask = None
             if parsed["image"] is not None and self.engine.codec is not None:
@@ -213,6 +223,77 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, payload)
         except Exception as e:  # noqa: BLE001
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    def _ar_completion(self, req: dict, parsed: dict, key: str):
+        """Continuous-batched AR text completion, optionally streaming
+        token deltas as they decode (true incremental SSE, unlike the
+        diffusion paths which stream a finished payload)."""
+        max_new = int(req.get("max_tokens", 64))
+        temperature = float(req.get("temperature", 0.0))
+        seed = req.get("seed")
+        tok = self.engine.tokenizer
+
+        if not req.get("stream"):
+            fut = self.engine.complete_text(
+                parsed["text"] or "", max_new_tokens=max_new,
+                temperature=temperature, seed=seed)
+            res = fut.result(timeout=600)
+            payload = {
+                "id": f"unidisc-{key[:12]}",
+                "object": "chat.completion",
+                "model": "unidisc-tpu",
+                "choices": [{"index": 0, "finish_reason": "stop",
+                             "message": {"role": "assistant",
+                                         "content": res["text"]}}],
+                "usage": {"completion_tokens": len(res["tokens"])},
+            }
+            self.cache[key] = payload
+            self._json(200, payload)
+            return
+
+        import queue as _queue
+        deltas: "_queue.Queue" = _queue.Queue()
+        acc: list = []
+
+        def on_tokens(ids):
+            acc.extend(ids)
+            deltas.put(tok.decode(acc))  # cumulative decode; diff below
+
+        fut = self.engine.complete_text(
+            parsed["text"] or "", max_new_tokens=max_new,
+            temperature=temperature, seed=seed, stream_cb=on_tokens)
+
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+
+        def chunk(delta, finish=None):
+            body = {"id": f"unidisc-{key[:12]}",
+                    "object": "chat.completion.chunk",
+                    "model": "unidisc-tpu",
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}]}
+            self.wfile.write(f"data: {json.dumps(body)}\n\n".encode())
+            self.wfile.flush()
+
+        chunk({"role": "assistant"})
+        sent = ""
+        while True:
+            try:
+                text = deltas.get(timeout=0.1)
+            except _queue.Empty:
+                if fut.done():
+                    break
+                continue
+            if text.startswith(sent) and len(text) > len(sent):
+                chunk({"content": text[len(sent):]})
+                sent = text
+        res = fut.result(timeout=600)
+        if res["text"] != sent and res["text"].startswith(sent):
+            chunk({"content": res["text"][len(sent):]})
+        chunk({}, finish="stop")
+        self.wfile.write(b"data: [DONE]\n\n")
 
     def _stream(self, payload: dict):
         """OpenAI-style SSE chunks (role, then content items, then DONE)."""
