@@ -116,3 +116,56 @@ def test_int8_elm_kv_decode():
     dec = np.stack(logits, 1)
     # decode path matches the full forward (same quantized math)
     np.testing.assert_allclose(dec, full, rtol=0.05, atol=0.05)
+
+
+def test_elm_int8_kv_cache_decode_tracks_full():
+    """int8 KV cache decode (quant=True cache + int8_kv_attention with
+    GQA head repeat) tracks the full forward at int8 tolerance."""
+    from unidisc_tpu.models.elm import init_elm_cache
+
+    cfg = ELM_PRESETS["tiny"]
+    model, params = init_elm(jax.random.PRNGKey(0), cfg)
+    cache = init_elm_cache(cfg, batch=2, max_len=16, quant=True)
+    assert len(cache[0]) == 4 and cache[0][0].dtype == jnp.int8
+    ids = jnp.asarray(np.random.RandomState(3).randint(
+        0, cfg.total_vocab, (2, 16)))
+    full = np.asarray(model.apply({"params": params}, ids))
+    logits = []
+    for i in range(16):
+        step, cache = model.apply({"params": params}, ids[:, i:i + 1],
+                                  kv_cache=cache, cache_index=i)
+        logits.append(np.asarray(step)[:, 0])
+    dec = np.stack(logits, 1)
+    err = np.abs(dec - full).mean()
+    assert err < 0.05 * np.abs(full).mean() + 0.05
+
+
+def test_elm_vector_cache_index_matches_scalar():
+    """Per-row cache positions: rows decoding at different depths must
+    produce the same logits as lockstep scalar-index decode."""
+    from unidisc_tpu.models.elm import init_elm_cache
+
+    cfg = ELM_PRESETS["tiny"]
+    model, params = init_elm(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.RandomState(4).randint(
+        0, cfg.total_vocab, (2, 8)))
+
+    # scalar lockstep decode
+    cache = init_elm_cache(cfg, batch=2, max_len=16)
+    ref = []
+    for i in range(8):
+        step, cache = model.apply({"params": params}, ids[:, i:i + 1],
+                                  kv_cache=cache, cache_index=i)
+        ref.append(np.asarray(step)[:, 0])
+
+    # vector decode: both rows advance together but through the
+    # vector-index path
+    cache = init_elm_cache(cfg, batch=2, max_len=16)
+    got = []
+    for i in range(8):
+        step, cache = model.apply(
+            {"params": params}, ids[:, i:i + 1], kv_cache=cache,
+            cache_index=jnp.full((2,), i, jnp.int32))
+        got.append(np.asarray(step)[:, 0])
+    np.testing.assert_allclose(np.stack(got, 1), np.stack(ref, 1),
+                               rtol=2e-2, atol=2e-2)

@@ -189,3 +189,114 @@ def test_quant_sharded_sampling_8dev():
     toks = np.asarray(out.tokens)
     assert toks.shape == (B, L)
     assert not (toks == cfg.model.mask_index).any()
+
+
+def test_int8_kv_attention_close_to_fp():
+    """int8 KV cache attention (ops/quant.int8_kv_attention) vs the bf16
+    reference: per-(pos, head) scales keep the output within a few
+    percent."""
+    from unidisc_tpu.ops.attention import multihead_attention
+    from unidisc_tpu.ops.quant import int8_kv_attention, quantize_kv
+
+    rng = np.random.RandomState(0)
+    B, l, L, H, D = 2, 1, 64, 4, 32
+    q = jnp.asarray(rng.randn(B, l, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, H, D), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, 1, l, L) > 0.3)
+    mask = mask.at[..., 0].set(True)  # no fully-masked rows
+
+    ref = multihead_attention(q, k, v, mask=mask, backend="xla")
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    out = int8_kv_attention(q, kq, ks, vq, vs, mask=mask)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).mean()
+    assert err < 0.03 * np.abs(np.asarray(ref)).mean() + 0.01
+
+
+def test_int8_kv_cache_decode_close_to_full_forward():
+    """AR cached decode with model.kv_cache_dtype='int8' tracks the full
+    causal forward (reference KV parity pattern: test_ar_sampler.py, at
+    int8 tolerance)."""
+    from unidisc_tpu.sampling.ar_sampler import (init_kv_cache_for,
+                                                 make_apply_token)
+
+    B, L, TXT = 2, 24, 8
+    cfg = Config.make("tiny").override(**{
+        "model.length": L, "model.txt_length": TXT,
+        "model.img_length": L - TXT, "model.text_vocab_size": 20,
+        "model.image_vocab_size": 20, "model.full_attention": False,
+        "model.dropout": 0.0, "model.kv_cache_dtype": "int8",
+        "trainer.parameterization": "ar"})
+    m = cfg.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 19, (B, L)), jnp.int32)
+    modality = jnp.zeros((B, L), jnp.int32)
+    sigma = jnp.zeros((B,), jnp.float32)
+
+    full_logits = model.apply({"params": params}, x, sigma,
+                              modality=modality)
+
+    apply_token = make_apply_token(model)
+    kv = init_kv_cache_for(m, B, L)
+    assert len(kv) == 4 and kv[0].dtype == jnp.int8
+
+    def body(kv, i):
+        tok = jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)
+        mod = jax.lax.dynamic_slice_in_dim(modality, i, 1, axis=1)
+        logits, kv = apply_token(params, tok, kv, i, mod)
+        return kv, logits[:, 0]
+
+    _, step_logits = jax.lax.scan(body, kv, jnp.arange(L))
+    step_logits = jnp.transpose(step_logits, (1, 0, 2))
+    a, b = np.asarray(step_logits), np.asarray(full_logits)
+    assert np.abs(a - b).mean() < 0.05 * np.abs(b).mean() + 0.05
+
+
+def test_continuous_batching_int8_cache_consistent():
+    """Continuous decoding on an int8 cache: a row decoding alongside
+    others must produce exactly what it produces alone (same code path,
+    per-row isolation)."""
+    from unidisc_tpu.serving.continuous import build_continuous_decoder
+
+    L = 32
+    cfg = Config.make("tiny").override(**{
+        "model.length": L, "model.txt_length": L, "model.img_length": 0,
+        "model.text_vocab_size": 24, "model.image_vocab_size": 0,
+        "model.full_attention": False, "model.dropout": 0.0,
+        "model.kv_cache_dtype": "int8",
+        "trainer.parameterization": "ar", "sampling.cfg": None,
+        "sampling.temperature": 0.0, "sampling.top_p": None})
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    leaves = [p + 0.5 * jax.random.normal(k, p.shape, p.dtype)
+              for p, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    init_state, make_insert, decode = build_continuous_decoder(
+        model, cfg, slots=2, chunk=4, eos_id=-1)
+
+    def run(jobs):
+        state = init_state()
+        live = {}
+        for s, (prompt, n_new) in enumerate(jobs):
+            padded = np.zeros(8, np.int32)
+            padded[:len(prompt)] = prompt
+            state = make_insert(8)(params, state, s, jnp.asarray(padded),
+                                   jnp.zeros(L, jnp.int32), len(prompt),
+                                   n_new, 0.0, jax.random.PRNGKey(s))
+            live[s] = len(prompt)
+        for i in range(16):
+            state = decode(params, state, jax.random.PRNGKey(100 + i))
+            if not np.asarray(state.active).any():
+                break
+        pos, x = np.asarray(state.pos), np.asarray(state.x)
+        return {s: x[s, p:pos[s] + 1] for s, p in live.items()}
+
+    jobs = [([3, 7, 1], 6), ([9, 2, 4, 4, 8], 5)]
+    together = run(jobs)
+    solo0 = run(jobs[:1])
+    np.testing.assert_array_equal(together[0], solo0[0])
+    assert len(together[1]) == 5

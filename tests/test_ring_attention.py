@@ -1,0 +1,84 @@
+"""Ring attention (sequence parallelism) tests on the 8-device CPU mesh:
+the ring must reproduce single-device attention exactly (it's exact
+math, not an approximation), forward and backward, causal and full."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unidisc_tpu.ops.attention import multihead_attention
+from unidisc_tpu.parallel.ring_attention import ring_attention_sharded
+
+B, L, H, D = 2, 64, 4, 16
+
+
+def seq_mesh(n=8):
+    devs = np.asarray(jax.devices()[:n])
+    return Mesh(devs.reshape(n), ("seq",))
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, L, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, H, D), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_matches_single_device(causal):
+    mesh = seq_mesh()
+    q, k, v = _inputs()
+    ref = multihead_attention(q, k, v, causal=causal, backend="xla")
+    out = jax.jit(lambda q, k, v: ring_attention_sharded(
+        q, k, v, mesh, causal=causal))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_gradients_match(seed=1):
+    """Differentiability: sequence-parallel training needs grads through
+    the ppermute ring."""
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(seed)
+
+    def loss_ring(q, k, v):
+        o = ring_attention_sharded(q, k, v, mesh, causal=True)
+        return jnp.sum(o * jnp.cos(jnp.arange(D)))
+
+    def loss_ref(q, k, v):
+        o = multihead_attention(q, k, v, causal=True, backend="xla")
+        return jnp.sum(o * jnp.cos(jnp.arange(D)))
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_ring_sharded_inputs_stay_sharded():
+    """With inputs actually placed on the seq sharding, the output keeps
+    the same layout (no hidden all-gather of the sequence axis)."""
+    mesh = seq_mesh()
+    q, k, v = _inputs(2)
+    sh = NamedSharding(mesh, P(None, "seq", None, None))
+    q, k, v = (jax.device_put(a, sh) for a in (q, k, v))
+    out = jax.jit(lambda q, k, v: ring_attention_sharded(
+        q, k, v, mesh, causal=False))(q, k, v)
+    assert out.sharding.spec == P(None, "seq", None, None)
+    ref = multihead_attention(
+        np.asarray(q), np.asarray(k), np.asarray(v), backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_indivisible_sequence_rejected():
+    mesh = seq_mesh()
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, 60, H, D), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        ring_attention_sharded(q, q, q, mesh)

@@ -71,6 +71,19 @@ class ModelConfig:
     # and vocab head; 1.7-1.8x matmul speedup measured on v5e, see
     # ops/quant.py). Convert params with quant.quantize_dit_params.
     quant: Optional[str] = None
+    # Pallas norm+adaLN+quantize prologue kernel feeding the int8 matmuls
+    # (ops/fused_qmm.py). MEASURED NEUTRAL-TO-NEGATIVE on v5e at the 115M
+    # flagship (6413 vs ~6540 tok/s): XLA already fuses the unfused
+    # elementwise chain tightly, and a hand-tiled Mosaic int8 dot is
+    # slower than XLA's (136 vs 205 TOPS at the qkv shape) — so this
+    # stays OFF by default; kept as a tested option for shapes where the
+    # adaLN chain dominates
+    quant_fused: bool = False
+    # AR decode KV cache dtype: "bf16" | "int8" (per-position-per-head
+    # symmetric scales; scores/values use int8 MXU dots with rank-1
+    # rescales — ops/quant.py int8_kv helpers). Halves the cache reads
+    # that dominate large-batch decode.
+    kv_cache_dtype: str = "bf16"
     # muP (maximal-update parameterization) hyperparameter transfer: scale
     # per-matrix learning rates by mup_base_width/hidden_size (the MuAdam
     # rule; reference: model.mup flag + mup.MuAdam, model_setup.py:163/416)

@@ -66,7 +66,7 @@ class QDense(nn.Module):
     out_dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prologue=None):
         from unidisc_tpu.ops.quant import qdot
         k = x.shape[-1]
         kernel_q = self.param(
@@ -79,6 +79,15 @@ class QDense(nn.Module):
                            (self.features,))
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,)) if self.use_bias else None
+        if prologue is not None:
+            # fused norm/gelu + quantize + int8 matmul, one VMEM pass
+            # (ops/fused_qmm.py); prologue carries the elementwise stage
+            # this matmul absorbs
+            from unidisc_tpu.ops.fused_qmm import fused_qmm
+            lead = x.shape[:-1]
+            y = fused_qmm(x.reshape(-1, k), kernel_q, scale, bias=bias,
+                          out_dtype=self.out_dtype, **prologue)
+            return y.reshape(*lead, self.features)
         return qdot(x, kernel_q, scale, bias=bias, out_dtype=self.out_dtype)
 
 
@@ -104,8 +113,13 @@ class Norm(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_weight=False):
         w = self.param("weight", nn.initializers.ones, (self.dim,))
+        if return_weight:
+            # fused int8 path (ops/fused_qmm.py): the norm is applied
+            # inside the matmul kernel; this call only registers the
+            # param (tree layout stays identical to the unfused model)
+            return w
         x32 = x.astype(jnp.float32)
         if self.norm_type == "layernorm":
             mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -189,14 +203,17 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, attn_mask=None,
-                 kv_cache=None, cache_index=None, segment_ids=None):
+                 kv_cache=None, cache_index=None, segment_ids=None,
+                 qkv_prologue=None, out_prologue=None):
         c = self.cfg
         h, d = c.n_heads, c.head_dim
         dim = c.hidden_size
-        qkv = make_dense(c, 3 * dim, use_bias=False,
-                         dtype=self.compute_dtype,
-                         kernel_init=torch_linear_init(),
-                         name="attn_qkv")(x)
+        qkv_dense = make_dense(c, 3 * dim, use_bias=False,
+                               dtype=self.compute_dtype,
+                               kernel_init=torch_linear_init(),
+                               name="attn_qkv")
+        qkv = qkv_dense(x, qkv_prologue) if qkv_prologue is not None \
+            else qkv_dense(x)
 
         if c.qk_norm:
             # full-width LayerNorm with bias over the q and k slices
@@ -224,23 +241,36 @@ class Attention(nn.Module):
             # attention-caching) or a (B,) vector of PER-ROW positions
             # (continuous batching, serving/continuous.py) — rows at
             # different decode depths share one device batch.
-            ck, cv = kv_cache
             vector_index = (cache_index is not None
                             and jnp.ndim(cache_index) == 1)
-            if vector_index:
-                def write(cache, new):
+
+            def write(cache, new):
+                if vector_index:
                     return jax.vmap(
                         lambda cr, nr, p: jax.lax.dynamic_update_slice(
                             cr, nr.astype(cr.dtype), (p, 0, 0))
                     )(cache, new, cache_index)
-                ck, cv = write(ck, k), write(cv, v)
+                return jax.lax.dynamic_update_slice(
+                    cache, new.astype(cache.dtype), (0, cache_index, 0, 0))
+
+            int8_cache = len(kv_cache) == 4
+            if int8_cache:
+                # int8 KV cache (ops/quant.py int8_kv_attention): store
+                # quantized K/V + per-(pos, head) scales; attention reads
+                # the cache in int8 directly
+                from unidisc_tpu.ops.quant import quantize_kv
+                ckq, cks, cvq, cvs = kv_cache
+                k_q, k_s = quantize_kv(k)
+                v_q, v_s = quantize_kv(v)
+                ckq, cks = write(ckq, k_q), write(cks, k_s)
+                cvq, cvs = write(cvq, v_q), write(cvs, v_s)
+                new_cache = (ckq, cks, cvq, cvs)
+                lk = ckq.shape[1]
             else:
-                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                                  (0, cache_index, 0, 0))
-                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                                  (0, cache_index, 0, 0))
-            new_cache = (ck, cv)
-            lk = ck.shape[1]
+                ck, cv = kv_cache
+                ck, cv = write(ck, k), write(cv, v)
+                new_cache = (ck, cv)
+                lk = ck.shape[1]
             if c.full_attention:
                 mask = None
             else:
@@ -256,8 +286,12 @@ class Attention(nn.Module):
                     key_ok = (jnp.arange(lk)[None, :]
                               <= cache_index + q_pos[:, None])  # (l, lk)
                     mask = key_ok[None, None, :, :]
-            out = multihead_attention(q, ck, cv, mask=mask, causal=False,
-                                      backend="xla")
+            if int8_cache:
+                from unidisc_tpu.ops.quant import int8_kv_attention
+                out = int8_kv_attention(q, ckq, cks, cvq, cvs, mask=mask)
+            else:
+                out = multihead_attention(q, ck, cv, mask=mask,
+                                          causal=False, backend="xla")
         else:
             backend = c.attn_backend
             if backend == "auto":
@@ -280,9 +314,12 @@ class Attention(nn.Module):
                                           backend=backend)
 
         out = out.reshape(b, l, dim)
-        out = make_dense(c, dim, use_bias=False, dtype=self.compute_dtype,
-                         kernel_init=torch_linear_init(),
-                         name="attn_out")(out)
+        out_dense = make_dense(c, dim, use_bias=False,
+                               dtype=self.compute_dtype,
+                               kernel_init=torch_linear_init(),
+                               name="attn_out")
+        out = out_dense(out, out_prologue) if out_prologue is not None \
+            else out_dense(out)
         return out, new_cache
 
 
@@ -316,15 +353,47 @@ class DDiTBlock(nn.Module):
             shift_msa = scale_msa = gate_msa = None
             shift_mlp = scale_mlp = gate_mlp = None
 
-        x_skip = x
-        hidden = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm1")(x)
-        if cfg.time_conditioning:
-            hidden = modulate(hidden, shift_msa, scale_msa, modality)
+        # fused int8 inference: absorb norm+modulate (and gelu) into the
+        # matmuls via ops/fused_qmm.py — one VMEM pass instead of separate
+        # HBM round-trips per elementwise stage. The adaLN conditioning
+        # must be per-batch-row ((B, 1, dim)) for the kernel's tile->batch
+        # mapping to hold.
+        use_fused = (cfg.quant == "int8" and cfg.quant_fused
+                     and kv_cache is None
+                     and (shift_msa is None or shift_msa.shape[1] == 1))
+        rows_per_batch = x.shape[1]
 
-        attn_out, new_cache = Attention(cfg, self.compute_dtype,
-                                        name="attention")(
-            hidden, rope_cos, rope_sin, attn_mask, kv_cache, cache_index,
-            segment_ids)
+        def adaln_prologue(norm_w, shift, scale):
+            pro = dict(mode="adaln_norm", norm_type=cfg.norm_type,
+                       norm_w=norm_w, rows_per_batch=rows_per_batch)
+            if shift is not None:
+                pro.update(shift=shift[:, 0, :], scale=scale[:, 0, :],
+                           modality=(None if modality is None
+                                     else modality.reshape(-1)))
+            return pro
+
+        x_skip = x
+        norm1 = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm1")
+        attention = Attention(cfg, self.compute_dtype, name="attention")
+        if use_fused:
+            # fuse only the adaLN-prologue matmuls (qkv, mlp_0): those are
+            # where XLA pays separate HBM passes (norm reduction +
+            # modulate + quantize reduction). attn_out/mlp_2 keep the XLA
+            # qdot — a bare quantize+dot is already fused well by XLA and
+            # the Mosaic dot schedule is slower (measured on v5e: "none"
+            # mode kernel 136 TOPS vs XLA 205 at the 115M qkv shape)
+            attn_out, new_cache = attention(
+                x, rope_cos, rope_sin, attn_mask, kv_cache, cache_index,
+                segment_ids,
+                qkv_prologue=adaln_prologue(norm1(None, return_weight=True),
+                                            shift_msa, scale_msa))
+        else:
+            hidden = norm1(x)
+            if cfg.time_conditioning:
+                hidden = modulate(hidden, shift_msa, scale_msa, modality)
+            attn_out, new_cache = attention(
+                hidden, rope_cos, rope_sin, attn_mask, kv_cache,
+                cache_index, segment_ids)
 
         if cfg.sandwich_normalization:
             # pre-residual norm replaces the gate on the attention branch
@@ -335,20 +404,27 @@ class DDiTBlock(nn.Module):
             x = gate_residual(x_skip, attn_out, gate_msa, modality,
                               dropout_fn=dropout_fn)
 
-        hidden = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm2")(x)
-        if cfg.time_conditioning:
-            hidden = modulate(hidden, shift_mlp, scale_mlp, modality)
-        hidden = make_dense(cfg, cfg.mlp_ratio * dim, use_bias=True,
-                            dtype=self.compute_dtype,
-                            kernel_init=torch_linear_init(),
-                            bias_init=torch_linear_init(),
-                            name="mlp_0")(hidden)
-        hidden = nn.gelu(hidden, approximate=True)
-        hidden = make_dense(cfg, dim, use_bias=True,
-                            dtype=self.compute_dtype,
-                            kernel_init=torch_linear_init(),
-                            bias_init=torch_linear_init(),
-                            name="mlp_2")(hidden)
+        norm2 = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm2")
+        mlp_0 = make_dense(cfg, cfg.mlp_ratio * dim, use_bias=True,
+                           dtype=self.compute_dtype,
+                           kernel_init=torch_linear_init(),
+                           bias_init=torch_linear_init(), name="mlp_0")
+        mlp_2 = make_dense(cfg, dim, use_bias=True,
+                           dtype=self.compute_dtype,
+                           kernel_init=torch_linear_init(),
+                           bias_init=torch_linear_init(), name="mlp_2")
+        if use_fused:
+            hidden = mlp_0(x, adaln_prologue(
+                norm2(None, return_weight=True), shift_mlp, scale_mlp))
+            hidden = nn.gelu(hidden, approximate=True)
+            hidden = mlp_2(hidden)
+        else:
+            hidden = norm2(x)
+            if cfg.time_conditioning:
+                hidden = modulate(hidden, shift_mlp, scale_mlp, modality)
+            hidden = mlp_0(hidden)
+            hidden = nn.gelu(hidden, approximate=True)
+            hidden = mlp_2(hidden)
         if cfg.sandwich_normalization:
             hidden = Norm(dim, cfg.norm_type, self.compute_dtype,
                           name="post_ff_norm")(hidden)

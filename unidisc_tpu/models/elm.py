@@ -145,16 +145,55 @@ class ELMAttention(nn.Module):
 
         new_cache = None
         if kv_cache is not None:
-            ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-            new_cache = (ck, cv)
-            k, v = ck, cv
-            lk = k.shape[1]
-            mask = (jnp.arange(lk)[None, :] <=
-                    (cache_index + l - 1))[None, None, :, :]
+            # scalar cache_index = lockstep decode; (B,) vector = per-row
+            # positions (continuous batching); 4-tuple cache = int8 KV
+            # (same design as models/dit.py Attention)
+            vector_index = jnp.ndim(cache_index) == 1
+
+            def write(cache, new):
+                if vector_index:
+                    return jax.vmap(
+                        lambda cr, nr, p: jax.lax.dynamic_update_slice(
+                            cr, nr.astype(cr.dtype), (p, 0, 0))
+                    )(cache, new, cache_index)
+                return jax.lax.dynamic_update_slice(
+                    cache, new.astype(cache.dtype), (0, cache_index, 0, 0))
+
+            int8_cache = len(kv_cache) == 4
+            if int8_cache:
+                from unidisc_tpu.ops.quant import quantize_kv
+                k_q, k_s = quantize_kv(k)
+                v_q, v_s = quantize_kv(v)
+                ckq, cks, cvq, cvs = (write(cache, new) for cache, new in
+                                      zip(kv_cache, (k_q, k_s, v_q, v_s)))
+                new_cache = (ckq, cks, cvq, cvs)
+                lk = ckq.shape[1]
+            else:
+                ck, cv = (write(cache, new) for cache, new in
+                          zip(kv_cache, (k, v)))
+                new_cache = (ck, cv)
+                k, v = ck, cv
+                lk = ck.shape[1]
+            # causal within the new block (multi-token prefill exact)
+            q_pos = jnp.arange(l)
+            if vector_index:
+                mask = (jnp.arange(lk)[None, None, :]
+                        <= cache_index[:, None, None]
+                        + q_pos[None, :, None])[:, None, :, :]
+            else:
+                mask = (jnp.arange(lk)[None, :]
+                        <= cache_index + q_pos[:, None])[None, None, :, :]
+            if int8_cache:
+                from unidisc_tpu.ops.quant import int8_kv_attention
+                rep = qh // kvh
+                out = int8_kv_attention(
+                    q, jnp.repeat(ckq, rep, axis=2),
+                    jnp.repeat(cks, rep, axis=2),
+                    jnp.repeat(cvq, rep, axis=2),
+                    jnp.repeat(cvs, rep, axis=2), mask=mask)
+                out = out.reshape(b, l, qh * hd)
+                return _dense(c, c.model_dim, "out_proj",
+                              self.compute_dtype)(out), new_cache
         else:
             mask = None
 
@@ -218,7 +257,14 @@ class OpenELM(nn.Module):
         cos_np, sin_np = rope_1d(c.max_length, c.head_dim, c.rope_freq)
         cos = jnp.asarray(cos_np)
         sin = jnp.asarray(sin_np)
-        if kv_cache is not None:
+        if kv_cache is not None and jnp.ndim(cache_index) == 1:
+            # per-row decode positions (continuous batching)
+            pos = jnp.clip(cache_index[:, None]
+                           + jnp.arange(ids.shape[1])[None, :],
+                           0, cos.shape[0] - 1)
+            cos = jnp.take(cos, pos, axis=0)      # (B, l, d2)
+            sin = jnp.take(sin, pos, axis=0)
+        elif kv_cache is not None:
             cos = jax.lax.dynamic_slice_in_dim(cos, cache_index,
                                                ids.shape[1], axis=0)
             sin = jax.lax.dynamic_slice_in_dim(sin, cache_index,
@@ -260,12 +306,22 @@ class OpenELM(nn.Module):
 
 
 def init_elm_cache(cfg: ELMConfig, batch: int, max_len: int,
-                   dtype=jnp.bfloat16):
-    """Per-layer (k, v) caches with layer-specific kv head counts."""
+                   dtype=jnp.bfloat16, quant: bool = False):
+    """Per-layer (k, v) caches with layer-specific kv head counts.
+
+    quant=True: per-layer int8 4-tuples (k_q, k_s, v_q, v_s) — see
+    ops/quant.int8_kv_attention."""
     caches = []
     for kvh in cfg.layer_kv_heads():
         shape = (batch, max_len, kvh, cfg.head_dim)
-        caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+        if quant:
+            sshape = (batch, max_len, kvh, 1)
+            caches.append((jnp.zeros(shape, jnp.int8),
+                           jnp.ones(sshape, jnp.float32),
+                           jnp.zeros(shape, jnp.int8),
+                           jnp.ones(sshape, jnp.float32)))
+        else:
+            caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
     return caches
 
 

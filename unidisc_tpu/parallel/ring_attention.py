@@ -1,0 +1,129 @@
+"""Ring attention: exact sequence-parallel attention over a mesh axis.
+
+Context parallelism for sequences too long for one chip's HBM: the
+sequence dimension is sharded over a mesh axis (conventionally 'seq');
+each device keeps its local Q chunk resident while K/V chunks rotate
+around the ring with `ppermute`, and every device folds each incoming
+block into a flash-style online-softmax accumulator (running max m,
+normalizer l, unnormalized output acc). The result is EXACT attention —
+memory per device is O(L/n) with n ring steps of ICI traffic, each
+overlappable with the block compute.
+
+Public recipe: Liu et al. 2023 "Ring Attention with Blockwise
+Transformers" (PAPERS.md); collectives layout follows the scaling-book
+ppermute pattern. No reference counterpart — the reference caps context
+at one GPU's attention (models/dit.py:516-887); this is the TPU-native
+scale-out for the >8k-token regime (SURVEY §5-6 long-context machinery).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MASK_VALUE = -1e30
+
+
+def _block(q, k, v, scale, mask):
+    """One flash block: returns (m, l, o) with o unnormalized.
+
+    q: (B, Lq, H, D); k/v: (B, Lk, H, D); mask broadcastable to
+    (B, H, Lq, Lk) or None."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if mask is not None:
+        s = jnp.where(mask, s, MASK_VALUE)
+    m = jnp.max(s, axis=-1)                            # (B, H, Lq)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)                            # (B, H, Lq)
+    o = jnp.einsum("bhqk,bkhd->bhqd", p, v.astype(jnp.float32))
+    return m, l, o
+
+
+def ring_attention(q, k, v, *, axis_name: str = "seq",
+                   causal: bool = False,
+                   softmax_scale: Optional[float] = None):
+    """Per-shard ring attention body (call INSIDE shard_map / pjit with
+    manual axes). q/k/v: the LOCAL sequence chunk (B, Lc, H, D); returns
+    the local output chunk (B, Lc, H, D) in q.dtype.
+
+    Requires the global sequence length to divide the axis size evenly
+    (static shapes — enforced by the caller's sharding)."""
+    b, lc, h, d = q.shape
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+
+    q_pos = idx * lc + jnp.arange(lc)                  # global q positions
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(carry, r):
+        k_cur, v_cur, m, l, acc = carry
+        # after r receives we hold the chunk originally on device idx - r
+        src = (idx - r) % n
+
+        def attend(args):
+            k_cur, v_cur, m, l, acc = args
+            if causal:
+                k_pos = src * lc + jnp.arange(lc)
+                mask = (k_pos[None, :]
+                        <= q_pos[:, None])[None, None, :, :]
+            else:
+                mask = None
+            bm, bl, bo = _block(q, k_cur, v_cur, scale, mask)
+            m_new = jnp.maximum(m, bm)
+            c1 = jnp.exp(m - m_new)
+            c2 = jnp.exp(bm - m_new)
+            return (m_new, l * c1 + bl * c2,
+                    acc * c1[..., None] + bo * c2[..., None])
+
+        if causal:
+            # chunks entirely above the diagonal contribute nothing —
+            # skip their FLOPs (each device decides locally; shard_map
+            # runs per-device code so a device-varying cond is fine)
+            m, l, acc = jax.lax.cond(
+                src <= idx, attend, lambda args: args[2:],
+                (k_cur, v_cur, m, l, acc))
+        else:
+            m, l, acc = attend((k_cur, v_cur, m, l, acc))
+        # rotate K/V to the next device (last rotation is redundant but
+        # keeps the scan body uniform)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (k_nxt, v_nxt, m, l, acc), None
+
+    # freshly-created initials are device-invariant under shard_map's
+    # varying-axes typing; mark them varying over the ring axis so the
+    # scan carry types line up
+    m0 = jax.lax.pvary(jnp.full((b, h, lc), -jnp.inf, jnp.float32),
+                       axis_name)
+    l0 = jax.lax.pvary(jnp.zeros((b, h, lc), jnp.float32), axis_name)
+    acc0 = jax.lax.pvary(jnp.zeros((b, h, lc, d), jnp.float32), axis_name)
+    (_, _, m, l, acc), _ = jax.lax.scan(
+        body, (k, v, m0, l0, acc0), jnp.arange(n))
+    # fully-masked rows (leading causal chunks) are defined to be zero
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = jnp.where((l > 0)[..., None], out, 0.0)
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
+
+
+def ring_attention_sharded(q, k, v, mesh: Mesh, *, seq_axis: str = "seq",
+                           causal: bool = False,
+                           softmax_scale: Optional[float] = None):
+    """Jit-level entry: q/k/v are GLOBAL (B, L, H, D) arrays; the L axis
+    is sharded over `seq_axis` and attention runs as a ring. L must be
+    divisible by the axis size."""
+    n = mesh.shape[seq_axis]
+    if q.shape[1] % n != 0:
+        raise ValueError(f"sequence {q.shape[1]} not divisible by "
+                         f"{seq_axis} axis size {n}")
+    spec = P(None, seq_axis, None, None)
+    fn = functools.partial(ring_attention, axis_name=seq_axis,
+                           causal=causal, softmax_scale=softmax_scale)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec)(q, k, v)

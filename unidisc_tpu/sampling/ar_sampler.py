@@ -22,11 +22,29 @@ from unidisc_tpu.sampling.sampler import SampleResult
 
 
 def init_kv_cache(n_blocks: int, batch: int, max_len: int, n_heads: int,
-                  head_dim: int, dtype=jnp.bfloat16):
+                  head_dim: int, dtype=jnp.bfloat16, quant: bool = False):
     """(k, v) cache, each (n_blocks, B, max_len, H, D)
-    (reference alloc: models/dit.py:595-608 reset_kv_cache)."""
+    (reference alloc: models/dit.py:595-608 reset_kv_cache).
+
+    With quant=True (model.kv_cache_dtype == "int8"): a 4-tuple
+    (k_q, k_scale, v_q, v_scale) — int8 values + per-(pos, head) f32
+    scales; the DIT cached branch reads it with int8 MXU dots
+    (ops/quant.int8_kv_attention). Halves the cache traffic that
+    dominates large-batch decode."""
     shape = (n_blocks, batch, max_len, n_heads, head_dim)
+    if quant:
+        sshape = (n_blocks, batch, max_len, n_heads, 1)
+        return (jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+                jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32))
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def init_kv_cache_for(m, batch: int, max_len: Optional[int] = None):
+    """Config-aware cache alloc: m is a ModelConfig."""
+    return init_kv_cache(m.n_blocks, batch, max_len or m.length,
+                         m.n_heads, m.head_dim,
+                         quant=getattr(m, "kv_cache_dtype", "bf16")
+                         == "int8")
 
 
 def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
@@ -75,7 +93,7 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
             x0_full = x0
             bb = b
 
-        kv = init_kv_cache(m.n_blocks, bb, l, m.n_heads, m.head_dim)
+        kv = init_kv_cache_for(m, bb, l)
 
         rng_g, rng_n = jax.random.split(rng)
 

@@ -39,15 +39,17 @@ import numpy as np
 
 from unidisc_tpu.config import Config
 from unidisc_tpu.diffusion.subs import NEG_INFINITY, restrict_modality_logits
-from unidisc_tpu.sampling.ar_sampler import init_kv_cache
+from unidisc_tpu.sampling.ar_sampler import init_kv_cache_for
 
 
 class DecodeState(NamedTuple):
     """Device-resident continuous-batching state (S slots, length L)."""
     x: jax.Array        # (S, L) int32 — prompt + generated tokens
     mod: jax.Array      # (S, L) int32 — per-position modality
-    kv_k: jax.Array     # (n_blocks, S, L, H, D)
-    kv_v: jax.Array     # (n_blocks, S, L, H, D)
+    kv: tuple           # per-layer cache stack: (k, v) each
+    #                      (n_blocks, S, L, H, D) bf16, or the int8
+    #                      4-tuple (k_q, k_s, v_q, v_s) when
+    #                      model.kv_cache_dtype == "int8"
     pos: jax.Array      # (S,) int32 — next KV write position; x[s, pos[s]]
     #                      is the latest token whose K/V is not yet written
     active: jax.Array   # (S,) bool
@@ -81,11 +83,11 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
     assert not m.full_attention, "continuous batching needs a causal model"
 
     def init_state() -> DecodeState:
-        k, v = init_kv_cache(m.n_blocks, slots, L, m.n_heads, m.head_dim)
+        kv = init_kv_cache_for(m, slots, L)
         return DecodeState(
             x=jnp.zeros((slots, L), jnp.int32),
             mod=jnp.zeros((slots, L), jnp.int32),
-            kv_k=k, kv_v=v,
+            kv=kv,
             pos=jnp.zeros((slots,), jnp.int32),
             active=jnp.zeros((slots,), bool),
             stop=jnp.zeros((slots,), jnp.int32),
@@ -106,10 +108,10 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         # [0, bucket); garbage beyond prompt_len is never attended (the
         # causal mask exposes keys <= pos only) and is overwritten as the
         # row decodes forward
-        kv1 = init_kv_cache(m.n_blocks, 1, L, m.n_heads, m.head_dim)
+        kv1 = init_kv_cache_for(m, 1, L)
         sigma = jnp.zeros((1,), jnp.float32)
         mod_prompt = jax.lax.dynamic_slice_in_dim(mod_row, 0, bucket)
-        logits, (k1, v1) = model.apply(
+        logits, kv1_new = model.apply(
             {"params": params}, prompt[None], sigma,
             modality=mod_prompt[None], kv_cache=kv1, cache_index=0)
         last = logits[0, prompt_len - 1].astype(jnp.float32)
@@ -126,15 +128,15 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
 
         upd = lambda a, r: jax.lax.dynamic_update_slice_in_dim(
             a, r[None].astype(a.dtype), slot, axis=0)
-        kv_k = jax.lax.dynamic_update_slice(
-            state.kv_k, k1.astype(state.kv_k.dtype), (0, slot, 0, 0, 0))
-        kv_v = jax.lax.dynamic_update_slice(
-            state.kv_v, v1.astype(state.kv_v.dtype), (0, slot, 0, 0, 0))
+        kv = jax.tree_util.tree_map(
+            lambda cache, row: jax.lax.dynamic_update_slice(
+                cache, row.astype(cache.dtype), (0, slot, 0, 0, 0)),
+            state.kv, kv1_new)
         started_done = (tok0 == eos_id) | (max_new <= 1)
         return DecodeState(
             x=upd(state.x, x_row),
             mod=upd(state.mod, mod_row),
-            kv_k=kv_k, kv_v=kv_v,
+            kv=kv,
             pos=state.pos.at[slot].set(prompt_len),
             active=state.active.at[slot].set(~started_done),
             stop=state.stop.at[slot].set(
@@ -153,9 +155,9 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         tok = jnp.take_along_axis(x, pos[:, None], axis=1)       # (S, 1)
         mod_tok = jnp.take_along_axis(mod, pos[:, None], axis=1)
         sigma = jnp.zeros((slots,), jnp.float32)
-        logits, (kv_k, kv_v) = model.apply(
+        logits, kv = model.apply(
             {"params": params}, tok, sigma, modality=mod_tok,
-            kv_cache=(state.kv_k, state.kv_v), cache_index=pos)
+            kv_cache=state.kv, cache_index=pos)
         logits = logits[:, 0].astype(jnp.float32)                # (S, V)
 
         nxt = jnp.minimum(pos + 1, L - 1)
@@ -172,7 +174,7 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         hit_eos = active & (tok_new == eos_id)
         exhausted = nxt + 1 >= state.stop
         active = active & ~hit_eos & ~exhausted
-        return DecodeState(x=x, mod=mod, kv_k=kv_k, kv_v=kv_v, pos=pos,
+        return DecodeState(x=x, mod=mod, kv=kv, pos=pos,
                            active=active, stop=state.stop, temp=state.temp)
 
     def _decode_chunk(params, state: DecodeState, rng) -> DecodeState:

@@ -417,11 +417,13 @@ class InferenceEngine:
 def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                  codec_name: Optional[str] = None,
                  steps: Optional[int] = None,
-                 quantize: Optional[str] = None) -> "InferenceEngine":
+                 quantize: Optional[str] = None,
+                 kv_cache: Optional[str] = None) -> "InferenceEngine":
     """Construct an engine from a config preset and optional run dir
     (EMA params) + codec — the shared bootstrap for the server, the
     scoring battery, and scripts. quantize="int8" serves with W8A8 int8
-    matmuls (ops/quant.py; ~1.4x sampling throughput on v5e)."""
+    matmuls (ops/quant.py; ~1.4x sampling throughput on v5e);
+    kv_cache="int8" decodes AR models on an int8 KV cache."""
     import dataclasses
     import json as _json
 
@@ -431,6 +433,8 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
     from unidisc_tpu.models.dit import init_dit
 
     over = {"sampling.steps": steps} if steps else {}
+    if kv_cache:
+        over["model.kv_cache_dtype"] = kv_cache
     config = Config.make(preset, **over)
     model, params = init_dit(jax.random.PRNGKey(config.seed), config.model)
     if checkpoint:

@@ -344,13 +344,16 @@ def main(argv: Optional[list] = None):
                         help="image codec for pixel I/O (e.g. llamagen-vq16)")
     parser.add_argument("--quantize", default=None, choices=[None, "int8"],
                         help="serve with int8 W8A8 matmuls (~1.4x on v5e)")
+    parser.add_argument("--kv-cache", default=None, choices=[None, "int8"],
+                        help="AR decode KV cache dtype (int8 halves the "
+                        "cache reads that bound large-batch decode)")
     args = parser.parse_args(argv)
 
     from unidisc_tpu.serving.engine import build_engine
 
     engine = build_engine(preset=args.model, checkpoint=args.ckpt,
                           codec_name=args.codec, steps=args.steps,
-                          quantize=args.quantize)
+                          quantize=args.quantize, kv_cache=args.kv_cache)
     server = make_server(engine, args.port, args.host)
     print(f"[serve] listening on {args.host}:{args.port}")
     server.serve_forever()
