@@ -188,9 +188,13 @@ class MeshConfig:
     dcn: int = 1  # multislice / DCN axis (data-parallel across slices)
     fsdp: int = -1  # parameter + batch sharding over ICI
     tensor: int = 1  # tensor parallelism
+    # sequence (context) parallelism: shard activations over L and run
+    # attention as an exact ppermute ring (parallel/ring_attention.py) —
+    # memory per chip O(L/seq) for the >8k-token regime
+    seq: int = 1
 
-    def axis_names(self) -> Tuple[str, str, str]:
-        return ("dcn", "fsdp", "tensor")
+    def axis_names(self) -> Tuple[str, ...]:
+        return ("dcn", "fsdp", "tensor", "seq")
 
 
 @dataclass(frozen=True)

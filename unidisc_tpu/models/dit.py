@@ -33,6 +33,7 @@ import numpy as np
 from unidisc_tpu.config import ModelConfig
 from unidisc_tpu.models.rotary import apply_rope, build_multimodal_rope
 from unidisc_tpu.ops.attention import multihead_attention
+from unidisc_tpu.parallel.seq_parallel import current_seq_mesh as _ring_ctx
 
 Dtype = Any
 
@@ -292,6 +293,24 @@ class Attention(nn.Module):
             else:
                 out = multihead_attention(q, ck, cv, mask=mask,
                                           causal=False, backend="xla")
+        elif _ring_ctx() is not None and attn_mask is None \
+                and segment_ids is None:
+            # sequence-parallel training (parallel/seq_parallel.py): L is
+            # sharded over the 'seq' mesh axis; run attention as an exact
+            # ppermute ring instead of letting GSPMD all-gather K/V
+            from unidisc_tpu.parallel.ring_attention import ring_attention
+            mesh, axis = _ring_ctx()
+            from jax.sharding import PartitionSpec as SP
+            tensor_ax = ("tensor" if c.n_heads % max(
+                mesh.shape.get("tensor", 1), 1) == 0
+                and mesh.shape.get("tensor", 1) > 1 else None)
+            spec = SP(("dcn", "fsdp"), axis, tensor_ax, None)
+            import functools as _ft
+            body = _ft.partial(ring_attention, axis_name=axis,
+                               causal=not c.full_attention)
+            out = jax.shard_map(body, mesh=mesh,
+                                in_specs=(spec, spec, spec),
+                                out_specs=spec, check_vma=False)(q, k, v)
         else:
             backend = c.attn_backend
             if backend == "auto":

@@ -32,11 +32,11 @@ MIN_SHARD_SIZE = 2 ** 14
 
 
 def resolve_mesh_shape(cfg: MeshConfig, n_devices: int) -> tuple:
-    dcn, fsdp, tensor = cfg.dcn, cfg.fsdp, cfg.tensor
-    known = [d for d in (dcn, fsdp, tensor) if d != -1]
+    sizes = (cfg.dcn, cfg.fsdp, cfg.tensor, getattr(cfg, "seq", 1))
+    known = [d for d in sizes if d != -1]
     prod = math.prod(known) if known else 1
     remaining = n_devices // max(prod, 1)
-    shape = tuple(remaining if d == -1 else d for d in (dcn, fsdp, tensor))
+    shape = tuple(remaining if d == -1 else d for d in sizes)
     if math.prod(shape) != n_devices:
         raise ValueError(
             f"mesh {shape} does not cover {n_devices} devices")
@@ -44,16 +44,19 @@ def resolve_mesh_shape(cfg: MeshConfig, n_devices: int) -> tuple:
 
 
 def make_mesh(cfg: MeshConfig, devices: Optional[list] = None) -> Mesh:
-    """Build the ('dcn','fsdp','tensor') device mesh.
+    """Build the ('dcn','fsdp','tensor','seq') device mesh.
 
     For multislice topologies (dcn > 1) uses a hybrid mesh so the 'dcn' axis
     maps onto the slice boundary (reference HybridMesh, main.py:976-981).
+    The 'seq' axis (sequence/context parallelism, ring attention) should
+    stay within a slice — it carries per-layer ppermute traffic.
     """
     devices = devices if devices is not None else jax.devices()
     shape = resolve_mesh_shape(cfg, len(devices))
     if shape[0] > 1 and devices[0].platform == "tpu":
         mesh_devices = mesh_utils.create_hybrid_device_mesh(
-            (1, shape[1], shape[2]), (shape[0], 1, 1), devices=devices)
+            (1,) + shape[1:], (shape[0],) + (1,) * (len(shape) - 1),
+            devices=devices)
     else:
         mesh_devices = np.asarray(devices).reshape(shape)
     return Mesh(mesh_devices, cfg.axis_names())
@@ -140,9 +143,17 @@ def params_shardings(params: Any, mesh: Mesh) -> Any:
         treedef, [one(p, l) for p, l in flat])
 
 
+def _seq_axis(mesh: Mesh):
+    return "seq" if mesh.shape.get("seq", 1) > 1 else None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Input batch sharded over (dcn, fsdp) on the leading (batch) dim
-    (reference: xla_utils.py:270-278 input sharding (('dcn','fsdp'), None))."""
+    (reference: xla_utils.py:270-278 input sharding (('dcn','fsdp'), None));
+    with sequence parallelism active, (B, L) data additionally shards L
+    over 'seq'."""
+    if _seq_axis(mesh):
+        return NamedSharding(mesh, P(("dcn", "fsdp"), "seq"))
     return NamedSharding(mesh, P(("dcn", "fsdp")))
 
 
@@ -154,4 +165,4 @@ def logits_constraint(x: jax.Array, mesh: Mesh) -> jax.Array:
     """Keep activations/logits batch-sharded inside the jitted step
     (reference: xla_utils.py:6-18 shard_output)."""
     return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P(("dcn", "fsdp"), None, None)))
+        x, NamedSharding(mesh, P(("dcn", "fsdp"), _seq_axis(mesh), None)))

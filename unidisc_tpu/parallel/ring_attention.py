@@ -100,10 +100,13 @@ def ring_attention(q, k, v, *, axis_name: str = "seq",
     # freshly-created initials are device-invariant under shard_map's
     # varying-axes typing; mark them varying over the ring axis so the
     # scan carry types line up
-    m0 = jax.lax.pvary(jnp.full((b, h, lc), -jnp.inf, jnp.float32),
-                       axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((b, h, lc), jnp.float32), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros((b, h, lc, d), jnp.float32), axis_name)
+    def _vary(x):
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, axis_name, to="varying")
+        return jax.lax.pvary(x, axis_name)
+    m0 = _vary(jnp.full((b, h, lc), -jnp.inf, jnp.float32))
+    l0 = _vary(jnp.zeros((b, h, lc), jnp.float32))
+    acc0 = _vary(jnp.zeros((b, h, lc, d), jnp.float32))
     (_, _, m, l, acc), _ = jax.lax.scan(
         body, (k, v, m0, l0, acc0), jnp.arange(n))
     # fully-masked rows (leading causal chunks) are defined to be zero

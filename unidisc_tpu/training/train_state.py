@@ -274,6 +274,11 @@ def make_train_step(config: Config, model, mesh=None):
     accum = config.trainer.grad_accum_steps
 
     def train_step(state: TrainState, batch, rng):
+        from unidisc_tpu.parallel.seq_parallel import sequence_parallel
+        with sequence_parallel(mesh):
+            return _train_step_body(state, batch, rng)
+
+    def _train_step_body(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params, rng, batch):
