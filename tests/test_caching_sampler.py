@@ -135,3 +135,14 @@ def test_txt_only_steps_with_full_text_conditioning_select_nothing():
     assert (step0_unmasked < IMG).all()
     # final pass completes the image
     assert not (np.asarray(out.tokens) == m.mask_index).any()
+
+
+def test_caching_sampler_int8_kv_cache():
+    """model.kv_cache_dtype='int8': the flex KV cache quantizes on write
+    and attends in int8 (ops/quant.int8_kv_attention); the sampler must
+    still fully unmask and respect conditioning."""
+    cfg = cache_config(**{"model.kv_cache_dtype": "int8"})
+    x0, toks, nfe, m = run_sampler(cfg)
+    assert not (toks == m.mask_index).any()
+    np.testing.assert_array_equal(toks[:, :TXT], x0[:, :TXT])
+    assert nfe >= 1

@@ -66,7 +66,7 @@ def greedy_reference(cfg, model, params, prompt, n_new):
 def run_continuous(cfg, model, params, jobs, slots=4, chunk=4,
                    stagger=False):
     """Drive the raw decoder state machine synchronously (no threads)."""
-    init_state, make_insert, decode = build_continuous_decoder(
+    init_state, make_insert, decode, _ = build_continuous_decoder(
         model, cfg, slots=slots, chunk=chunk, eos_id=-1)
     state = init_state()
     results = {}
@@ -163,7 +163,7 @@ def test_eos_terminates_row(setup):
             break
     assert prompt is not None, "no prompt produced a mid-stream novel token"
     eos = int(ref[j])
-    init_state, make_insert, decode = build_continuous_decoder(
+    init_state, make_insert, decode, _ = build_continuous_decoder(
         model, cfg, slots=1, chunk=4, eos_id=eos)
     state = init_state()
     padded = np.zeros(8, np.int32)
@@ -200,5 +200,35 @@ def test_batcher_threads_and_streaming(setup):
             np.testing.assert_array_equal(res["tokens"], refs[i],
                                           err_msg=f"job {i}")
             assert streamed[i] == list(refs[i])
+    finally:
+        b.shutdown()
+
+
+def test_batcher_eos_with_drain_skipping(setup):
+    """No stream callbacks -> the worker skips most drains (host syncs)
+    and catches EOS retirements on its cadence; futures must still
+    resolve with correctly truncated tokens."""
+    cfg, model, params = setup
+    prompt = [3, 7, 1, 9, 2]
+    ref = greedy_reference(cfg, model, params, prompt, 12)
+    # declare the 4th generated token EOS if it's novel, else fall back
+    # to whatever value appears mid-stream (skip if generation is
+    # constant — nothing to truncate on)
+    eos = None
+    for k in range(1, len(ref)):
+        if ref[k] not in ref[:k]:
+            eos, cut = int(ref[k]), k
+            break
+    if eos is None:
+        pytest.skip("greedy generation collapsed to a constant")
+    b = ContinuousBatcher(model, params, cfg, slots=2, chunk=4,
+                          eos_id=eos)
+    try:
+        f1 = b.submit(prompt, max_new_tokens=12, temperature=0.0)
+        f2 = b.submit([14, 2], max_new_tokens=5, temperature=0.0)
+        r1 = f1.result(timeout=120)
+        r2 = f2.result(timeout=120)
+        np.testing.assert_array_equal(r1["tokens"], ref[:cut])
+        assert len(r2["tokens"]) <= 5
     finally:
         b.shutdown()

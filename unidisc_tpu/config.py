@@ -192,9 +192,15 @@ class MeshConfig:
     # attention as an exact ppermute ring (parallel/ring_attention.py) —
     # memory per chip O(L/seq) for the >8k-token regime
     seq: int = 1
+    # pipeline parallelism: shard the block stack depth-wise over 'pp'
+    # stages; microbatches flow down a GPipe ppermute ring
+    # (parallel/pipeline.py). Requires model.n_blocks % pp == 0.
+    pp: int = 1
+    # microbatches per pipeline round (bubble = (pp-1)/(mb+pp-1))
+    pp_microbatches: int = 4
 
     def axis_names(self) -> Tuple[str, ...]:
-        return ("dcn", "fsdp", "tensor", "seq")
+        return ("dcn", "fsdp", "tensor", "seq", "pp")
 
 
 @dataclass(frozen=True)
@@ -292,6 +298,25 @@ class Config:
         if m.cond_label and m.time_conditioning:
             errs.append("cond_label and time_conditioning are exclusive "
                         "conditioning paths")
+        if self.mesh.seq > 1 and m.length % self.mesh.seq != 0:
+            errs.append(f"model.length {m.length} not divisible by "
+                        f"mesh.seq {self.mesh.seq} (sequence parallelism "
+                        f"shards L evenly)")
+        if self.mesh.pp > 1:
+            if m.n_blocks % self.mesh.pp != 0:
+                errs.append(f"model.n_blocks {m.n_blocks} not divisible "
+                            f"by mesh.pp {self.mesh.pp}")
+            if self.mesh.seq > 1:
+                errs.append("mesh.pp and mesh.seq cannot combine (the "
+                            "ring would nest inside the pipeline's "
+                            "shard_map)")
+            if m.dropout > 0:
+                errs.append("pipeline parallelism requires model."
+                            "dropout=0 (per-stage block.apply carries "
+                            "no dropout rngs)")
+        if m.kv_cache_dtype not in ("bf16", "int8"):
+            errs.append(f"unknown model.kv_cache_dtype "
+                        f"{m.kv_cache_dtype!r}")
         if errs:
             raise ValueError("invalid configuration:\n  " +
                              "\n  ".join(errs))

@@ -293,11 +293,12 @@ class Attention(nn.Module):
             else:
                 out = multihead_attention(q, ck, cv, mask=mask,
                                           causal=False, backend="xla")
-        elif _ring_ctx() is not None and attn_mask is None \
-                and segment_ids is None:
+        elif _ring_ctx() is not None and attn_mask is None:
             # sequence-parallel training (parallel/seq_parallel.py): L is
             # sharded over the 'seq' mesh axis; run attention as an exact
-            # ppermute ring instead of letting GSPMD all-gather K/V
+            # ppermute ring instead of letting GSPMD all-gather K/V.
+            # Packed interleaved batches ride along: the per-token
+            # segment ids rotate around the ring with K/V.
             from unidisc_tpu.parallel.ring_attention import ring_attention
             mesh, axis = _ring_ctx()
             from jax.sharding import PartitionSpec as SP
@@ -308,9 +309,18 @@ class Attention(nn.Module):
             import functools as _ft
             body = _ft.partial(ring_attention, axis_name=axis,
                                causal=not c.full_attention)
-            out = jax.shard_map(body, mesh=mesh,
-                                in_specs=(spec, spec, spec),
-                                out_specs=spec, check_vma=False)(q, k, v)
+            if segment_ids is None:
+                out = jax.shard_map(
+                    lambda q, k, v: body(q, k, v), mesh=mesh,
+                    in_specs=(spec, spec, spec),
+                    out_specs=spec, check_vma=False)(q, k, v)
+            else:
+                seg_spec = SP(("dcn", "fsdp"), axis)
+                out = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(spec, spec, spec, seg_spec),
+                    out_specs=spec, check_vma=False)(
+                        q, k, v, segment_ids[0])
         else:
             backend = c.attn_backend
             if backend == "auto":
@@ -587,35 +597,89 @@ class DIT(nn.Module):
             rope_sin = rope_sin[:indices.shape[1]]
 
         if sample_ids is not None and attn_mask is None:
-            # packed interleaved batches: the pallas kernel takes structured
-            # segment masks directly — only materialize the dense (B,1,L,L)
-            # mask when the XLA backend will actually run
+            # packed interleaved batches: the pallas kernel and the
+            # sequence-parallel ring take structured segment ids directly
+            # — only materialize the dense (B,1,L,L) mask when the XLA
+            # einsum backend will actually run
             from unidisc_tpu.ops.pallas_attention import pallas_auto_ok
             goes_pallas = cfg.attn_backend == "pallas" or (
                 cfg.attn_backend == "auto"
                 and pallas_auto_ok(cfg.head_dim, indices.shape[1])
                 and kv_cache is None)
-            if not goes_pallas:
+            if not goes_pallas and _ring_ctx() is None:
                 from unidisc_tpu.ops.attention import make_sample_ids_mask
                 attn_mask = make_sample_ids_mask(sample_ids)
         segment_ids = (sample_ids, sample_ids) if sample_ids is not None \
             else None
 
-        block_cls = DDiTBlock
-        if self.remat:
-            block_cls = nn.remat(DDiTBlock, prevent_cse=False)
-        blocks = nn.scan(
-            block_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast, 0, nn.broadcast, nn.broadcast),
-            length=cfg.n_blocks,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, self.compute_dtype, deterministic, name="blocks")
+        from unidisc_tpu.parallel.pipeline import current_pp
+        pp_ctx = current_pp()
+        stacked = None
+        if (pp_ctx is not None and kv_cache is None
+                and not self.is_initializing()
+                and (deterministic or cfg.dropout == 0.0)):
+            stacked = self.get_variable("params", "blocks")
 
-        x, new_cache = blocks(x, c, rope_cos, rope_sin, modality, attn_mask,
-                              kv_cache, cache_index, segment_ids)
+        if stacked is not None:
+            # pipeline-parallel trunk (parallel/pipeline.py): the block
+            # stack runs as a GPipe ppermute ring over the 'pp' mesh
+            # axis — each stage's layer-group weights are resident in
+            # its own HBM (param_spec shards the stacked layer axis)
+            mesh, axis, micro = pp_ctx
+            from unidisc_tpu.parallel.pipeline import pipeline_sharded
+            mb = {}
+            if c is not None:
+                mb["c"] = c
+            if modality is not None:
+                mb["modality"] = modality
+            if attn_mask is not None:
+                mb["attn_mask"] = attn_mask
+            if segment_ids is not None:
+                mb["seg"] = segment_ids[0]
+            bcast = ()
+            if rope_cos.ndim == 3:          # per-row rope (interleaved)
+                mb["rope_cos"], mb["rope_sin"] = rope_cos, rope_sin
+            else:
+                bcast = (rope_cos, rope_sin)
+            block = DDiTBlock(cfg, self.compute_dtype, deterministic)
+
+            def stage_fn(local_params, a, mbt, *rope):
+                rc = mbt.get("rope_cos", rope[0] if rope else None)
+                rs = mbt.get("rope_sin", rope[1] if rope else None)
+                seg = mbt.get("seg")
+
+                def layer(carry, p):
+                    y, _ = block.apply(
+                        {"params": p}, carry, mbt.get("c"), rc, rs,
+                        mbt.get("modality"), mbt.get("attn_mask"),
+                        None, None,
+                        (seg, seg) if seg is not None else None)
+                    return y, None
+                a, _ = jax.lax.scan(layer, a, local_params)
+                return a
+
+            x = pipeline_sharded(stage_fn, stacked, x, mesh, *bcast,
+                                 mb_args=mb, pp_axis=axis,
+                                 microbatches=micro)
+            new_cache = None
+        else:
+            block_cls = DDiTBlock
+            if self.remat:
+                block_cls = nn.remat(DDiTBlock, prevent_cse=False)
+            blocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, nn.broadcast, 0, nn.broadcast,
+                         nn.broadcast),
+                length=cfg.n_blocks,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, self.compute_dtype, deterministic, name="blocks")
+
+            x, new_cache = blocks(x, c, rope_cos, rope_sin, modality,
+                                  attn_mask, kv_cache, cache_index,
+                                  segment_ids)
 
         logits = DDitFinalLayer(cfg, self.compute_dtype, name="output_layer")(
             x, c, modality)

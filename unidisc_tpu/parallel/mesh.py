@@ -32,7 +32,8 @@ MIN_SHARD_SIZE = 2 ** 14
 
 
 def resolve_mesh_shape(cfg: MeshConfig, n_devices: int) -> tuple:
-    sizes = (cfg.dcn, cfg.fsdp, cfg.tensor, getattr(cfg, "seq", 1))
+    sizes = (cfg.dcn, cfg.fsdp, cfg.tensor, getattr(cfg, "seq", 1),
+             getattr(cfg, "pp", 1))
     known = [d for d in sizes if d != -1]
     prod = math.prod(known) if known else 1
     remaining = n_devices // max(prod, 1)
@@ -92,8 +93,20 @@ def param_spec(path: str, shape: tuple, mesh: Mesh) -> P:
         return P()
 
     dims = list(range(len(shape)))
+    pp = mesh.shape.get("pp", 1)
+    pp_dim = None
     if "blocks" in path and len(shape) > 1:
-        dims = dims[1:]  # skip scan 'layers' axis
+        dims = dims[1:]  # skip scan 'layers' axis for fsdp/tensor
+        if pp > 1 and shape[0] % pp == 0:
+            # pipeline stages own contiguous layer groups: the stacked
+            # layer axis shards over 'pp' so each stage's weights are
+            # resident in its own HBM (parallel/pipeline.py)
+            pp_dim = 0
+
+    def finish(spec):
+        if pp_dim is not None:
+            spec[pp_dim] = "pp"
+        return P(*spec)
 
     if tensor > 1 and len(dims) == 2:
         d_in, d_out = dims
@@ -104,16 +117,16 @@ def param_spec(path: str, shape: tuple, mesh: Mesh) -> P:
             spec[d_out] = "tensor"
             if fsdp > 1 and shape[d_in] % fsdp == 0:
                 spec[d_in] = "fsdp"
-            return P(*spec)
+            return finish(spec)
         if row and shape[d_in] % tensor == 0:
             spec = [None] * len(shape)
             spec[d_in] = "tensor"
             if fsdp > 1 and shape[d_out] % fsdp == 0:
                 spec[d_out] = "fsdp"
-            return P(*spec)
+            return finish(spec)
 
     if fsdp <= 1:
-        return P()
+        return finish([None] * len(shape))
     # largest shardable dim
     best = None
     for d in sorted(dims, key=lambda d: -shape[d]):
@@ -121,10 +134,10 @@ def param_spec(path: str, shape: tuple, mesh: Mesh) -> P:
             best = d
             break
     if best is None:
-        return P()
+        return finish([None] * len(shape))
     spec = [None] * len(shape)
     spec[best] = "fsdp"
-    return P(*spec)
+    return finish(spec)
 
 
 def params_shardings(params: Any, mesh: Mesh) -> Any:

@@ -1,0 +1,156 @@
+"""Pipeline parallelism: GPipe-style microbatch pipelining over a mesh
+axis, built on shard_map + ppermute.
+
+The layer stack (n_layers, ...) params shard over a 'pp' axis — each
+device holds a contiguous group of layers resident in its own HBM, so
+models too large for one chip's memory split DEPTH-wise (complementing
+FSDP's weight sharding, which still gathers full layers through the
+compute). Microbatches flow down the ring: at tick t, stage 0 injects
+microbatch t, every stage applies its layer group, activations
+`ppermute` one stage down, and the last stage emits microbatch
+t-(P-1). The bubble is the standard (P-1)/(M+P-1).
+
+Autodiff: the whole schedule is a `lax.scan` of per-tick compute +
+ppermute, so `jax.grad` through it IS the reverse pipeline — no
+hand-written backward schedule.
+
+No reference counterpart (the reference scales with FSDP only,
+xla_utils.py:79-267); this is the TPU-native depth-wise scale-out.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import threading
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+_STATE = threading.local()
+
+
+@contextlib.contextmanager
+def pipeline_parallel(mesh: Optional[Mesh], microbatches: int = 4,
+                      axis: str = "pp"):
+    """Enable pipelined trunk execution for model traces inside the
+    context (models/dit.py routes its block stack through
+    pipeline_apply). A mesh without the axis (or size 1) is a no-op."""
+    if mesh is None or mesh.shape.get(axis, 1) <= 1:
+        yield
+        return
+    prev = getattr(_STATE, "value", None)
+    _STATE.value = (mesh, axis, microbatches)
+    try:
+        yield
+    finally:
+        _STATE.value = prev
+
+
+def current_pp() -> Optional[Tuple[Mesh, str, int]]:
+    """(mesh, axis, microbatches) when tracing under pipeline_parallel."""
+    return getattr(_STATE, "value", None)
+
+
+def _vary(x, axis_name):
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)
+
+
+def pipeline_apply(stage_fn: Callable, params_local, x_mb, mb_args=(),
+                   *broadcast_args, axis_name: str = "pp"):
+    """Per-shard GPipe body (call INSIDE shard_map).
+
+    Args:
+      stage_fn: (params_local, activation, mb_args_t, *broadcast_args)
+        -> activation — applies THIS stage's layer group (params_local
+        is the local (n_layers/P, ...) slice of the stacked params).
+      x_mb: (M, mb, ...) microbatched input, replicated across stages
+        (only stage 0 reads it).
+      mb_args: pytree of (M, mb, ...) PER-MICROBATCH operands
+        (conditioning, modality, masks). At tick t, stage s processes
+        microbatch t-s, so each stage indexes mb_args at its own offset
+        — no extra communication.
+      broadcast_args: microbatch-invariant operands (rope tables).
+
+    Returns (M, mb, ...) outputs, psum-replicated across the axis.
+    """
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    m_micro = x_mb.shape[0]
+    ticks = m_micro + n - 1
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    a0 = _vary(jnp.zeros_like(x_mb[0]), axis_name)
+    outs0 = _vary(jnp.zeros_like(x_mb), axis_name)
+
+    def tick(carry, t):
+        a_in, outs = carry
+        inject = x_mb[jnp.clip(t, 0, m_micro - 1)]
+        a = jnp.where(idx == 0, inject, a_in)
+        # the microbatch currently at THIS stage
+        mb_t = jnp.clip(t - idx, 0, m_micro - 1)
+        args_t = jax.tree_util.tree_map(
+            lambda e: jax.lax.dynamic_index_in_dim(e, mb_t,
+                                                   keepdims=False),
+            mb_args)
+        a = stage_fn(params_local, a, args_t, *broadcast_args)
+        emit = t - (n - 1)
+        is_last = idx == n - 1
+        write = is_last & (emit >= 0)
+        slot = jnp.clip(emit, 0, m_micro - 1)
+        prev = jax.lax.dynamic_index_in_dim(outs, slot, keepdims=False)
+        outs = jax.lax.dynamic_update_index_in_dim(
+            outs, jnp.where(write, a, prev), slot, 0)
+        a_next = jax.lax.ppermute(a, axis_name, perm)
+        return (a_next, outs), None
+
+    (_, outs), _ = jax.lax.scan(tick, (a0, outs0), jnp.arange(ticks))
+    # only the last stage holds real outputs; zero the rest and psum so
+    # every stage returns the replicated result
+    outs = jnp.where(idx == n - 1, outs, 0.0)
+    return jax.lax.psum(outs, axis_name)
+
+
+def pipeline_sharded(stage_fn: Callable, stacked_params, x, mesh: Mesh,
+                     *broadcast_args, mb_args=(), pp_axis: str = "pp",
+                     microbatches: int = 4):
+    """Jit-level entry: run a stacked layer sequence as a pipeline.
+
+    stacked_params: pytree with a leading (n_layers, ...) axis on every
+    leaf; layer groups shard over `pp_axis`. x: (B, ...) input; the batch
+    splits into `microbatches` along axis 0 (B % microbatches == 0,
+    n_layers % P == 0). mb_args: pytree of (B, ...) per-sample operands,
+    microbatched alongside x. stage_fn sees the LOCAL (n_layers/P, ...)
+    params and must scan over them:
+    stage_fn(params_local, a, mb_args_t, *broadcast_args) -> a.
+    """
+    n = mesh.shape[pp_axis]
+    bsz = x.shape[0]
+    if bsz % microbatches != 0:
+        raise ValueError(f"batch {bsz} not divisible by "
+                         f"microbatches {microbatches}")
+    n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if n_layers % n != 0:
+        raise ValueError(f"{n_layers} layers not divisible by "
+                         f"{pp_axis} axis size {n}")
+    mb = bsz // microbatches
+    x_mb = x.reshape(microbatches, mb, *x.shape[1:])
+    mb_args = jax.tree_util.tree_map(
+        lambda e: e.reshape(microbatches, mb, *e.shape[1:]), mb_args)
+
+    body = functools.partial(pipeline_apply, stage_fn,
+                             axis_name=pp_axis)
+    param_specs = jax.tree_util.tree_map(
+        lambda p: P(pp_axis, *([None] * (p.ndim - 1))), stacked_params)
+    mb_specs = jax.tree_util.tree_map(lambda e: P(), mb_args)
+    bcast_specs = tuple(P() for _ in broadcast_args)
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs, P(), mb_specs) + bcast_specs,
+        out_specs=P(), check_vma=False,
+    )(stacked_params, x_mb, mb_args, *broadcast_args)
+    return out.reshape(bsz, *out.shape[2:])

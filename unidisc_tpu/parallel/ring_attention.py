@@ -44,12 +44,16 @@ def _block(q, k, v, scale, mask):
     return m, l, o
 
 
-def ring_attention(q, k, v, *, axis_name: str = "seq",
+def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
                    causal: bool = False,
                    softmax_scale: Optional[float] = None):
     """Per-shard ring attention body (call INSIDE shard_map / pjit with
     manual axes). q/k/v: the LOCAL sequence chunk (B, Lc, H, D); returns
     the local output chunk (B, Lc, H, D) in q.dtype.
+
+    segment_ids: optional (B, Lc) per-token group ids (packed interleaved
+    batches — ops/pallas_attention semantics): tokens attend only within
+    their own segment; the local ids rotate around the ring with K/V.
 
     Requires the global sequence length to divide the axis size evenly
     (static shapes — enforced by the caller's sharding)."""
@@ -63,18 +67,21 @@ def ring_attention(q, k, v, *, axis_name: str = "seq",
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def body(carry, r):
-        k_cur, v_cur, m, l, acc = carry
+        k_cur, v_cur, seg_cur, m, l, acc = carry
         # after r receives we hold the chunk originally on device idx - r
         src = (idx - r) % n
 
         def attend(args):
-            k_cur, v_cur, m, l, acc = args
+            k_cur, v_cur, seg_cur, m, l, acc = args
+            mask = None
             if causal:
                 k_pos = src * lc + jnp.arange(lc)
                 mask = (k_pos[None, :]
                         <= q_pos[:, None])[None, None, :, :]
-            else:
-                mask = None
+            if segment_ids is not None:
+                seg_ok = (segment_ids[:, :, None]
+                          == seg_cur[:, None, :])[:, None, :, :]
+                mask = seg_ok if mask is None else (mask & seg_ok)
             bm, bl, bo = _block(q, k_cur, v_cur, scale, mask)
             m_new = jnp.maximum(m, bm)
             c1 = jnp.exp(m - m_new)
@@ -87,15 +94,16 @@ def ring_attention(q, k, v, *, axis_name: str = "seq",
             # skip their FLOPs (each device decides locally; shard_map
             # runs per-device code so a device-varying cond is fine)
             m, l, acc = jax.lax.cond(
-                src <= idx, attend, lambda args: args[2:],
-                (k_cur, v_cur, m, l, acc))
+                src <= idx, attend, lambda args: args[3:],
+                (k_cur, v_cur, seg_cur, m, l, acc))
         else:
-            m, l, acc = attend((k_cur, v_cur, m, l, acc))
-        # rotate K/V to the next device (last rotation is redundant but
-        # keeps the scan body uniform)
+            m, l, acc = attend((k_cur, v_cur, seg_cur, m, l, acc))
+        # rotate K/V (and their segment ids) to the next device (last
+        # rotation is redundant but keeps the scan body uniform)
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (k_nxt, v_nxt, m, l, acc), None
+        seg_nxt = jax.lax.ppermute(seg_cur, axis_name, perm)
+        return (k_nxt, v_nxt, seg_nxt, m, l, acc), None
 
     # freshly-created initials are device-invariant under shard_map's
     # varying-axes typing; mark them varying over the ring axis so the
@@ -107,20 +115,23 @@ def ring_attention(q, k, v, *, axis_name: str = "seq",
     m0 = _vary(jnp.full((b, h, lc), -jnp.inf, jnp.float32))
     l0 = _vary(jnp.zeros((b, h, lc), jnp.float32))
     acc0 = _vary(jnp.zeros((b, h, lc, d), jnp.float32))
-    (_, _, m, l, acc), _ = jax.lax.scan(
-        body, (k, v, m0, l0, acc0), jnp.arange(n))
-    # fully-masked rows (leading causal chunks) are defined to be zero
+    seg0 = (segment_ids if segment_ids is not None
+            else _vary(jnp.zeros((b, lc), jnp.int32)))
+    (_, _, _, m, l, acc), _ = jax.lax.scan(
+        body, (k, v, seg0, m0, l0, acc0), jnp.arange(n))
+    # fully-masked rows (leading causal chunks / padding segments) are
+    # defined to be zero
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     out = jnp.where((l > 0)[..., None], out, 0.0)
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
-def ring_attention_sharded(q, k, v, mesh: Mesh, *, seq_axis: str = "seq",
-                           causal: bool = False,
+def ring_attention_sharded(q, k, v, mesh: Mesh, segment_ids=None, *,
+                           seq_axis: str = "seq", causal: bool = False,
                            softmax_scale: Optional[float] = None):
     """Jit-level entry: q/k/v are GLOBAL (B, L, H, D) arrays; the L axis
     is sharded over `seq_axis` and attention runs as a ring. L must be
-    divisible by the axis size."""
+    divisible by the axis size. segment_ids: optional global (B, L)."""
     n = mesh.shape[seq_axis]
     if q.shape[1] % n != 0:
         raise ValueError(f"sequence {q.shape[1]} not divisible by "
@@ -128,5 +139,11 @@ def ring_attention_sharded(q, k, v, mesh: Mesh, *, seq_axis: str = "seq",
     spec = P(None, seq_axis, None, None)
     fn = functools.partial(ring_attention, axis_name=seq_axis,
                            causal=causal, softmax_scale=softmax_scale)
-    return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                         out_specs=spec)(q, k, v)
+    if segment_ids is None:
+        return jax.shard_map(
+            lambda q, k, v: fn(q, k, v), mesh=mesh,
+            in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)
+    seg_spec = P(None, seq_axis)
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(spec, spec, spec, seg_spec),
+                         out_specs=spec)(q, k, v, segment_ids)

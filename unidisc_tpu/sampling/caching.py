@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from unidisc_tpu.config import Config
-from unidisc_tpu.sampling.ar_sampler import init_kv_cache
+from unidisc_tpu.sampling.ar_sampler import init_kv_cache_for
 from unidisc_tpu.sampling.sampler import (SampleResult, adaptive_schedule,
                                           confidence_threshold,
                                           sample_categorical)
@@ -90,7 +90,9 @@ def build_caching_sampler(model, config: Config, *,
         schedule = adaptive_schedule((x == mask_index).sum(-1), steps,
                                      s.maskgit_mode)
         timesteps = jnp.linspace(1.0, s.sampling_eps, steps + 1)
-        kv = init_kv_cache(m.n_blocks, bb, L, m.n_heads, m.head_dim)
+        # honors model.kv_cache_dtype='int8' — the cached image
+        # K/V re-read on every txt-only step halves
+        kv = init_kv_cache_for(m, bb, L)
         p_cache = jnp.zeros((b, L, m.vocab_size), jnp.float32)
 
         def model_batch(x, unmask):

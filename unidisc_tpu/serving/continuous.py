@@ -69,7 +69,7 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
                              chunk: int = 8, eos_id: int = -1):
     """Build the jitted state machine for continuous AR decoding.
 
-    Returns (init_state, make_insert, decode_chunk):
+    Returns (init_state, make_insert, decode_chunk, make_insert_many):
       init_state() -> DecodeState of `slots` empty rows.
       make_insert(bucket) -> jitted insert(params, state, slot, prompt,
         mod_row, prompt_len, max_new, temperature, rng) -> DecodeState.
@@ -143,12 +143,62 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
                 jnp.minimum(prompt_len + max_new, L)),
             temp=state.temp.at[slot].set(temperature))
 
+    def _insert_many(params, state: DecodeState, slots_v, prompts,
+                     mod_rows, plens, max_news, temps, rng) -> DecodeState:
+        """Admit a GROUP of prompts in one program: batched prefill +
+        scatter into the state. One device dispatch per admission round
+        instead of one per request — on high-latency links (tunneled
+        chips: ~130ms/RPC) dispatch count dominates serving cost.
+
+        Padding rows duplicate row 0's slot AND payload, so the
+        duplicate scatter indices write identical values (order-safe).
+        """
+        k, bucket = prompts.shape
+        kvk = init_kv_cache_for(m, k, L)
+        sigma = jnp.zeros((k,), jnp.float32)
+        logits, kv_new = model.apply(
+            {"params": params}, prompts, sigma,
+            modality=mod_rows[:, :bucket], kv_cache=kvk, cache_index=0)
+        last = jnp.take_along_axis(
+            logits, (plens - 1)[:, None, None], axis=1)[:, 0]
+        nxt = jnp.minimum(plens, L - 1)
+        mod_next = jnp.take_along_axis(mod_rows, nxt[:, None], 1)[:, 0]
+        last = _restrict(last.astype(jnp.float32), mod_next)
+        g = jax.random.gumbel(rng, last.shape, dtype=last.dtype)
+        tok0 = _sample_row(last, temps, g).astype(jnp.int32)     # (k,)
+
+        x_rows = jnp.zeros((k, L), jnp.int32).at[:, :bucket].set(prompts)
+        x_rows = jnp.where(jnp.arange(L)[None, :] == nxt[:, None],
+                           tok0[:, None], x_rows)
+        kv = jax.tree_util.tree_map(
+            lambda cache, rows: cache.at[:, slots_v].set(
+                rows.astype(cache.dtype)),
+            state.kv, kv_new)
+        started_done = (tok0 == eos_id) | (max_news <= 1)
+        return DecodeState(
+            x=state.x.at[slots_v].set(x_rows),
+            mod=state.mod.at[slots_v].set(mod_rows),
+            kv=kv,
+            pos=state.pos.at[slots_v].set(plens),
+            active=state.active.at[slots_v].set(~started_done),
+            stop=state.stop.at[slots_v].set(
+                jnp.minimum(plens + max_news, L)),
+            temp=state.temp.at[slots_v].set(temps))
+
     _insert_cache = {}
 
     def make_insert(bucket: int):
         if bucket not in _insert_cache:
             _insert_cache[bucket] = jax.jit(_insert, donate_argnums=(1,))
         return _insert_cache[bucket]
+
+    _insert_many_cache = {}
+
+    def make_insert_many(bucket: int):
+        if bucket not in _insert_many_cache:
+            _insert_many_cache[bucket] = jax.jit(_insert_many,
+                                                 donate_argnums=(1,))
+        return _insert_many_cache[bucket]
 
     def _step(params, state: DecodeState, rng) -> DecodeState:
         x, mod, pos, active = state.x, state.mod, state.pos, state.active
@@ -184,7 +234,7 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         return state
 
     decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1,))
-    return init_state, make_insert, decode_chunk
+    return init_state, make_insert, decode_chunk, make_insert_many
 
 
 def _bucket(n: int, lo: int = 32) -> int:
@@ -208,9 +258,12 @@ class ContinuousBatcher:
         self.config = config
         self.params = params
         self.slots = slots
+        self.chunk = chunk
         self.eos_id = eos_id
+        self._chunks_since_drain = 0
         self._lock = device_lock or threading.Lock()
-        self._init_state, self._make_insert, self._decode = \
+        (self._init_state, self._make_insert, self._decode,
+         self._make_insert_many) = \
             build_continuous_decoder(model, config, slots=slots,
                                      chunk=chunk, eos_id=eos_id)
         self.state = self._init_state()
@@ -243,39 +296,74 @@ class ContinuousBatcher:
 
     # -- worker internals --------------------------------------------------
 
-    def _admit(self, req, slot):
+    def _admit_group(self, pairs):
+        """Admit [(req, slot)] in ONE jitted call (batched prefill +
+        scatter — _insert_many). Padding rows replicate entry 0, whose
+        duplicate scatter writes are value-identical and therefore
+        order-safe. Per-request `seed` only steers sampling when the
+        request is admitted alone (grouped admission draws one batch of
+        Gumbel noise); greedy (temperature<=0) decode ignores it anyway.
+        """
         m = self.config.model
         L = m.length
-        p = req["prompt"]
-        plen = len(p)
-        if plen >= L - 1:
-            raise ValueError(f"prompt length {plen} >= model length {L}")
-        bucket = min(_bucket(plen), L)
-        padded = np.zeros(bucket, np.int32)
-        padded[:plen] = p
-        mod_row = np.zeros(L, np.int32)
-        if req["modality"] is not None:
-            n = min(len(req["modality"]), L)
-            mod_row[:n] = req["modality"][:n]
-        insert = self._make_insert(bucket)
+        valid = []
+        for req, slot in pairs:
+            plen = len(req["prompt"])
+            if plen >= L - 1:
+                req["future"].set_exception(ValueError(
+                    f"prompt length {plen} >= model length {L}"))
+                continue
+            valid.append((req, slot, plen))
+        if not valid:
+            return
+        k = len(valid)
+        kmax = self.slots
+        bucket = min(max(_bucket(p) for _, _, p in valid), L)
+        prompts = np.zeros((kmax, bucket), np.int32)
+        mods = np.zeros((kmax, L), np.int32)
+        plens = np.zeros(kmax, np.int32)
+        maxn = np.zeros(kmax, np.int32)
+        temps = np.zeros(kmax, np.float32)
+        slots_v = np.zeros(kmax, np.int32)
+        for i in range(kmax):
+            req, slot, plen = valid[i] if i < k else valid[0]
+            prompts[i, :plen] = req["prompt"]
+            if req["modality"] is not None:
+                n = min(len(req["modality"]), L)
+                mods[i, :n] = req["modality"][:n]
+            plens[i], maxn[i] = plen, req["max_new"]
+            temps[i], slots_v[i] = req["temperature"], slot
         self._seq += 1
-        rng = jax.random.PRNGKey(self._seq if req.get("seed") is None
-                                 else req["seed"])
-        self.state = insert(self.params, self.state, slot,
-                            jnp.asarray(padded), jnp.asarray(mod_row),
-                            plen, req["max_new"], req["temperature"], rng)
-        req["slot"] = slot
-        req["prompt_len"] = plen
-        self._slot_req[slot] = req
+        seed = (valid[0][0]["seed"]
+                if k == 1 and valid[0][0].get("seed") is not None
+                else self._seq)
+        self.state = self._make_insert_many(bucket)(
+            self.params, self.state, jnp.asarray(slots_v),
+            jnp.asarray(prompts), jnp.asarray(mods), jnp.asarray(plens),
+            jnp.asarray(maxn), jnp.asarray(temps), jax.random.PRNGKey(seed))
+        for req, slot, plen in valid:
+            req["slot"] = slot
+            req["prompt_len"] = plen
+            # host-side position estimate: lets the worker SKIP drains
+            # while no row can have hit its stop bound (each drain is a
+            # full host round trip — ~100ms on a tunneled chip)
+            req["pos_est"] = plen
+            req["stop_est"] = min(plen + req["max_new"], L)
+            self._slot_req[slot] = req
 
     def _drain(self):
-        """Emit deltas / retire finished rows from a host snapshot."""
-        pos = np.asarray(self.state.pos)
-        active = np.asarray(self.state.active)
-        x = np.asarray(self.state.x)
+        """Emit deltas / retire finished rows from a host snapshot.
+
+        ONE fused device_get — on a tunneled chip each host sync costs a
+        full round trip (~100ms observed), so the snapshot must be a
+        single transfer, not three."""
+        pos, active, x = jax.device_get(
+            (self.state.pos, self.state.active, self.state.x))
+        self._chunks_since_drain = 0
         for slot, req in enumerate(self._slot_req):
             if req is None:
                 continue
+            req["pos_est"] = int(pos[slot])
             plen = req["prompt_len"]
             gen = x[slot, plen:pos[slot] + 1]
             if req["stream_cb"] is not None and len(gen) > req["emitted"]:
@@ -290,32 +378,57 @@ class ContinuousBatcher:
                 self._slot_req[slot] = None
 
     def _worker(self):
+        carry = None  # request popped while idle, kept FIFO-first
         while not self._stopping:
             admitted = False
             with self._lock:
-                for slot in range(self.slots):
-                    if self._slot_req[slot] is not None:
-                        continue
+                pairs = []
+                free = [s for s in range(self.slots)
+                        if self._slot_req[s] is None]
+                if carry is not None and free:
+                    pairs.append((carry, free.pop(0)))
+                    carry = None
+                for slot in free:
                     try:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
+                    pairs.append((req, slot))
+                if pairs:
                     try:
-                        self._admit(req, slot)
+                        self._admit_group(pairs)
                         admitted = True
-                    except Exception as e:  # bad request: fail its future
-                        req["future"].set_exception(e)
-                if any(r is not None for r in self._slot_req):
+                    except Exception as e:  # fail the whole group
+                        for req, _ in pairs:
+                            if not req["future"].done():
+                                req["future"].set_exception(e)
+                live = [r for r in self._slot_req if r is not None]
+                if live:
                     self._seq += 1
                     self.state = self._decode(
                         self.params, self.state,
                         jax.random.PRNGKey(2 ** 20 + self._seq))
-                    self._drain()
+                    self._chunks_since_drain += 1
+                    for r in live:
+                        r["pos_est"] = min(r["pos_est"] + self.chunk,
+                                           r["stop_est"])
+                    # drain (a full host round trip) only when it can
+                    # matter: a stream is waiting, a row may have hit its
+                    # stop bound, or — with EOS able to fire anytime — on
+                    # a cadence (tighter when requests are queued for the
+                    # freed slots)
+                    must = any(r["stream_cb"] is not None for r in live) \
+                        or any(r["pos_est"] + 1 >= r["stop_est"]
+                               for r in live)
+                    cadence = 2 if not self._queue.empty() else 8
+                    if must or (self.eos_id >= 0
+                                and self._chunks_since_drain >= cadence):
+                        self._drain()
                     continue
-            if not admitted:
-                # idle: block briefly on the queue
+            if not admitted and carry is None:
+                # idle: block briefly for the next arrival (held in
+                # `carry` so FIFO order is preserved)
                 try:
-                    req = self._queue.get(timeout=0.05)
-                    self._queue.put(req)  # re-queue; admitted next loop
+                    carry = self._queue.get(timeout=0.05)
                 except queue.Empty:
                     pass

@@ -274,8 +274,10 @@ def make_train_step(config: Config, model, mesh=None):
     accum = config.trainer.grad_accum_steps
 
     def train_step(state: TrainState, batch, rng):
+        from unidisc_tpu.parallel.pipeline import pipeline_parallel
         from unidisc_tpu.parallel.seq_parallel import sequence_parallel
-        with sequence_parallel(mesh):
+        with sequence_parallel(mesh), \
+                pipeline_parallel(mesh, config.mesh.pp_microbatches):
             return _train_step_body(state, batch, rng)
 
     def _train_step_body(state: TrainState, batch, rng):
