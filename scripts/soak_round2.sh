@@ -39,20 +39,21 @@ print(f"wrote {len(tokens)} rows -> {run}/stream")
 EOF
 
 echo "== phase 1: streamed training, SIGTERM mid-run =="
-timeout 900 python -m unidisc_tpu.train model=tiny \
-    trainer.max_steps=400 \
+# timeout -k: hard-kill if the graceful checkpoint wedges (tunnel stalls)
+timeout -k 30 600 python -m unidisc_tpu.train model=tiny \
+    trainer.max_steps=400 trainer.global_batch_size=128 \
     --data "$RUN/stream" --stream --run-dir "$RUN/run" \
-    --ckpt-every 100 --log-every 50 &
+    --ckpt-every 100 --log-every 20 &
 PID=$!
-sleep 420 && kill -TERM $PID 2>/dev/null || true
+sleep 300 && kill -TERM $PID 2>/dev/null || true
 wait $PID || true
 echo "phase 1 done (killed or finished)"
 
 echo "== phase 2: resume to completion =="
-timeout 900 python -m unidisc_tpu.train model=tiny \
-    trainer.max_steps=400 \
+timeout -k 30 900 python -m unidisc_tpu.train model=tiny \
+    trainer.max_steps=400 trainer.global_batch_size=128 \
     --data "$RUN/stream" --stream --run-dir "$RUN/run" \
-    --ckpt-every 100 --log-every 50
+    --ckpt-every 100 --log-every 20
 
 echo "== phase 3: generate from the trained checkpoint =="
 timeout 600 python -m unidisc_tpu.generate --ckpt "$RUN/run" \

@@ -127,3 +127,22 @@ def test_token_shards_and_weighted_sampler(tmp_path):
     for e, g in zip(expected, got):
         np.testing.assert_array_equal(e["input_ids"], g["input_ids"])
         assert e["dataset_idx"] == g["dataset_idx"]
+
+
+def test_resume_completed_run_is_noop(tmp_path):
+    """Resuming a run that already reached max_steps must exit cleanly
+    (the final checkpoint re-save is a no-op, not a
+    StepAlreadyExistsError — surfaced by the round-2 soak)."""
+    cfg = tiny_config()
+    run_dir = str(tmp_path / "run")
+    t1 = Trainer(cfg, run_dir, ckpt_every=2)
+    loader = SyntheticDataLoader(cfg, batch_size=8)
+    t1.fit(loader, max_steps=4)
+    t1.close()
+    step1 = 4
+    # second trainer restores at max_steps and should fall straight
+    # through fit() without raising (its final save is a no-op)
+    t2 = Trainer(cfg, run_dir, ckpt_every=2)
+    out = t2.fit(SyntheticDataLoader(cfg, batch_size=8), max_steps=4)
+    t2.close()
+    assert out["step"] == step1

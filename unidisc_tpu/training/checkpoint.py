@@ -49,7 +49,13 @@ class CheckpointManager:
     def save(self, step: int, state: TrainState, config: Config,
              extra: Optional[dict] = None, force: bool = False) -> bool:
         """Async save; returns True if a save was started
-        (reference async SPMD save: model_setup.py:976-986)."""
+        (reference async SPMD save: model_setup.py:976-986).
+
+        Saving a step that already exists on disk is a no-op, not an
+        error — resuming a run that already reached max_steps re-fires
+        the final save (surfaced by the round-2 soak)."""
+        if step in (self._mgr.all_steps() or []):
+            return False
         meta = {"config": json.loads(config.to_json()),
                 "step": int(step), **(extra or {})}
         return self._mgr.save(
