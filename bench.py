@@ -27,7 +27,9 @@ from __graft_entry__ import _example_batch, _flagship_config
 from unidisc_tpu.models.dit import init_dit
 from unidisc_tpu.sampling.sampler import build_sampler
 
-BATCH = 16  # per-chip optimum on v5e after the chunked-attention fix
+BATCH = 8  # per-chip optimum on v5e (swept B8/12/16/24 under int8:
+#   6869/6382/6657/5657 tok/s — faster int8 compute moves the
+#   HBM-bound knee below the bf16-era B16)
 STEPS = 32
 WARMUP = 2
 ITERS = 5
