@@ -68,7 +68,7 @@ def main():
     from unidisc_tpu.ops.quant import quantize_model
     from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
 
-    qcfg, qmodel, qparams = quantize_model(cfg, model, params)
+    qcfg, qmodel, qparams = quantize_model(cfg, params)
     sample = jax.jit(build_t2i_sampler(qmodel, qcfg))
     txt = tokens[:, :m.txt_length]
     rng = jax.random.PRNGKey(1)

@@ -38,7 +38,7 @@ def main():
     # config (628 -> 954 tok/s @B4, round 2)
     from unidisc_tpu.ops.quant import quantize_model
 
-    cfg, model, params = quantize_model(cfg, model, params)
+    cfg, model, params = quantize_model(cfg, params)
 
     sample = jax.jit(build_t2i_sampler(model, cfg))
     txt = jnp.zeros((BATCH, m.txt_length), jnp.int32)

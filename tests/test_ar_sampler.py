@@ -143,3 +143,21 @@ def test_temperature_zero_is_greedy():
     # greedy: independent of the rng
     np.testing.assert_array_equal(out1, out2)
     assert (out1 < cfg0.model.vocab_size).all() and (out1 >= 0).all()
+
+
+def test_temperature_zero_with_top_p_is_greedy():
+    """temperature=0 means greedy decode even with top_p set (the
+    zero-temperature limit of nucleus sampling is the argmax, not
+    temperature-1 nucleus draws)."""
+    cfg = ar_config(**{"sampling.temperature": 0.0,
+                       "sampling.top_p": 0.9, "sampling.cfg": None})
+    m = cfg.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    x0, modality = make_inputs(cfg)
+    x0_unmask = jnp.zeros((B, L), bool).at[:, :4].set(True)
+    sample = jax.jit(build_ar_sampler(make_apply_token(model), cfg))
+    a = sample(params, jax.random.PRNGKey(1), x0, x0_unmask, modality)
+    b = sample(params, jax.random.PRNGKey(999), x0, x0_unmask, modality)
+    # rng must not matter at temperature 0
+    np.testing.assert_array_equal(np.asarray(a.tokens),
+                                  np.asarray(b.tokens))

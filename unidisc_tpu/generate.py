@@ -63,7 +63,7 @@ def main(argv=None):
           f"({'EMA' if args.use_ema else 'live'} params)")
     if args.quantize:
         from unidisc_tpu.ops.quant import quantize_model
-        config, model, params = quantize_model(config, model, params)
+        config, model, params = quantize_model(config, params)
         print(f"[generate] int8 W8A8 inference enabled")
 
     codec = None

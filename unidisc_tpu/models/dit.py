@@ -660,7 +660,8 @@ class DIT(nn.Module):
 
             x = pipeline_sharded(stage_fn, stacked, x, mesh, *bcast,
                                  mb_args=mb, pp_axis=axis,
-                                 microbatches=micro)
+                                 microbatches=micro,
+                                 batch_axes=("dcn", "fsdp"))
             new_cache = None
         else:
             block_cls = DDiTBlock

@@ -193,10 +193,11 @@ def int8_kv_attention(q: jax.Array, kq: jax.Array, ks: jax.Array,
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
-def quantize_model(config, model, params):
+def quantize_model(config, params):
     """One-call int8 conversion for a DIT: returns (config, model, params)
-    with model.quant='int8' and the converted tree. The single place the
-    quantize-swap lives (bench.py, generate CLI, serving all call this)."""
+    with model.quant='int8', a fresh DIT built from that config, and the
+    converted tree. The single place the quantize-swap lives (bench.py,
+    generate CLI, serving all call this)."""
     import dataclasses
 
     from unidisc_tpu.models.dit import DIT

@@ -117,7 +117,7 @@ def pipeline_apply(stage_fn: Callable, params_local, x_mb, mb_args=(),
 
 def pipeline_sharded(stage_fn: Callable, stacked_params, x, mesh: Mesh,
                      *broadcast_args, mb_args=(), pp_axis: str = "pp",
-                     microbatches: int = 4):
+                     microbatches: int = 4, batch_axes=None):
     """Jit-level entry: run a stacked layer sequence as a pipeline.
 
     stacked_params: pytree with a leading (n_layers, ...) axis on every
@@ -146,11 +146,18 @@ def pipeline_sharded(stage_fn: Callable, stacked_params, x, mesh: Mesh,
                              axis_name=pp_axis)
     param_specs = jax.tree_util.tree_map(
         lambda p: P(pp_axis, *([None] * (p.ndim - 1))), stacked_params)
-    mb_specs = jax.tree_util.tree_map(lambda e: P(), mb_args)
+    # the per-microbatch row axis (dim 1 of (M, mb, ...)) keeps its data
+    # sharding — without this every data-parallel replica would
+    # all-gather the global batch and duplicate the whole trunk compute
+    def dspec(e):
+        if batch_axes is None:
+            return P()
+        return P(None, batch_axes, *([None] * (e.ndim - 2)))
+    mb_specs = jax.tree_util.tree_map(dspec, mb_args)
     bcast_specs = tuple(P() for _ in broadcast_args)
     out = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(param_specs, P(), mb_specs) + bcast_specs,
-        out_specs=P(), check_vma=False,
+        in_specs=(param_specs, dspec(x_mb), mb_specs) + bcast_specs,
+        out_specs=dspec(x_mb), check_vma=False,
     )(stacked_params, x_mb, mb_args, *broadcast_args)
     return out.reshape(bsz, *out.shape[2:])

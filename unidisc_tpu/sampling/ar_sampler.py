@@ -121,28 +121,27 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
             else:
                 logits_b = logits
 
-            if s.top_p is not None:
-                temp = s.temperature if s.temperature > 0 else 1.0
-                probs = jax.nn.softmax(logits_b / temp, axis=-1)
+            if s.top_p is not None and s.temperature > 0:
+                probs = jax.nn.softmax(logits_b / s.temperature, axis=-1)
                 from unidisc_tpu.sampling.sampler import nucleus_sample
                 next_tok = nucleus_sample(
                     jax.random.fold_in(rng_n, i), probs, s.top_p)
+            elif s.temperature <= 0:
+                # temperature 0 is greedy decode regardless of top_p —
+                # the zero-temperature limit of nucleus sampling is the
+                # argmax, not temperature-1 nucleus draws
+                next_tok = jnp.argmax(logits_b, axis=-1)
             else:
                 # Gumbel-argmax categorical sampling at temperature
                 # (reference draws Gumbel over the full vocab per step,
                 # model_eval.py:2764,2800-2802). Per-step fold_in instead of
                 # a precomputed (L, B, V) tensor — that would be ~L*B*48k
                 # floats of HBM for noise XLA can fuse into the argmax.
-                if s.temperature <= 0:
-                    # greedy decode (temperature 0 == pure argmax; dividing
-                    # by zero would turn every logit into +-inf)
-                    next_tok = jnp.argmax(logits_b, axis=-1)
-                else:
-                    g = jax.random.gumbel(jax.random.fold_in(rng_g, i),
-                                          logits_b.shape,
-                                          dtype=logits_b.dtype)
-                    next_tok = jnp.argmax(logits_b / s.temperature + g,
-                                          axis=-1)
+                g = jax.random.gumbel(jax.random.fold_in(rng_g, i),
+                                      logits_b.shape,
+                                      dtype=logits_b.dtype)
+                next_tok = jnp.argmax(logits_b / s.temperature + g,
+                                      axis=-1)
 
             if use_cfg:
                 next_tok = jnp.concatenate([next_tok, next_tok], axis=0)

@@ -404,26 +404,39 @@ class ContinuousBatcher:
                                 req["future"].set_exception(e)
                 live = [r for r in self._slot_req if r is not None]
                 if live:
-                    self._seq += 1
-                    self.state = self._decode(
-                        self.params, self.state,
-                        jax.random.PRNGKey(2 ** 20 + self._seq))
-                    self._chunks_since_drain += 1
-                    for r in live:
-                        r["pos_est"] = min(r["pos_est"] + self.chunk,
-                                           r["stop_est"])
-                    # drain (a full host round trip) only when it can
-                    # matter: a stream is waiting, a row may have hit its
-                    # stop bound, or — with EOS able to fire anytime — on
-                    # a cadence (tighter when requests are queued for the
-                    # freed slots)
-                    must = any(r["stream_cb"] is not None for r in live) \
-                        or any(r["pos_est"] + 1 >= r["stop_est"]
-                               for r in live)
-                    cadence = 2 if not self._queue.empty() else 8
-                    if must or (self.eos_id >= 0
-                                and self._chunks_since_drain >= cadence):
-                        self._drain()
+                    try:
+                        self._seq += 1
+                        self.state = self._decode(
+                            self.params, self.state,
+                            jax.random.PRNGKey(2 ** 20 + self._seq))
+                        self._chunks_since_drain += 1
+                        for r in live:
+                            r["pos_est"] = min(r["pos_est"] + self.chunk,
+                                               r["stop_est"])
+                        # drain (a full host round trip) only when it can
+                        # matter: a stream is waiting, a row may have hit
+                        # its stop bound, or — with EOS able to fire
+                        # anytime — on a cadence (tighter when requests
+                        # are queued for the freed slots)
+                        must = any(r["stream_cb"] is not None
+                                   for r in live) \
+                            or any(r["pos_est"] + 1 >= r["stop_est"]
+                                   for r in live)
+                        cadence = 2 if not self._queue.empty() else 8
+                        if must or (self.eos_id >= 0
+                                    and self._chunks_since_drain
+                                    >= cadence):
+                            self._drain()
+                    except Exception as e:  # device error (tunnel RPC
+                        # failure, OOM): fail the live futures and reset
+                        # the device state instead of silently killing
+                        # the worker thread — the batcher stays usable
+                        for slot, r in enumerate(self._slot_req):
+                            if r is not None and not r["future"].done():
+                                r["future"].set_exception(e)
+                            self._slot_req[slot] = None
+                        self.state = self._init_state()
+                        self._chunks_since_drain = 0
                     continue
             if not admitted and carry is None:
                 # idle: block briefly for the next arrival (held in

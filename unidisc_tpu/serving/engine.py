@@ -70,13 +70,19 @@ class InferenceEngine:
             raise ValueError("continuous batching needs an AR model "
                              "(trainer.parameterization=ar)")
         if getattr(self, "_continuous", None) is None:
-            from unidisc_tpu.serving.continuous import ContinuousBatcher
-            eos = getattr(self.tokenizer, "eos_token_id", None)
-            self._continuous = ContinuousBatcher(
-                self.model, self.params, self.config,
-                slots=8, chunk=8,
-                eos_id=eos if eos is not None else -1,
-                device_lock=self._device_lock)
+            # double-checked under the device lock: concurrent first
+            # requests must not build two batchers (each allocates a
+            # full device KV state and owns a worker thread)
+            with self._device_lock:
+                if getattr(self, "_continuous", None) is None:
+                    from unidisc_tpu.serving.continuous import \
+                        ContinuousBatcher
+                    eos = getattr(self.tokenizer, "eos_token_id", None)
+                    self._continuous = ContinuousBatcher(
+                        self.model, self.params, self.config,
+                        slots=8, chunk=8,
+                        eos_id=eos if eos is not None else -1,
+                        device_lock=self._device_lock)
         return self._continuous
 
     def complete_text(self, text: str, *, max_new_tokens: int = 64,
@@ -449,7 +455,7 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
             config = config.override(**over)
     if quantize:
         from unidisc_tpu.ops.quant import quantize_model
-        config, model, params = quantize_model(config, model, params)
+        config, model, params = quantize_model(config, params)
     codec = None
     if codec_name:
         from unidisc_tpu.tokenizers.image_codecs import get_codec

@@ -278,10 +278,21 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.flush()
 
         chunk({"role": "assistant"})
+
+        def stable(text):
+            # a multi-byte char whose bytes are split across drains
+            # decodes to trailing U+FFFD until the rest arrives — hold
+            # those back so every emitted delta is a true prefix of the
+            # final text (genuinely invalid bytes stop being *trailing*
+            # once later chars land, and flush then)
+            while text and text[-1] == "�":
+                text = text[:-1]
+            return text
+
         sent = ""
         while True:
             try:
-                text = deltas.get(timeout=0.1)
+                text = stable(deltas.get(timeout=0.1))
             except _queue.Empty:
                 if fut.done():
                     break
