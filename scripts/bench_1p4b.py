@@ -52,12 +52,57 @@ def main():
     dt = min(ts)
     tps = BATCH * m.img_length / dt
 
+    # ---- baseline: per-step host-synced loop in bf16 (the reference's
+    # serving architecture: one sampler step per dispatch with a host
+    # round-trip between steps, model_eval.py:2309; bf16 because the
+    # reference has no int8 path) — anchors the >=5x north star at 1.4B
+    from unidisc_tpu.sampling.sampler import build_sampler
+
+    bf16_cfg = Config.make("extra_large").apply_experiments(
+        "vq16_t2i").override(
+        **{"sampling.predictor": "maskgit", "sampling.steps": 1,
+           "sampling.cfg": 2.0, "model.dropout": 0.0,
+           "sampling.noise_removal": False,
+           "model.logits_dtype": "bfloat16"})
+    bf16_model, _ = init_dit(jax.random.PRNGKey(0), bf16_cfg.model)
+
+    def forward_logits(p, x, sigma, modality):
+        return bf16_model.apply({"params": p}, x, sigma,
+                                modality=modality)
+    one_step = jax.jit(build_sampler(forward_logits, bf16_cfg))
+    # bf16 params for the baseline (the quantized tree fits the int8
+    # model only)
+    _, bf16_params = init_dit(jax.random.PRNGKey(0), bf16_cfg.model)
+    x0 = jnp.zeros((BATCH, m.length), jnp.int32)
+    unmask = jnp.zeros((BATCH, m.length), bool).at[:, :m.txt_length].set(
+        True)
+    modality = jnp.concatenate(
+        [jnp.zeros((BATCH, m.txt_length), jnp.int32),
+         jnp.ones((BATCH, m.img_length), jnp.int32)], -1)
+
+    def loop_sample(rng):
+        x = jnp.where(unmask, x0, m.mask_index)
+        for i in range(STEPS):
+            r = jax.random.fold_in(rng, i)
+            x = one_step(bf16_params, r, jnp.where(unmask, x0, x),
+                         unmask, modality).tokens
+            x = jnp.asarray(np.asarray(x))  # host sync per step
+        return x
+
+    loop_sample(rng)  # compile+warm
+    t0 = time.perf_counter()
+    loop_sample(jax.random.fold_in(rng, 77))
+    base_dt = time.perf_counter() - t0
+    base_tps = BATCH * m.img_length / base_dt
+
     print(json.dumps({
         "metric": "sample_tokens_per_sec_1p4b",
         "value": round(tps, 2),
         "unit": f"tok/s (b{BATCH} x {STEPS}-step maskgit+CFG, "
                 f"{n_params/1e9:.2f}B, 1 chip)",
         "p50_batch_latency_s": round(dt, 3),
+        "baseline_loop_tok_per_s": round(base_tps, 2),
+        "vs_baseline": round(tps / base_tps, 3),
     }))
 
 

@@ -232,3 +232,31 @@ def test_batcher_eos_with_drain_skipping(setup):
         assert len(r2["tokens"]) <= 5
     finally:
         b.shutdown()
+
+
+def test_worker_survives_device_error(setup):
+    """A device error mid-decode must fail the live futures and reset
+    the batcher — NOT silently kill the worker thread (code-review
+    finding: a dead worker bricked every subsequent request)."""
+    cfg, model, params = setup
+    b = ContinuousBatcher(model, params, cfg, slots=2, chunk=4, eos_id=-1)
+    try:
+        orig = b._decode
+        state = {"fail": True}
+
+        def flaky(params, st, rng):
+            if state["fail"]:
+                state["fail"] = False
+                raise RuntimeError("injected device error")
+            return orig(params, st, rng)
+
+        b._decode = flaky
+        f1 = b.submit([3, 7, 1], max_new_tokens=6, temperature=0.0)
+        with pytest.raises(RuntimeError, match="injected"):
+            f1.result(timeout=60)
+        # the batcher must still serve new requests after the reset
+        f2 = b.submit([9, 2, 4], max_new_tokens=5, temperature=0.0)
+        res = f2.result(timeout=120)
+        assert len(res["tokens"]) == 5
+    finally:
+        b.shutdown()
