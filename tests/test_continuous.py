@@ -260,3 +260,38 @@ def test_worker_survives_device_error(setup):
         assert len(res["tokens"]) == 5
     finally:
         b.shutdown()
+
+
+def test_elm_continuous_batcher_matches_step_decode():
+    """The generalized batcher serves OpenELM (per-layer GQA caches,
+    batch axis 0): greedy continuous decode must match lockstep
+    single-token decode."""
+    from unidisc_tpu.models.elm import ELM_PRESETS, init_elm, init_elm_cache
+    from unidisc_tpu.serving.continuous import elm_continuous_batcher
+
+    cfg = ELM_PRESETS["tiny"]
+    model, params = init_elm(jax.random.PRNGKey(0), cfg)
+    Lm = 24
+    prompt = [5, 9, 3, 14]
+    n_new = 8
+
+    # lockstep oracle: feed tokens one at a time, greedy argmax
+    cache = init_elm_cache(cfg, batch=1, max_len=Lm)
+    toks = list(prompt)
+    logits = None
+    for i in range(len(prompt) + n_new - 1):
+        tok = jnp.asarray([[toks[i]]])
+        logits, cache = model.apply({"params": params}, tok,
+                                    kv_cache=cache, cache_index=i)
+        if i >= len(prompt) - 1 and len(toks) < len(prompt) + n_new:
+            toks.append(int(jnp.argmax(logits[0, 0])))
+    ref = toks[len(prompt):]
+
+    b = elm_continuous_batcher(model, params, cfg, slots=2, chunk=4,
+                               eos_id=-1, length=Lm)
+    try:
+        res = b.submit(prompt, max_new_tokens=n_new,
+                       temperature=0.0).result(timeout=120)
+        np.testing.assert_array_equal(res["tokens"], ref)
+    finally:
+        b.shutdown()

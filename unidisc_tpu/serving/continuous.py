@@ -65,8 +65,12 @@ def _sample_row(logits, temp, g):
     return jnp.where(temp > 0, noisy, greedy)
 
 
-def build_continuous_decoder(model, config: Config, *, slots: int = 8,
-                             chunk: int = 8, eos_id: int = -1):
+def build_continuous_decoder(model, config: Optional[Config], *,
+                             slots: int = 8, chunk: int = 8,
+                             eos_id: int = -1, apply_fn=None,
+                             cache_factory=None, restrict_fn=None,
+                             length: Optional[int] = None,
+                             cache_batch_axis: int = 1):
     """Build the jitted state machine for continuous AR decoding.
 
     Returns (init_state, make_insert, decode_chunk, make_insert_many):
@@ -76,14 +80,35 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         `prompt` is (bucket,) padded; one compile per bucket length.
       decode_chunk(params, state, rng) -> DecodeState advanced by `chunk`
         tokens on every active row (inactive rows are untouched).
+
+    Default closures serve a causal DIT; other AR models plug in via
+    apply_fn(params, tok, mod_tok, kv, cache_index) -> (logits, kv),
+    cache_factory(batch, L) -> kv pytree, restrict_fn(logits, mod_next)
+    -> logits, and an explicit `length` (see elm_continuous_batcher).
     """
-    m = config.model
-    L = m.length
-    mask_index = m.mask_index
-    assert not m.full_attention, "continuous batching needs a causal model"
+    if config is not None:
+        m = config.model
+        L = length or m.length
+        assert not m.full_attention, \
+            "continuous batching needs a causal model"
+    else:
+        m = None
+        assert length is not None and apply_fn is not None \
+            and cache_factory is not None and restrict_fn is not None
+        L = length
+
+    if apply_fn is None:
+        def apply_fn(params, tok, mod_tok, kv, cache_index):
+            sigma = jnp.zeros((tok.shape[0],), jnp.float32)
+            return model.apply({"params": params}, tok, sigma,
+                               modality=mod_tok, kv_cache=kv,
+                               cache_index=cache_index)
+    if cache_factory is None:
+        def cache_factory(batch, L):
+            return init_kv_cache_for(m, batch, L)
 
     def init_state() -> DecodeState:
-        kv = init_kv_cache_for(m, slots, L)
+        kv = cache_factory(slots, L)
         return DecodeState(
             x=jnp.zeros((slots, L), jnp.int32),
             mod=jnp.zeros((slots, L), jnp.int32),
@@ -93,13 +118,17 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
             stop=jnp.zeros((slots,), jnp.int32),
             temp=jnp.ones((slots,), jnp.float32))
 
-    def _restrict(logits, mod_next):
-        ids = jnp.arange(logits.shape[-1])
-        logits = logits + jnp.where(ids == mask_index, NEG_INFINITY, 0.0)
-        if m.force_argmax_valid_indices:
-            logits = restrict_modality_logits(logits, mod_next,
-                                              m.text_vocab_size)
-        return logits
+    if restrict_fn is not None:
+        _restrict = restrict_fn
+    else:
+        def _restrict(logits, mod_next):
+            ids = jnp.arange(logits.shape[-1])
+            logits = logits + jnp.where(ids == m.mask_index,
+                                        NEG_INFINITY, 0.0)
+            if m.force_argmax_valid_indices:
+                logits = restrict_modality_logits(logits, mod_next,
+                                                  m.text_vocab_size)
+            return logits
 
     def _insert(params, state: DecodeState, slot, prompt, mod_row,
                 prompt_len, max_new, temperature, rng) -> DecodeState:
@@ -108,12 +137,10 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         # [0, bucket); garbage beyond prompt_len is never attended (the
         # causal mask exposes keys <= pos only) and is overwritten as the
         # row decodes forward
-        kv1 = init_kv_cache_for(m, 1, L)
-        sigma = jnp.zeros((1,), jnp.float32)
+        kv1 = cache_factory(1, L)
         mod_prompt = jax.lax.dynamic_slice_in_dim(mod_row, 0, bucket)
-        logits, kv1_new = model.apply(
-            {"params": params}, prompt[None], sigma,
-            modality=mod_prompt[None], kv_cache=kv1, cache_index=0)
+        logits, kv1_new = apply_fn(params, prompt[None],
+                                   mod_prompt[None], kv1, 0)
         last = logits[0, prompt_len - 1].astype(jnp.float32)
         mod_next = jax.lax.dynamic_index_in_dim(
             mod_row, jnp.minimum(prompt_len, L - 1), keepdims=False)
@@ -128,10 +155,15 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
 
         upd = lambda a, r: jax.lax.dynamic_update_slice_in_dim(
             a, r[None].astype(a.dtype), slot, axis=0)
-        kv = jax.tree_util.tree_map(
-            lambda cache, row: jax.lax.dynamic_update_slice(
-                cache, row.astype(cache.dtype), (0, slot, 0, 0, 0)),
-            state.kv, kv1_new)
+
+        def splice(cache, row):
+            # the cache's batch axis differs per model family (DIT
+            # stacked: 1; ELM per-layer: 0)
+            starts = [0] * cache.ndim
+            starts[cache_batch_axis] = slot
+            return jax.lax.dynamic_update_slice(
+                cache, row.astype(cache.dtype), tuple(starts))
+        kv = jax.tree_util.tree_map(splice, state.kv, kv1_new)
         started_done = (tok0 == eos_id) | (max_new <= 1)
         return DecodeState(
             x=upd(state.x, x_row),
@@ -154,11 +186,9 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         duplicate scatter indices write identical values (order-safe).
         """
         k, bucket = prompts.shape
-        kvk = init_kv_cache_for(m, k, L)
-        sigma = jnp.zeros((k,), jnp.float32)
-        logits, kv_new = model.apply(
-            {"params": params}, prompts, sigma,
-            modality=mod_rows[:, :bucket], kv_cache=kvk, cache_index=0)
+        kvk = cache_factory(k, L)
+        logits, kv_new = apply_fn(params, prompts,
+                                  mod_rows[:, :bucket], kvk, 0)
         last = jnp.take_along_axis(
             logits, (plens - 1)[:, None, None], axis=1)[:, 0]
         nxt = jnp.minimum(plens, L - 1)
@@ -170,10 +200,10 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         x_rows = jnp.zeros((k, L), jnp.int32).at[:, :bucket].set(prompts)
         x_rows = jnp.where(jnp.arange(L)[None, :] == nxt[:, None],
                            tok0[:, None], x_rows)
-        kv = jax.tree_util.tree_map(
-            lambda cache, rows: cache.at[:, slots_v].set(
-                rows.astype(cache.dtype)),
-            state.kv, kv_new)
+        def scatter(cache, rows):
+            idx = (slice(None),) * cache_batch_axis + (slots_v,)
+            return cache.at[idx].set(rows.astype(cache.dtype))
+        kv = jax.tree_util.tree_map(scatter, state.kv, kv_new)
         started_done = (tok0 == eos_id) | (max_news <= 1)
         return DecodeState(
             x=state.x.at[slots_v].set(x_rows),
@@ -204,10 +234,7 @@ def build_continuous_decoder(model, config: Config, *, slots: int = 8,
         x, mod, pos, active = state.x, state.mod, state.pos, state.active
         tok = jnp.take_along_axis(x, pos[:, None], axis=1)       # (S, 1)
         mod_tok = jnp.take_along_axis(mod, pos[:, None], axis=1)
-        sigma = jnp.zeros((slots,), jnp.float32)
-        logits, kv = model.apply(
-            {"params": params}, tok, sigma, modality=mod_tok,
-            kv_cache=state.kv, cache_index=pos)
+        logits, kv = apply_fn(params, tok, mod_tok, state.kv, pos)
         logits = logits[:, 0].astype(jnp.float32)                # (S, V)
 
         nxt = jnp.minimum(pos + 1, L - 1)
@@ -252,20 +279,23 @@ class ContinuousBatcher:
     use against other samplers sharing the chip.
     """
 
-    def __init__(self, model, params, config: Config, *, slots: int = 8,
-                 chunk: int = 8, eos_id: int = -1,
-                 device_lock: Optional[threading.Lock] = None):
+    def __init__(self, model, params, config: Optional[Config], *,
+                 slots: int = 8, chunk: int = 8, eos_id: int = -1,
+                 device_lock: Optional[threading.Lock] = None,
+                 **decoder_kwargs):
         self.config = config
         self.params = params
         self.slots = slots
         self.chunk = chunk
         self.eos_id = eos_id
+        self.length = decoder_kwargs.get("length") or config.model.length
         self._chunks_since_drain = 0
         self._lock = device_lock or threading.Lock()
         (self._init_state, self._make_insert, self._decode,
          self._make_insert_many) = \
             build_continuous_decoder(model, config, slots=slots,
-                                     chunk=chunk, eos_id=eos_id)
+                                     chunk=chunk, eos_id=eos_id,
+                                     **decoder_kwargs)
         self.state = self._init_state()
         self._queue: "queue.Queue" = queue.Queue()
         self._slot_req: list = [None] * slots
@@ -304,8 +334,7 @@ class ContinuousBatcher:
         request is admitted alone (grouped admission draws one batch of
         Gumbel noise); greedy (temperature<=0) decode ignores it anyway.
         """
-        m = self.config.model
-        L = m.length
+        L = self.length
         valid = []
         for req, slot in pairs:
             plen = len(req["prompt"])
@@ -445,3 +474,31 @@ class ContinuousBatcher:
                     carry = self._queue.get(timeout=0.05)
                 except queue.Empty:
                     pass
+
+
+def elm_continuous_batcher(elm_model, params, elm_cfg, *, slots: int = 8,
+                           chunk: int = 8, eos_id: int = -1,
+                           length: Optional[int] = None,
+                           quant_cache: bool = False,
+                           device_lock: Optional[threading.Lock] = None
+                           ) -> "ContinuousBatcher":
+    """Continuous batching for the OpenELM AR baseline (models/elm.py):
+    the same persistent device batch, per-row positions, batched
+    admission and drain-skipping, over ELM's per-layer GQA caches.
+    quant_cache=True uses the int8 KV cache."""
+    from unidisc_tpu.models.elm import init_elm_cache
+
+    L = length or elm_cfg.max_length
+
+    def apply_fn(p, tok, mod_tok, kv, cache_index):
+        return elm_model.apply({"params": p}, tok, kv_cache=kv,
+                               cache_index=cache_index)
+
+    def cache_factory(batch, length_):
+        return init_elm_cache(elm_cfg, batch, length_, quant=quant_cache)
+
+    return ContinuousBatcher(
+        None, params, None, slots=slots, chunk=chunk, eos_id=eos_id,
+        device_lock=device_lock, apply_fn=apply_fn,
+        cache_factory=cache_factory, restrict_fn=lambda lg, mod: lg,
+        length=L, cache_batch_axis=0)
