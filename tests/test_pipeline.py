@@ -166,3 +166,31 @@ def test_pipeline_parallel_train_step_matches_data_parallel():
         losses[name] = ls
     np.testing.assert_allclose(losses["pp"], losses["dp"], rtol=2e-3)
     assert abs(losses["pp"][1] - losses["pp"][0]) > 1e-6
+
+
+def test_pipelined_sampling_matches_plain():
+    """Inference under pipeline_parallel: the t2i sampler's trunk runs
+    pipelined and must produce the same tokens as plain sampling (large
+    models can be served depth-sharded)."""
+    from unidisc_tpu.config import Config
+    from unidisc_tpu.models.dit import init_dit
+    from unidisc_tpu.parallel.pipeline import pipeline_parallel
+    from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
+
+    cfg = Config.make("tiny").override(**{
+        "model.dropout": 0.0, "model.n_blocks": 4,
+        "model.time_conditioning": True,
+        "sampling.steps": 4, "sampling.predictor": "maskgit",
+        "sampling.cfg": 2.0})
+    m = cfg.model
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    txt = jnp.ones((4, m.txt_length), jnp.int32)
+    sample = build_t2i_sampler(model, cfg)
+
+    ref = jax.jit(sample)(params, jax.random.PRNGKey(1), txt)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 1, 1, 1, 4),
+                ("dcn", "fsdp", "tensor", "seq", "pp"))
+    with pipeline_parallel(mesh, microbatches=2):
+        out = jax.jit(sample)(params, jax.random.PRNGKey(1), txt)
+    np.testing.assert_array_equal(np.asarray(out.tokens),
+                                  np.asarray(ref.tokens))

@@ -405,6 +405,15 @@ EXPERIMENTS = {
         "model.full_attention": False,
         "model.time_conditioning": False,
     },
+    # quality-matched fast sampling: dilated unmasking at 8 NFE matched
+    # or beat plain 32-NFE maskgit on the trained synthetic t2i A/B
+    # (scripts/nfe_quality_ab.py, ROADMAP #9: token-acc 0.44 vs 0.32,
+    # NLL 47.9 vs 39.9) — a ~4x NFE reduction preset for serving
+    "fast_nfe": {
+        "sampling.steps": 8,
+        "sampling.maskgit_dilation": 2,
+        "sampling.predictor": "maskgit",
+    },
     # 8192-token long-context stress layout (reference:
     # eval.big_seq_len_eval — model.py:158-168 swaps in synthetic
     # [4096 txt | 4096 img] batches for long-sequence speed evals; here
