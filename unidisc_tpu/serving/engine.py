@@ -424,7 +424,8 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                  codec_name: Optional[str] = None,
                  steps: Optional[int] = None,
                  quantize: Optional[str] = None,
-                 kv_cache: Optional[str] = None) -> "InferenceEngine":
+                 kv_cache: Optional[str] = None,
+                 experiments=None) -> "InferenceEngine":
     """Construct an engine from a config preset and optional run dir
     (EMA params) + codec — the shared bootstrap for the server, the
     scoring battery, and scripts. quantize="int8" serves with W8A8 int8
@@ -442,6 +443,8 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
     if kv_cache:
         over["model.kv_cache_dtype"] = kv_cache
     config = Config.make(preset, **over)
+    if experiments:
+        config = config.apply_experiments(*experiments)
     model, params = init_dit(jax.random.PRNGKey(config.seed), config.model)
     if checkpoint:
         from unidisc_tpu.training.checkpoint import CheckpointManager

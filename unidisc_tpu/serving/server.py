@@ -358,13 +358,19 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--kv-cache", default=None, choices=[None, "int8"],
                         help="AR decode KV cache dtype (int8 halves the "
                         "cache reads that bound large-batch decode)")
+    parser.add_argument("--experiments", default=None,
+                        help="comma-separated experiment overlays (e.g. "
+                        "fast_nfe: 8-step dilated sampling at matched "
+                        "quality, 3.3x throughput)")
     args = parser.parse_args(argv)
 
     from unidisc_tpu.serving.engine import build_engine
 
     engine = build_engine(preset=args.model, checkpoint=args.ckpt,
                           codec_name=args.codec, steps=args.steps,
-                          quantize=args.quantize, kv_cache=args.kv_cache)
+                          quantize=args.quantize, kv_cache=args.kv_cache,
+                          experiments=(args.experiments.split(",")
+                                       if args.experiments else None))
     server = make_server(engine, args.port, args.host)
     print(f"[serve] listening on {args.host}:{args.port}")
     server.serve_forever()
