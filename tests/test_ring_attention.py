@@ -139,3 +139,29 @@ def test_seq_parallel_interleaved_train_forward():
                 params, x, sigma, modality, sample_ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_ring_segment_gradients_match():
+    """Grads through the segment-masked ring match the dense-mask
+    reference (packed long-context training is differentiable)."""
+    from unidisc_tpu.ops.attention import make_sample_ids_mask
+
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(7)
+    seg = jnp.asarray(np.repeat(np.arange(4), L // 4)[None].repeat(B, 0))
+
+    def loss_ring(q, k, v):
+        o = ring_attention_sharded(q, k, v, mesh, seg)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = multihead_attention(q, k, v, mask=make_sample_ids_mask(seg),
+                                backend="xla")
+        return jnp.sum(jnp.sin(o))
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"d{name}")

@@ -398,3 +398,26 @@ def test_ar_http_completion_and_streaming():
         eng._continuous.shutdown()
         server.batcher.shutdown()
         server.shutdown()
+
+
+def test_engine_with_fast_nfe_experiment():
+    """The server's --experiments plumbing applies overlays in
+    build_engine, and a square-grid engine actually serves the fast_nfe
+    preset (8-step dilated unmasking) at the reduced NFE."""
+    from unidisc_tpu.serving.engine import build_engine
+
+    eng0 = build_engine(preset="tiny", experiments=["ar_baseline"])
+    assert eng0.config.trainer.parameterization == "ar"
+
+    cfg = Config.make("tiny").override(**{
+        "model.text_vocab_size": 261, "model.image_vocab_size": 64,
+        "model.length": 32, "model.txt_length": 16,
+        "model.img_length": 16,   # 4x4 grid: square, dilation-legal
+        "model.dropout": 0.0,
+    }).apply_experiments("fast_nfe")
+    assert cfg.sampling.steps == 8
+    assert cfg.sampling.maskgit_dilation == 2
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    eng = InferenceEngine(cfg, model, params)
+    out = eng.run(text="hello", seed=1)
+    assert out["nfe"] <= 9
