@@ -7,7 +7,7 @@ harness makes the claim measurable without external judges:
   1. overfit a small DIT on a deterministic synthetic t2i task (procedural
      shape scenes through the hash codec — the caption tokens determine
      the image tokens, so the mapping is learnable);
-  2. sample with steps in {4, 8, 16, 32}, dilation in {0 (off), 2};
+  2. sample with steps in {4, 8, 16, 32}, dilation in {0 (off), 2, 4};
   3. score each setting with (a) model NELBO of the samples (likelihood
      under the same model — biased toward self-samples but comparable
      ACROSS schedules at fixed model) and (b) exact-token accuracy vs the
@@ -125,7 +125,7 @@ def main():
     apply_fn = lambda p, x, s, m: model.apply({"params": p}, x, s,
                                               modality=m)
 
-    for dilation in (0, 2):
+    for dilation in (0, 2, 4):
         for steps in (4, 8, 16, 32):
             scfg = cfg.override(**{"sampling.steps": steps,
                                    "sampling.maskgit_dilation": dilation})
