@@ -286,10 +286,10 @@ def test_continuous_batching_int8_cache_consistent():
             padded[:len(prompt)] = prompt
             state = make_insert(8)(params, state, s, jnp.asarray(padded),
                                    jnp.zeros(L, jnp.int32), len(prompt),
-                                   n_new, 0.0, jax.random.PRNGKey(s))
+                                   n_new, 0.0, s)
             live[s] = len(prompt)
         for i in range(16):
-            state = decode(params, state, jax.random.PRNGKey(100 + i))
+            state = decode(params, state)
             if not np.asarray(state.active).any():
                 break
         pos, x = np.asarray(state.pos), np.asarray(state.x)

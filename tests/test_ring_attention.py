@@ -165,3 +165,34 @@ def test_ring_segment_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-5,
                                    err_msg=f"d{name}")
+
+
+def test_fully_masked_rows_produce_zero_output():
+    """Queries whose segment id matches NO key anywhere in the ring must
+    return exactly zero (the repo's fully-masked-row kernel contract).
+    With finite MASK_VALUE the softmax normalizer still accumulates
+    (p=exp(0) per key), so an l>0 check cannot detect this — it needs
+    the explicit any-valid-key flag (ADVICE r2 finding). Reachable via
+    distinct kv_segment_ids (pad queries vs real keys)."""
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(9)
+    seg_q = np.repeat(np.arange(4), L // 4)[None].repeat(B, 0).astype(np.int32)
+    seg_kv = seg_q.copy()
+    # queries [0, 16) of batch 0 get an id no key carries -> empty rows
+    seg_q[0, :16] = 99
+
+    out = jax.jit(lambda q, k, v, s, ks: ring_attention_sharded(
+        q, k, v, mesh, s, causal=False, kv_segment_ids=ks))(
+            q, k, v, jnp.asarray(seg_q), jnp.asarray(seg_kv))
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[0, :16], 0.0)
+
+    # the untouched rows still match the dense-mask oracle
+    from unidisc_tpu.ops.attention import make_sample_ids_mask
+    ref = multihead_attention(q, k, v,
+                              mask=make_sample_ids_mask(jnp.asarray(seg_kv)),
+                              backend="xla")
+    np.testing.assert_allclose(out[0, 16:], np.asarray(ref)[0, 16:],
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(out[1], np.asarray(ref)[1],
+                               atol=2e-5, rtol=2e-5)

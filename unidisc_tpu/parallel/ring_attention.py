@@ -46,7 +46,8 @@ def _block(q, k, v, scale, mask):
 
 def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
                    causal: bool = False,
-                   softmax_scale: Optional[float] = None):
+                   softmax_scale: Optional[float] = None,
+                   kv_segment_ids=None):
     """Per-shard ring attention body (call INSIDE shard_map / pjit with
     manual axes). q/k/v: the LOCAL sequence chunk (B, Lc, H, D); returns
     the local output chunk (B, Lc, H, D) in q.dtype.
@@ -54,6 +55,9 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
     segment_ids: optional (B, Lc) per-token group ids (packed interleaved
     batches — ops/pallas_attention semantics): tokens attend only within
     their own segment; the local ids rotate around the ring with K/V.
+    kv_segment_ids: optional distinct ids for the K/V side (defaults to
+    segment_ids) — a query whose id matches no key anywhere in the ring
+    gets exactly zero output (the repo's fully-masked-row contract).
 
     Requires the global sequence length to divide the axis size evenly
     (static shapes — enforced by the caller's sharding)."""
@@ -67,12 +71,12 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def body(carry, r):
-        k_cur, v_cur, seg_cur, m, l, acc = carry
+        k_cur, v_cur, seg_cur, m, l, acc, anyv = carry
         # after r receives we hold the chunk originally on device idx - r
         src = (idx - r) % n
 
         def attend(args):
-            k_cur, v_cur, seg_cur, m, l, acc = args
+            k_cur, v_cur, seg_cur, m, l, acc, anyv = args
             mask = None
             if causal:
                 k_pos = src * lc + jnp.arange(lc)
@@ -83,27 +87,37 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
                           == seg_cur[:, None, :])[:, None, :, :]
                 mask = seg_ok if mask is None else (mask & seg_ok)
             bm, bl, bo = _block(q, k_cur, v_cur, scale, mask)
+            # per-row any-valid-key flag: with finite MASK_VALUE a fully-
+            # masked row still accumulates l=Lk (p=exp(0)), so l>0 cannot
+            # detect it — track validity explicitly to honor the repo's
+            # fully-masked-row == zero-output kernel contract
+            if mask is None:
+                bv = jnp.ones_like(bm, bool)
+            else:
+                bv = jnp.broadcast_to(jnp.any(mask, axis=-1), bm.shape)
             m_new = jnp.maximum(m, bm)
             c1 = jnp.exp(m - m_new)
             c2 = jnp.exp(bm - m_new)
             return (m_new, l * c1 + bl * c2,
-                    acc * c1[..., None] + bo * c2[..., None])
+                    acc * c1[..., None] + bo * c2[..., None],
+                    anyv | bv)
 
         if causal:
             # chunks entirely above the diagonal contribute nothing —
             # skip their FLOPs (each device decides locally; shard_map
             # runs per-device code so a device-varying cond is fine)
-            m, l, acc = jax.lax.cond(
+            m, l, acc, anyv = jax.lax.cond(
                 src <= idx, attend, lambda args: args[3:],
-                (k_cur, v_cur, seg_cur, m, l, acc))
+                (k_cur, v_cur, seg_cur, m, l, acc, anyv))
         else:
-            m, l, acc = attend((k_cur, v_cur, seg_cur, m, l, acc))
+            m, l, acc, anyv = attend(
+                (k_cur, v_cur, seg_cur, m, l, acc, anyv))
         # rotate K/V (and their segment ids) to the next device (last
         # rotation is redundant but keeps the scan body uniform)
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         seg_nxt = jax.lax.ppermute(seg_cur, axis_name, perm)
-        return (k_nxt, v_nxt, seg_nxt, m, l, acc), None
+        return (k_nxt, v_nxt, seg_nxt, m, l, acc, anyv), None
 
     # freshly-created initials are device-invariant under shard_map's
     # varying-axes typing; mark them varying over the ring axis so the
@@ -115,23 +129,28 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
     m0 = _vary(jnp.full((b, h, lc), -jnp.inf, jnp.float32))
     l0 = _vary(jnp.zeros((b, h, lc), jnp.float32))
     acc0 = _vary(jnp.zeros((b, h, lc, d), jnp.float32))
-    seg0 = (segment_ids if segment_ids is not None
+    anyv0 = _vary(jnp.zeros((b, h, lc), bool))
+    kv_ids = kv_segment_ids if kv_segment_ids is not None else segment_ids
+    seg0 = (kv_ids if kv_ids is not None
             else _vary(jnp.zeros((b, lc), jnp.int32)))
-    (_, _, _, m, l, acc), _ = jax.lax.scan(
-        body, (k, v, seg0, m0, l0, acc0), jnp.arange(n))
-    # fully-masked rows (leading causal chunks / padding segments) are
-    # defined to be zero
+    (_, _, _, m, l, acc, anyv), _ = jax.lax.scan(
+        body, (k, v, seg0, m0, l0, acc0, anyv0), jnp.arange(n))
+    # rows with no valid key anywhere in the ring (padding segments) are
+    # defined to be zero — keyed off the accumulated validity flag, not l
+    # (finite MASK_VALUE means fully-masked rows still accumulate l=Lk)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
-    out = jnp.where((l > 0)[..., None], out, 0.0)
+    out = jnp.where(anyv[..., None], out, 0.0)
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
 def ring_attention_sharded(q, k, v, mesh: Mesh, segment_ids=None, *,
                            seq_axis: str = "seq", causal: bool = False,
-                           softmax_scale: Optional[float] = None):
+                           softmax_scale: Optional[float] = None,
+                           kv_segment_ids=None):
     """Jit-level entry: q/k/v are GLOBAL (B, L, H, D) arrays; the L axis
     is sharded over `seq_axis` and attention runs as a ring. L must be
-    divisible by the axis size. segment_ids: optional global (B, L)."""
+    divisible by the axis size. segment_ids: optional global (B, L);
+    kv_segment_ids: optional distinct K/V-side ids (see ring_attention)."""
     n = mesh.shape[seq_axis]
     if q.shape[1] % n != 0:
         raise ValueError(f"sequence {q.shape[1]} not divisible by "
@@ -144,6 +163,11 @@ def ring_attention_sharded(q, k, v, mesh: Mesh, segment_ids=None, *,
             lambda q, k, v: fn(q, k, v), mesh=mesh,
             in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)
     seg_spec = P(None, seq_axis)
-    return jax.shard_map(fn, mesh=mesh,
-                         in_specs=(spec, spec, spec, seg_spec),
-                         out_specs=spec)(q, k, v, segment_ids)
+    if kv_segment_ids is None:
+        return jax.shard_map(fn, mesh=mesh,
+                             in_specs=(spec, spec, spec, seg_spec),
+                             out_specs=spec)(q, k, v, segment_ids)
+    return jax.shard_map(
+        lambda q, k, v, s, ks: fn(q, k, v, s, kv_segment_ids=ks),
+        mesh=mesh, in_specs=(spec, spec, spec, seg_spec, seg_spec),
+        out_specs=spec)(q, k, v, segment_ids, kv_segment_ids)

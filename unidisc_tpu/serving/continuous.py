@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time as _time
 from concurrent.futures import Future
 from typing import Callable, NamedTuple, Optional, Sequence
 
@@ -55,6 +56,11 @@ class DecodeState(NamedTuple):
     active: jax.Array   # (S,) bool
     stop: jax.Array     # (S,) int32 — absolute position bound (plen+max_new)
     temp: jax.Array     # (S,) float32 — per-row temperature (<=0 -> greedy)
+    seed: jax.Array     # (S,) int32 — per-row sampling seed; the Gumbel
+    #                      draw for the token written at position p is a
+    #                      pure function of (seed, p), so a seeded request
+    #                      reproduces exactly regardless of what else
+    #                      shares the batch or when it was admitted
 
 
 def _sample_row(logits, temp, g):
@@ -63,6 +69,15 @@ def _sample_row(logits, temp, g):
     t = jnp.maximum(temp, 1e-6)[:, None]
     noisy = jnp.argmax(logits / t + g, axis=-1)
     return jnp.where(temp > 0, noisy, greedy)
+
+
+def _row_gumbel(seeds, positions, vocab):
+    """(k,) seeds + (k,) write positions -> (k, vocab) Gumbel noise,
+    row i drawn from fold_in(PRNGKey(seed_i), pos_i)."""
+    def one(seed, pos):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), pos)
+        return jax.random.gumbel(k, (vocab,), jnp.float32)
+    return jax.vmap(one)(seeds, positions)
 
 
 def build_continuous_decoder(model, config: Optional[Config], *,
@@ -76,10 +91,11 @@ def build_continuous_decoder(model, config: Optional[Config], *,
     Returns (init_state, make_insert, decode_chunk, make_insert_many):
       init_state() -> DecodeState of `slots` empty rows.
       make_insert(bucket) -> jitted insert(params, state, slot, prompt,
-        mod_row, prompt_len, max_new, temperature, rng) -> DecodeState.
+        mod_row, prompt_len, max_new, temperature, seed) -> DecodeState.
         `prompt` is (bucket,) padded; one compile per bucket length.
-      decode_chunk(params, state, rng) -> DecodeState advanced by `chunk`
-        tokens on every active row (inactive rows are untouched).
+      decode_chunk(params, state) -> DecodeState advanced by `chunk`
+        tokens on every active row (inactive rows are untouched);
+        sampling noise is a pure function of each row's (seed, position).
 
     Default closures serve a causal DIT; other AR models plug in via
     apply_fn(params, tok, mod_tok, kv, cache_index) -> (logits, kv),
@@ -116,7 +132,8 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             pos=jnp.zeros((slots,), jnp.int32),
             active=jnp.zeros((slots,), bool),
             stop=jnp.zeros((slots,), jnp.int32),
-            temp=jnp.ones((slots,), jnp.float32))
+            temp=jnp.ones((slots,), jnp.float32),
+            seed=jnp.zeros((slots,), jnp.int32))
 
     if restrict_fn is not None:
         _restrict = restrict_fn
@@ -131,7 +148,7 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             return logits
 
     def _insert(params, state: DecodeState, slot, prompt, mod_row,
-                prompt_len, max_new, temperature, rng) -> DecodeState:
+                prompt_len, max_new, temperature, seed) -> DecodeState:
         bucket = prompt.shape[0]
         # multi-token causal prefill: one pass writes K/V for positions
         # [0, bucket); garbage beyond prompt_len is never attended (the
@@ -142,16 +159,18 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         logits, kv1_new = apply_fn(params, prompt[None],
                                    mod_prompt[None], kv1, 0)
         last = logits[0, prompt_len - 1].astype(jnp.float32)
+        write0 = jnp.minimum(prompt_len, L - 1)
         mod_next = jax.lax.dynamic_index_in_dim(
-            mod_row, jnp.minimum(prompt_len, L - 1), keepdims=False)
+            mod_row, write0, keepdims=False)
         last = _restrict(last[None], mod_next[None])
-        g = jax.random.gumbel(rng, last.shape, dtype=last.dtype)
+        seed_v = jnp.asarray([seed], jnp.int32)
+        g = _row_gumbel(seed_v, write0[None], last.shape[-1])
         tok0 = _sample_row(last, jnp.asarray([temperature], jnp.float32),
                            g)[0].astype(jnp.int32)
 
         x_row = jnp.zeros((L,), jnp.int32)
         x_row = jax.lax.dynamic_update_slice(x_row, prompt, (0,))
-        x_row = x_row.at[jnp.minimum(prompt_len, L - 1)].set(tok0)
+        x_row = x_row.at[write0].set(tok0)
 
         upd = lambda a, r: jax.lax.dynamic_update_slice_in_dim(
             a, r[None].astype(a.dtype), slot, axis=0)
@@ -173,10 +192,12 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             active=state.active.at[slot].set(~started_done),
             stop=state.stop.at[slot].set(
                 jnp.minimum(prompt_len + max_new, L)),
-            temp=state.temp.at[slot].set(temperature))
+            temp=state.temp.at[slot].set(temperature),
+            seed=state.seed.at[slot].set(seed))
 
     def _insert_many(params, state: DecodeState, slots_v, prompts,
-                     mod_rows, plens, max_news, temps, rng) -> DecodeState:
+                     mod_rows, plens, max_news, temps, seeds
+                     ) -> DecodeState:
         """Admit a GROUP of prompts in one program: batched prefill +
         scatter into the state. One device dispatch per admission round
         instead of one per request — on high-latency links (tunneled
@@ -194,7 +215,7 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         nxt = jnp.minimum(plens, L - 1)
         mod_next = jnp.take_along_axis(mod_rows, nxt[:, None], 1)[:, 0]
         last = _restrict(last.astype(jnp.float32), mod_next)
-        g = jax.random.gumbel(rng, last.shape, dtype=last.dtype)
+        g = _row_gumbel(seeds, nxt, last.shape[-1])
         tok0 = _sample_row(last, temps, g).astype(jnp.int32)     # (k,)
 
         x_rows = jnp.zeros((k, L), jnp.int32).at[:, :bucket].set(prompts)
@@ -213,7 +234,8 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             active=state.active.at[slots_v].set(~started_done),
             stop=state.stop.at[slots_v].set(
                 jnp.minimum(plens + max_news, L)),
-            temp=state.temp.at[slots_v].set(temps))
+            temp=state.temp.at[slots_v].set(temps),
+            seed=state.seed.at[slots_v].set(seeds))
 
     _insert_cache = {}
 
@@ -230,7 +252,7 @@ def build_continuous_decoder(model, config: Optional[Config], *,
                                                  donate_argnums=(1,))
         return _insert_many_cache[bucket]
 
-    def _step(params, state: DecodeState, rng) -> DecodeState:
+    def _step(params, state: DecodeState) -> DecodeState:
         x, mod, pos, active = state.x, state.mod, state.pos, state.active
         tok = jnp.take_along_axis(x, pos[:, None], axis=1)       # (S, 1)
         mod_tok = jnp.take_along_axis(mod, pos[:, None], axis=1)
@@ -240,7 +262,9 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         nxt = jnp.minimum(pos + 1, L - 1)
         mod_next = jnp.take_along_axis(mod, nxt[:, None], axis=1)[:, 0]
         logits = _restrict(logits, mod_next)
-        g = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
+        # noise is a pure function of (row seed, write position): a seeded
+        # request's token stream is independent of batch composition
+        g = _row_gumbel(state.seed, nxt, logits.shape[-1])
         tok_new = _sample_row(logits, state.temp, g).astype(jnp.int32)
 
         x_written = jax.vmap(
@@ -252,12 +276,13 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         exhausted = nxt + 1 >= state.stop
         active = active & ~hit_eos & ~exhausted
         return DecodeState(x=x, mod=mod, kv=kv, pos=pos,
-                           active=active, stop=state.stop, temp=state.temp)
+                           active=active, stop=state.stop, temp=state.temp,
+                           seed=state.seed)
 
-    def _decode_chunk(params, state: DecodeState, rng) -> DecodeState:
-        def body(s, r):
-            return _step(params, s, r), None
-        state, _ = jax.lax.scan(body, state, jax.random.split(rng, chunk))
+    def _decode_chunk(params, state: DecodeState) -> DecodeState:
+        def body(s, _):
+            return _step(params, s), None
+        state, _ = jax.lax.scan(body, state, None, length=chunk)
         return state
 
     decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1,))
@@ -282,6 +307,7 @@ class ContinuousBatcher:
     def __init__(self, model, params, config: Optional[Config], *,
                  slots: int = 8, chunk: int = 8, eos_id: int = -1,
                  device_lock: Optional[threading.Lock] = None,
+                 drain_deadline_s: float = 0.05,
                  **decoder_kwargs):
         self.config = config
         self.params = params
@@ -289,7 +315,9 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.eos_id = eos_id
         self.length = decoder_kwargs.get("length") or config.model.length
-        self._chunks_since_drain = 0
+        self.drain_deadline_s = drain_deadline_s
+        self._chunk_s = None      # EMA of one decode chunk's wall time
+        self._last_drain = _time.monotonic()
         self._lock = device_lock or threading.Lock()
         (self._init_state, self._make_insert, self._decode,
          self._make_insert_many) = \
@@ -330,9 +358,10 @@ class ContinuousBatcher:
         """Admit [(req, slot)] in ONE jitted call (batched prefill +
         scatter — _insert_many). Padding rows replicate entry 0, whose
         duplicate scatter writes are value-identical and therefore
-        order-safe. Per-request `seed` only steers sampling when the
-        request is admitted alone (grouped admission draws one batch of
-        Gumbel noise); greedy (temperature<=0) decode ignores it anyway.
+        order-safe. Each row carries its own sampling seed (client's, or
+        a fresh counter value): sampling noise is a pure function of
+        (seed, position), so a seeded request reproduces exactly even
+        when admitted in a group under concurrent load.
         """
         L = self.length
         valid = []
@@ -354,6 +383,7 @@ class ContinuousBatcher:
         maxn = np.zeros(kmax, np.int32)
         temps = np.zeros(kmax, np.float32)
         slots_v = np.zeros(kmax, np.int32)
+        seeds = np.zeros(kmax, np.int32)
         for i in range(kmax):
             req, slot, plen = valid[i] if i < k else valid[0]
             prompts[i, :plen] = req["prompt"]
@@ -362,14 +392,14 @@ class ContinuousBatcher:
                 mods[i, :n] = req["modality"][:n]
             plens[i], maxn[i] = plen, req["max_new"]
             temps[i], slots_v[i] = req["temperature"], slot
-        self._seq += 1
-        seed = (valid[0][0]["seed"]
-                if k == 1 and valid[0][0].get("seed") is not None
-                else self._seq)
+            if req.get("seed") is None:
+                self._seq += 1
+                req["seed"] = self._seq
+            seeds[i] = req["seed"]
         self.state = self._make_insert_many(bucket)(
             self.params, self.state, jnp.asarray(slots_v),
             jnp.asarray(prompts), jnp.asarray(mods), jnp.asarray(plens),
-            jnp.asarray(maxn), jnp.asarray(temps), jax.random.PRNGKey(seed))
+            jnp.asarray(maxn), jnp.asarray(temps), jnp.asarray(seeds))
         for req, slot, plen in valid:
             req["slot"] = slot
             req["prompt_len"] = plen
@@ -388,7 +418,7 @@ class ContinuousBatcher:
         single transfer, not three."""
         pos, active, x = jax.device_get(
             (self.state.pos, self.state.active, self.state.x))
-        self._chunks_since_drain = 0
+        self._last_drain = _time.monotonic()
         for slot, req in enumerate(self._slot_req):
             if req is None:
                 continue
@@ -434,27 +464,35 @@ class ContinuousBatcher:
                 live = [r for r in self._slot_req if r is not None]
                 if live:
                     try:
-                        self._seq += 1
-                        self.state = self._decode(
-                            self.params, self.state,
-                            jax.random.PRNGKey(2 ** 20 + self._seq))
-                        self._chunks_since_drain += 1
+                        t0 = _time.monotonic()
+                        self.state = self._decode(self.params, self.state)
+                        chunk_s = _time.monotonic() - t0
+                        self._chunk_s = (chunk_s if self._chunk_s is None
+                                         else 0.7 * self._chunk_s
+                                         + 0.3 * chunk_s)
                         for r in live:
                             r["pos_est"] = min(r["pos_est"] + self.chunk,
                                                r["stop_est"])
                         # drain (a full host round trip) only when it can
                         # matter: a stream is waiting, a row may have hit
                         # its stop bound, or — with EOS able to fire
-                        # anytime — on a cadence (tighter when requests
-                        # are queued for the freed slots)
+                        # anytime — on a WALL-CLOCK deadline, so the
+                        # latency added by drain skipping is bounded by
+                        # max(one chunk's duration, drain_deadline_s)
+                        # rather than a fixed chunk count (tighter when
+                        # requests are queued for the freed slots)
                         must = any(r["stream_cb"] is not None
                                    for r in live) \
                             or any(r["pos_est"] + 1 >= r["stop_est"]
                                    for r in live)
-                        cadence = 2 if not self._queue.empty() else 8
+                        deadline = max(self._chunk_s or 0.0,
+                                       self.drain_deadline_s)
+                        if not self._queue.empty():
+                            deadline = min(deadline, 2 * (self._chunk_s
+                                                          or 0.0))
                         if must or (self.eos_id >= 0
-                                    and self._chunks_since_drain
-                                    >= cadence):
+                                    and _time.monotonic()
+                                    - self._last_drain >= deadline):
                             self._drain()
                     except Exception as e:  # device error (tunnel RPC
                         # failure, OOM): fail the live futures and reset
@@ -465,7 +503,7 @@ class ContinuousBatcher:
                                 r["future"].set_exception(e)
                             self._slot_req[slot] = None
                         self.state = self._init_state()
-                        self._chunks_since_drain = 0
+                        self._last_drain = _time.monotonic()
                     continue
             if not admitted and carry is None:
                 # idle: block briefly for the next arrival (held in

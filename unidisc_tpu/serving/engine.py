@@ -453,8 +453,13 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         state, meta = mgr.restore(init_train_state(config, params))
         params = state.ema_params
         config = Config.from_json(_json.dumps(meta["config"]))
+        # experiment overlays and CLI overrides both beat the checkpoint's
+        # config snapshot (the snapshot records what was TRAINED, not what
+        # is being served — an --experiments fast_nfe serve must survive
+        # --ckpt restore)
+        if experiments:
+            config = config.apply_experiments(*experiments)
         if over:
-            # CLI overrides beat the checkpoint's config snapshot
             config = config.override(**over)
     if quantize:
         from unidisc_tpu.ops.quant import quantize_model

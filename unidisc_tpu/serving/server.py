@@ -301,8 +301,15 @@ class Handler(BaseHTTPRequestHandler):
                 chunk({"content": text[len(sent):]})
                 sent = text
         res = fut.result(timeout=600)
-        if res["text"] != sent and res["text"].startswith(sent):
-            chunk({"content": res["text"][len(sent):]})
+        if res["text"] != sent:
+            if res["text"].startswith(sent):
+                chunk({"content": res["text"][len(sent):]})
+            else:
+                # the tokenizer rewrote earlier text (non-prefix-stable
+                # detokenization): the client's transcript has diverged
+                # and deltas can't fix it — send a full replacement so
+                # it always converges to the final text (ADVICE r2)
+                chunk({"content": res["text"], "replace": True})
         chunk({}, finish="stop")
         self.wfile.write(b"data: [DONE]\n\n")
 
