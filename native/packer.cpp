@@ -4,10 +4,13 @@
 // TPU-shape-static redesign of the reference's PackingCollate,
 // dataloader.py:564-677): greedy first-fit packing of whole documents into
 // fixed-length rows — an image block is never split, EOS is inserted
-// between documents, pad rows carry sample_id -1, and a per-token
-// rope_index is emitted (text: running position in the document's text
-// flow; image: raster position within the block, plus an optional
-// per-segment base for multi-resolution tables).
+// between documents, pad rows carry sample_id -1, and per-token
+// rope_index / img_block_index are emitted (text rope: offset within the
+// sample counting ALL tokens, matching the reference's
+// add_txt_data_to_blocks alignment; image rope: raster position within
+// the block, plus an optional per-segment base for multi-resolution
+// tables; img_block_index: 0-based count of prior image blocks in the
+// same sample).
 //
 // The Python packer is the semantic oracle (tests/test_native_packer.py
 // checks bit-identical outputs); this one exists for host-side throughput
@@ -42,7 +45,7 @@ int32_t pack_documents_i32(
     int32_t n_segs, int32_t n_docs, int32_t length,
     int32_t pad_id, int32_t eos_id,
     int32_t* input_ids, int32_t* modality, int32_t* sample_ids,
-    int32_t* rope_index, int32_t max_rows) {
+    int32_t* rope_index, int32_t* img_block_index, int32_t max_rows) {
   if (n_segs < 0 || n_docs < 0 || length <= 0 || max_rows < 0) return -1;
 
   // segment start offsets into seg_ids
@@ -111,28 +114,32 @@ int32_t pack_documents_i32(
     modality[i] = 0;
     sample_ids[i] = -1;
     rope_index[i] = 0;
+    img_block_index[i] = 0;
   }
 
   for (int32_t ri = 0; ri < b; ++ri) {
     int64_t pos = 0;
-    // running text position per sample id within this row
-    // (few samples per row: linear probe is fine)
-    std::vector<std::pair<int32_t, int32_t>> txt_pos;
-    auto txt_advance = [&](int32_t sid, int32_t n) -> int32_t {
-      for (auto& kv : txt_pos)
+    // running within-sample offset (ALL tokens) and image-block count
+    // per sample id within this row (few samples per row: linear probe)
+    std::vector<std::pair<int32_t, int32_t>> samp_off;
+    std::vector<std::pair<int32_t, int32_t>> img_cnt;
+    auto advance = [](std::vector<std::pair<int32_t, int32_t>>& v,
+                      int32_t sid, int32_t n) -> int32_t {
+      for (auto& kv : v)
         if (kv.first == sid) { int32_t s0 = kv.second; kv.second += n; return s0; }
-      txt_pos.push_back({sid, n});
+      v.push_back({sid, n});
       return 0;
     };
     int32_t* row_ids = input_ids + static_cast<int64_t>(ri) * length;
     int32_t* row_mod = modality + static_cast<int64_t>(ri) * length;
     int32_t* row_sid = sample_ids + static_cast<int64_t>(ri) * length;
     int32_t* row_rope = rope_index + static_cast<int64_t>(ri) * length;
+    int32_t* row_ibi = img_block_index + static_cast<int64_t>(ri) * length;
     for (const Placed& p : rows[ri]) {
       if (p.seg < 0) {  // synthetic EOS: one text token
         row_ids[pos] = eos_id;
         row_sid[pos] = p.sample_id;
-        row_rope[pos] = txt_advance(p.sample_id, 1);
+        row_rope[pos] = advance(samp_off, p.sample_id, 1);
         ++pos;
         continue;
       }
@@ -140,13 +147,15 @@ int32_t pack_documents_i32(
       std::memcpy(row_ids + pos, seg_ids + seg_off[p.seg],
                   sizeof(int32_t) * n);
       for (int32_t j = 0; j < n; ++j) row_sid[pos + j] = p.sample_id;
+      const int32_t s0 = advance(samp_off, p.sample_id, n);
       if (seg_kind[p.seg] == 1) {
+        const int32_t cnt = advance(img_cnt, p.sample_id, 1);
         for (int32_t j = 0; j < n; ++j) {
           row_mod[pos + j] = 1;
           row_rope[pos + j] = seg_ropebase[p.seg] + j;
+          row_ibi[pos + j] = cnt;
         }
       } else {
-        const int32_t s0 = txt_advance(p.sample_id, n);
         for (int32_t j = 0; j < n; ++j) row_rope[pos + j] = s0 + j;
       }
       pos += n;

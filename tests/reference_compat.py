@@ -98,6 +98,48 @@ def install_torch_stubs() -> None:
         om.OmegaConf = OmegaConf
         sys.modules["omegaconf"] = om
 
+    if "diffusers" not in sys.modules:
+        # the production DIT (models/dit.py:12) imports exactly one symbol
+        # from diffusers: get_2d_rotary_pos_embed_lumina. Re-implemented
+        # here from the published diffusers math (axial 1D ropes of dim/2,
+        # h/w interleaved as complex exponentials) so the reference class
+        # constructs without the package.
+        def get_1d_rotary_pos_embed(dim, pos, theta=10000.0,
+                                    linear_factor=1.0, ntk_factor=1.0):
+            theta = theta * ntk_factor
+            freqs = (1.0 / (theta ** (torch.arange(0, dim, 2)[: dim // 2]
+                                      .float() / dim)) / linear_factor)
+            t = torch.arange(pos).float()
+            fr = torch.outer(t, freqs)
+            return torch.polar(torch.ones_like(fr), fr)   # (pos, dim//2)
+
+        def get_2d_rotary_pos_embed_lumina(embed_dim, len_h, len_w,
+                                           linear_factor=1.0,
+                                           ntk_factor=1.0):
+            assert embed_dim % 4 == 0
+            emb_h = get_1d_rotary_pos_embed(embed_dim // 2, len_h,
+                                            linear_factor=linear_factor,
+                                            ntk_factor=ntk_factor)
+            emb_w = get_1d_rotary_pos_embed(embed_dim // 2, len_w,
+                                            linear_factor=linear_factor,
+                                            ntk_factor=ntk_factor)
+            emb_h = emb_h.view(len_h, 1, embed_dim // 4, 1).repeat(
+                1, len_w, 1, 1)
+            emb_w = emb_w.view(1, len_w, embed_dim // 4, 1).repeat(
+                len_h, 1, 1, 1)
+            return torch.cat([emb_h, emb_w], dim=-1).flatten(2)
+
+        diffusers = types.ModuleType("diffusers")
+        dmodels = types.ModuleType("diffusers.models")
+        demb = types.ModuleType("diffusers.models.embeddings")
+        demb.get_2d_rotary_pos_embed_lumina = get_2d_rotary_pos_embed_lumina
+        demb.get_1d_rotary_pos_embed = get_1d_rotary_pos_embed
+        diffusers.models = dmodels
+        dmodels.embeddings = demb
+        sys.modules["diffusers"] = diffusers
+        sys.modules["diffusers.models"] = dmodels
+        sys.modules["diffusers.models.embeddings"] = demb
+
 
 def _to_namespace(d):
     if isinstance(d, dict):

@@ -49,11 +49,17 @@ def test_pack_basics():
             if sel.any():
                 assert rope[row][sel][0] == 0  # raster restarts per image
 
-    # text rope continues across text blocks within a doc
+    # text rope = offset within the SAMPLE counting all tokens (the
+    # reference's add_txt_data_to_blocks aligns the 1D table to the
+    # contiguous sample block, models/dit.py:181-191): doc 0 is
+    # [txt 3][img 16][txt 2][eos] -> text indices 0,1,2 then 19,20,21
     row0, = np.where((sids == 0).any(axis=1))
     r = row0[0]
     txt_sel = (sids[r] == 0) & (mods[r] == 0)
-    assert list(batch["rope_index"][r][txt_sel]) == [0, 1, 2, 3, 4, 5]
+    assert list(batch["rope_index"][r][txt_sel]) == [0, 1, 2, 19, 20, 21]
+    # image tokens carry their block count within the sample
+    img_sel0 = (sids[r] == 0) & (mods[r] == 1)
+    assert (batch["img_block_index"][r][img_sel0] == 0).all()
 
 
 def test_doc_longer_than_length_truncated_at_segment():

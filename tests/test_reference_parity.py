@@ -425,3 +425,243 @@ def test_cfg_weight_parity_vs_reference_code():
         ref = ns["get_cfg_weight"](self, torch.tensor(t1)[:, None]).numpy()
         np.testing.assert_allclose(ours_w(3.0, t1, lo=0.1, hi=0.9),
                                    ref.reshape(-1), rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# 4. PRODUCTION models/dit.py parity — the HF-mixin class the published
+#    checkpoints (aswerdlow/unidisc_*) load into (reference:
+#    models/dit.py:1095). Three variants: the large_scale_train production
+#    feature set (rms + qk-norm + sandwich + modality-embed + 2D rope),
+#    the interleaved require_sample_ids path (per-resolution rope buffers +
+#    img_count_embedding + add_img/txt_data_to_blocks stitching,
+#    models/dit.py:122-191, 1203-1232), and the default-config split-embed
+#    path (use_pretrained_img_emb: frozen VQ-codebook image embedding +
+#    projection, models/dit.py:1343-1359). port_dit_state_dict maps the
+#    production key names (blocks.{i}.attention.*), so these fail on any
+#    architecture or key-name drift.
+# ---------------------------------------------------------------------------
+
+PHID, PHEADS, PBLOCKS = 64, 4, 2
+PV, PTVS = 32, 16
+
+
+def _prod_ref_config(*, length, txt_length, img_length,
+                     require_sample_ids=False, production=True,
+                     use_pretrained_img_emb=False,
+                     multimodal_batches=True):
+    return types.SimpleNamespace(
+        time_conditioning=True, parameterization="subs",
+        model=types.SimpleNamespace(
+            hidden_size=PHID, cond_dim=PHID, n_heads=PHEADS,
+            n_blocks=PBLOCKS, dropout=0.0, attn_type="flash",
+            force_varlen_attn=False,
+            norm_type="rms" if production else "layernorm",
+            qk_norm=production, use_flash_attn_3=False, use_spda_attn=True,
+            sandwich_normalization=production, full_attention=True,
+            modality_embed=production, rope_2d=production,
+            zero_linear_init=True, scale_by_sigma=False,
+            length=length, txt_length=txt_length, img_length=img_length,
+            use_pretrained_img_emb=use_pretrained_img_emb,
+            force_optimized_native_attn=False),
+        trainer=types.SimpleNamespace(
+            use_gradient_checkpointing=False, compile=False,
+            compile_flag_pos_emb=True,
+            multimodal_batches=multimodal_batches,
+            image_mode="discrete"),
+        data=types.SimpleNamespace(require_sample_ids=require_sample_ids),
+    )
+
+
+def _randomize(ref, seed=42, scale=0.05):
+    """Randomize ALL torch params (the adaLN-zero head otherwise
+    trivializes logit comparison)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
+    ref.eval()
+    return ref
+
+
+def _port_and_compare(ref, cfg, idx, sigma, ref_logits, atol, **kw):
+    model = DIT(cfg, compute_dtype=jnp.float32)
+    jidx = jnp.asarray(idx.astype(np.int32))
+    jsig = jnp.asarray(sigma)
+    params = model.init({"params": jax.random.PRNGKey(0)}, jidx, jsig,
+                        **kw)["params"]
+    params = port_dit_state_dict(
+        params, {k: v.numpy() for k, v in ref.state_dict().items()})
+    ours = np.asarray(model.apply({"params": params}, jidx, jsig, **kw))
+    np.testing.assert_allclose(ours, ref_logits, atol=atol, rtol=1e-3)
+
+
+def test_production_dit_logits_parity():
+    """large_scale_train feature set, non-interleaved [txt|img] layout
+    (reference: models/dit.py:1095 + configs/experiments/
+    large_scale_train.yaml:84-90)."""
+    install_torch_stubs()
+    import models.dit as ref_dit
+
+    T, I = 8, 16
+    L = T + I
+    torch.manual_seed(0)
+    ref = _randomize(ref_dit.DIT(
+        _prod_ref_config(length=L, txt_length=T, img_length=I),
+        vocab_size=PV, text_vocab_size=PTVS, mask_index=PTVS - 1))
+
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, PV, (2, L)).astype(np.int64)
+    sigma = rng.rand(2).astype(np.float32)
+    modality = np.concatenate([np.zeros((2, T)), np.ones((2, I))],
+                              1).astype(np.int64)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(idx), torch.tensor(sigma),
+                         modality=torch.tensor(modality)).numpy()
+
+    cfg = ModelConfig(
+        name="prod-parity", hidden_size=PHID, cond_dim=PHID,
+        n_blocks=PBLOCKS, n_heads=PHEADS, dropout=0.0, length=L,
+        txt_length=T, img_length=I, text_vocab_size=PTVS,
+        image_vocab_size=PV - PTVS, norm_type="rms", qk_norm=True,
+        sandwich_normalization=True, modality_embed=True, rope_2d=True,
+        time_conditioning=True, attn_backend="xla")
+    _port_and_compare(ref, cfg, idx, sigma, ref_logits, atol=5e-4,
+                      modality=jnp.asarray(modality.astype(np.int32)))
+
+
+def test_production_dit_interleaved_parity():
+    """require_sample_ids path: a packed batch with 256-token image
+    blocks through the ACTUAL add_img_data_to_blocks /
+    add_txt_data_to_blocks stitching + img_count_embedding (reference:
+    models/dit.py:122-191, 1203-1232) vs our static rope_index /
+    img_block_index redesign."""
+    install_torch_stubs()
+    import models.dit as ref_dit
+
+    from unidisc_tpu.models.rotary import build_multires_rope
+
+    L = 524  # [txt 8][img 256][txt 4][img 256]
+    torch.manual_seed(0)
+    ref = _randomize(ref_dit.DIT(
+        _prod_ref_config(length=L, txt_length=8, img_length=256,
+                         require_sample_ids=True),
+        vocab_size=PV, text_vocab_size=PTVS, mask_index=PTVS - 1))
+
+    rng = np.random.RandomState(1)
+
+    def seq(row_samples):
+        ids = np.zeros(L, np.int64)
+        mod = np.zeros(L, np.int64)
+        sid = np.zeros(L, np.int64)
+        ropei = np.zeros(L, np.int64)
+        ibi = np.zeros(L, np.int64)
+        pos = 0
+        samp_off, img_cnt = {}, {}
+        for s, kind, n in row_samples:
+            off = samp_off.get(s, 0)
+            if kind == "txt":
+                ids[pos:pos + n] = rng.randint(0, PTVS, n)
+                ropei[pos:pos + n] = np.arange(off, off + n)
+            else:
+                ids[pos:pos + n] = PTVS + rng.randint(0, PV - PTVS, n)
+                mod[pos:pos + n] = 1
+                ropei[pos:pos + n] = np.arange(n)
+                cnt = img_cnt.get(s, 0)
+                ibi[pos:pos + n] = cnt
+                img_cnt[s] = cnt + 1
+            sid[pos:pos + n] = s
+            samp_off[s] = off + n
+            pos += n
+        assert pos == L
+        return ids, mod, sid, ropei, ibi
+
+    # row 0: one sample w/ TWO image blocks (img_count 0 and 1);
+    # row 1: two samples (attention isolation + per-sample rope restart)
+    r0 = seq([(0, "txt", 8), (0, "img", 256), (0, "txt", 4),
+              (0, "img", 256)])
+    r1 = seq([(0, "txt", 8), (0, "img", 256), (1, "txt", 4),
+              (1, "img", 256)])
+    idx, modality, sample_ids, ropei, ibi = (
+        np.stack([a, b]) for a, b in zip(r0, r1))
+    sigma = rng.rand(2).astype(np.float32)
+    dense = (sample_ids[:, :, None] == sample_ids[:, None, :])[:, None]
+
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(idx), torch.tensor(sigma),
+                         modality=torch.tensor(modality),
+                         sample_ids=torch.tensor(sample_ids),
+                         attention_mask=torch.tensor(dense)).numpy()
+
+    cfg = ModelConfig(
+        name="prod-parity-il", hidden_size=PHID, cond_dim=PHID,
+        n_blocks=PBLOCKS, n_heads=PHEADS, dropout=0.0, length=L,
+        txt_length=8, img_length=256, text_vocab_size=PTVS,
+        image_vocab_size=PV - PTVS, norm_type="rms", qk_norm=True,
+        sandwich_normalization=True, modality_embed=True, rope_2d=True,
+        time_conditioning=True, attn_backend="xla",
+        img_resolutions=(256,), img_count_embed=True)
+    _, _, offsets = build_multires_rope(L, (256,), PHID // PHEADS)
+    rope_index = np.where(modality == 1, offsets[256] + ropei, ropei)
+    _port_and_compare(
+        ref, cfg, idx, sigma, ref_logits, atol=1e-3,
+        modality=jnp.asarray(modality.astype(np.int32)),
+        sample_ids=jnp.asarray(sample_ids.astype(np.int32)),
+        rope_index=jnp.asarray(rope_index.astype(np.int32)),
+        img_block_index=jnp.asarray(ibi.astype(np.int32)))
+
+
+def test_production_dit_split_embed_parity():
+    """use_pretrained_img_emb (default-config checkpoints): text through
+    the (text_vocab+1)-row table, image ids through the frozen VQ
+    codebook + projection (reference: models/dit.py:1343-1359,
+    configs/config.yaml:135), incl. mask tokens."""
+    install_torch_stubs()
+    import sys as _sys
+
+    IMG_EMB_DIM = 8
+    fake_model = types.ModuleType("model")
+
+    def get_vae(config, device, use_cond=False):
+        vae = types.SimpleNamespace()
+        vae.quantize = types.SimpleNamespace(
+            embedding=torch.nn.Embedding(PV - PTVS, IMG_EMB_DIM))
+        return vae
+
+    fake_model.get_vae = get_vae
+    old = _sys.modules.get("model")
+    _sys.modules["model"] = fake_model
+    try:
+        import models.dit as ref_dit
+
+        T, I = 8, 16
+        L = T + I
+        MASK = PTVS - 1
+        torch.manual_seed(0)
+        ref = _randomize(ref_dit.DIT(
+            _prod_ref_config(length=L, txt_length=T, img_length=I,
+                             production=False, use_pretrained_img_emb=True,
+                             multimodal_batches=False),
+            vocab_size=PV, text_vocab_size=PTVS, mask_index=MASK))
+
+        rng = np.random.RandomState(1)
+        idx = rng.randint(0, PV, (2, L)).astype(np.int64)
+        idx[:, ::5] = MASK  # exercise the mask-row branch
+        sigma = rng.rand(2).astype(np.float32)
+        with torch.no_grad():
+            ref_logits = ref(torch.tensor(idx), torch.tensor(sigma)).numpy()
+
+        cfg = ModelConfig(
+            name="prod-split", hidden_size=PHID, cond_dim=PHID,
+            n_blocks=PBLOCKS, n_heads=PHEADS, dropout=0.0, length=L,
+            txt_length=T, img_length=I, text_vocab_size=PTVS,
+            image_vocab_size=PV - PTVS, norm_type="layernorm",
+            qk_norm=False, sandwich_normalization=False,
+            modality_embed=False, rope_2d=False, time_conditioning=True,
+            attn_backend="xla", split_embed=True,
+            img_embed_dim=IMG_EMB_DIM)
+        _port_and_compare(ref, cfg, idx, sigma, ref_logits, atol=5e-4)
+    finally:
+        if old is None:
+            _sys.modules.pop("model", None)
+        else:
+            _sys.modules["model"] = old

@@ -54,6 +54,18 @@ class ModelConfig:
     # (reference per-resolution buffers, models/dit.py:1203-1232);
     # rope_index is then ABSOLUTE into the combined [1D | 2D...] table
     img_resolutions: Optional[Tuple[int, ...]] = None
+    # learned per-image-block-count embedding added to image tokens in
+    # interleaved batches (reference img_count_embedding,
+    # models/dit.py:1216-1218; ships in the published interleaved ckpt)
+    img_count_embed: bool = False
+    max_images_per_sample: int = 16
+    # split embedding (reference use_pretrained_img_emb,
+    # models/dit.py:1343-1359): text ids embed through a
+    # (text_vocab+1)-row table (+1 = the mask row), image ids through a
+    # frozen VQ-codebook table of width img_embed_dim projected up to
+    # hidden_size. The default-config reference checkpoints use this.
+    split_embed: bool = False
+    img_embed_dim: int = 8  # LlamaGen VQ-16 codebook dim
     modality_embed: bool = False
     zero_linear_init: bool = True
     full_attention: bool = True  # False => causal (AR mode)

@@ -61,8 +61,12 @@ def make_document(text_ids: Sequence[int] = (), image_ids=None,
 
 
 class PackedBatch(dict):
-    """dict with input_ids, modality, sample_ids, rope_index, attention_mask
-    — all (B, L) np.int32 except attention_mask (bool)."""
+    """dict with input_ids, modality, sample_ids, rope_index,
+    img_block_index, attention_mask — all (B, L) np.int32 except
+    attention_mask (bool). img_block_index holds, for each image token,
+    the 0-based count of image blocks preceding it in the same sample
+    (feeds the DIT's img_count_embedding; reference
+    models/dit.py:132-139 block_counts)."""
 
 
 def pack_documents(docs: Sequence[Document], length: int, *,
@@ -122,13 +126,16 @@ def pack_documents(docs: Sequence[Document], length: int, *,
     sample_ids = np.full((b, length), -1, np.int32)
     rope_index = np.zeros((b, length), np.int32)
 
+    img_block_index = np.zeros((b, length), np.int32)
     for ri, row in enumerate(rows):
         pos = 0
-        txt_pos = {}  # sample_id -> running text position
+        samp_off = {}  # sample_id -> offset within sample (ALL tokens)
+        img_cnt = {}   # sample_id -> image blocks seen so far
         for sid, seg in row:
             n = len(seg.ids)
             input_ids[ri, pos:pos + n] = seg.ids
             sample_ids[ri, pos:pos + n] = sid
+            off = samp_off.get(sid, 0)
             if seg.kind == "image":
                 modality[ri, pos:pos + n] = 1
                 # raster index within this image block (restarts per image);
@@ -136,15 +143,23 @@ def pack_documents(docs: Sequence[Document], length: int, *,
                 # ABSOLUTE into the combined rope table
                 base = rope_offsets[n] if rope_offsets is not None else 0
                 rope_index[ri, pos:pos + n] = base + np.arange(n)
+                cnt = img_cnt.get(sid, 0)
+                img_block_index[ri, pos:pos + n] = cnt
+                img_cnt[sid] = cnt + 1
             else:
-                start = txt_pos.get(sid, 0)
-                rope_index[ri, pos:pos + n] = np.arange(start, start + n)
-                txt_pos[sid] = start + n
+                # text 1D rope index = offset within the sample counting
+                # ALL tokens (incl. preceding image blocks) — the
+                # reference's add_txt_data_to_blocks writes the 1D table
+                # aligned to the contiguous sample block, not to a
+                # text-only flow (models/dit.py:181-191)
+                rope_index[ri, pos:pos + n] = np.arange(off, off + n)
+            samp_off[sid] = off + n
             pos += n
 
     return PackedBatch(
         input_ids=input_ids, modality=modality, sample_ids=sample_ids,
-        rope_index=rope_index, attention_mask=(sample_ids >= 0))
+        rope_index=rope_index, img_block_index=img_block_index,
+        attention_mask=(sample_ids >= 0))
 
 
 def unpack_rows(batch: PackedBatch) -> List[List[dict]]:

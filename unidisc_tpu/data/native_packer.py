@@ -46,7 +46,7 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p = ctypes.POINTER(ctypes.c_int32)
             lib.pack_documents_i32.restype = ctypes.c_int32
             lib.pack_documents_i32.argtypes = [i32p] * 5 + \
-                [ctypes.c_int32] * 5 + [i32p] * 4 + [ctypes.c_int32]
+                [ctypes.c_int32] * 5 + [i32p] * 5 + [ctypes.c_int32]
             _lib = lib
         except Exception:  # noqa: BLE001 — no compiler / bad toolchain
             _build_failed = True
@@ -98,6 +98,7 @@ def pack_documents_native(docs: Sequence[Document], length: int, *,
     modality = np.empty(out_shape, np.int32)
     sample_ids = np.empty(out_shape, np.int32)
     rope_index = np.empty(out_shape, np.int32)
+    img_block_index = np.empty(out_shape, np.int32)
 
     b = lib.pack_documents_i32(
         _ptr(flat), _ptr(seg_len_a), _ptr(seg_kind_a), _ptr(seg_doc_a),
@@ -106,7 +107,7 @@ def pack_documents_native(docs: Sequence[Document], length: int, *,
         ctypes.c_int32(length), ctypes.c_int32(pad_id),
         ctypes.c_int32(-1 if eos_id is None else eos_id),
         _ptr(input_ids), _ptr(modality), _ptr(sample_ids), _ptr(rope_index),
-        ctypes.c_int32(max_rows))
+        _ptr(img_block_index), ctypes.c_int32(max_rows))
     if b < 0:
         raise ValueError("native packer failed (malformed segments)")
 
@@ -123,6 +124,8 @@ def pack_documents_native(docs: Sequence[Document], length: int, *,
     modality = fit(modality, 0)
     sample_ids = fit(sample_ids, -1)
     rope_index = fit(rope_index, 0)
+    img_block_index = fit(img_block_index, 0)
     return PackedBatch(
         input_ids=input_ids, modality=modality, sample_ids=sample_ids,
-        rope_index=rope_index, attention_mask=(sample_ids >= 0))
+        rope_index=rope_index, img_block_index=img_block_index,
+        attention_mask=(sample_ids >= 0))

@@ -521,11 +521,51 @@ class DIT(nn.Module):
     def __call__(self, indices, sigma=None, *, modality=None, attn_mask=None,
                  label=None, kv_cache=None, cache_index=None,
                  sample_ids=None, rope_index=None, extra_embed=None,
-                 return_hidden=False, deterministic=True):
+                 img_block_index=None, return_hidden=False,
+                 deterministic=True):
         cfg = self.cfg
-        vocab_embed = self.param("vocab_embed", embedding_init(),
-                                 (cfg.vocab_size, cfg.hidden_size))
-        x = jnp.take(vocab_embed, indices, axis=0).astype(self.compute_dtype)
+        if cfg.split_embed:
+            # reference use_pretrained_img_emb (models/dit.py:1343-1359):
+            # text through a (text_vocab+1)-row table whose extra row is
+            # the mask token; image ids through the (frozen) VQ codebook
+            # table projected to hidden_size
+            tvs = cfg.text_vocab_size
+            vocab_embed = self.param("vocab_embed", embedding_init(),
+                                     (tvs + 1, cfg.hidden_size))
+            img_embed = self.param(
+                "img_vocab_embed", embedding_init(),
+                (cfg.image_vocab_size, cfg.img_embed_dim))
+            mask_tok = indices == cfg.mask_index
+            img_tok = (indices >= tvs) & ~mask_tok
+            txt_ids = jnp.where(indices < tvs, indices, 0)
+            txt_ids = jnp.where(mask_tok, tvs, txt_ids)
+            txt_x = jnp.take(vocab_embed, txt_ids, axis=0)
+            img_ids = jnp.where(img_tok, indices - tvs, 0)
+            img_x = nn.Dense(cfg.hidden_size, name="img_vocab_proj")(
+                jnp.take(img_embed, img_ids, axis=0))
+            x = jnp.where(img_tok[..., None], img_x,
+                          txt_x).astype(self.compute_dtype)
+        else:
+            vocab_embed = self.param("vocab_embed", embedding_init(),
+                                     (cfg.vocab_size, cfg.hidden_size))
+            x = jnp.take(vocab_embed, indices,
+                         axis=0).astype(self.compute_dtype)
+        if cfg.img_count_embed:
+            # per-image-block-count embedding on image tokens (reference
+            # img_count_embedding + add_img_data_to_blocks,
+            # models/dit.py:1216-1218, 124-179); img_block_index is the
+            # 0-based count of prior image blocks in the same sample,
+            # emitted by the packing collate (data/interleaved.py)
+            count_table = self.param(
+                "img_count_embedding", nn.initializers.zeros,
+                (cfg.max_images_per_sample, cfg.hidden_size))
+            if img_block_index is not None:
+                assert modality is not None
+                idx = jnp.clip(img_block_index, 0,
+                               cfg.max_images_per_sample - 1)
+                add = jnp.take(count_table, idx, axis=0)
+                x = x + jnp.where((modality == 1)[..., None], add,
+                                  0.0).astype(self.compute_dtype)
         if extra_embed is not None:
             # continuous-latent pathway (transfusion mode): projected
             # latents are added at image positions (models/continuous.py)

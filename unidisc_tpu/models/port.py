@@ -41,7 +41,13 @@ def port_dit_state_dict(params: Dict, state_dict: Dict,
 
     flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
     out = dict(flat)
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # the PRODUCTION DIT nests attention params as a submodule
+    # (blocks.{i}.attention.attn_qkv.weight, models/dit.py:890+ — the
+    # naming the published PyTorchModelHubMixin checkpoints carry), while
+    # the frozen dit_orig keeps them flat (blocks.{i}.attn_qkv.weight).
+    # Normalize to the flat form.
+    sd = {k.replace(".attention.", "."): np.asarray(v)
+          for k, v in state_dict.items()}
     used = set()
 
     def put(fkey: str, arr: np.ndarray, transpose: bool = False):
@@ -64,6 +70,15 @@ def port_dit_state_dict(params: Dict, state_dict: Dict,
 
     # globals
     put("vocab_embed", take("vocab_embed.embedding"))
+    if "img_vocab_embed.weight" in sd:
+        # split-embed checkpoints (use_pretrained_img_emb,
+        # reference models/dit.py:1343-1359): frozen VQ codebook + proj
+        put("img_vocab_embed", take("img_vocab_embed.weight"))
+        put("img_vocab_proj/kernel", take("img_vocab_proj.weight"),
+            transpose=True)
+        put("img_vocab_proj/bias", take("img_vocab_proj.bias"))
+    if "img_count_embedding" in sd:
+        put("img_count_embedding", take("img_count_embedding"))
     if "modality_embed.embedding" in sd:
         put("modality_embed", take("modality_embed.embedding"))
     for i in (0, 2):

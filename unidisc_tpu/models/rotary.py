@@ -61,7 +61,7 @@ def rope_2d_lumina(seq_len_2d: int, head_dim: int, linear_factor: float = 1.0,
 
 def build_multires_rope(txt_length: int, img_lengths: Tuple[int, ...],
                         head_dim: int, base: float = 10_000.0,
-                        linear_factor: float = 1.0):
+                        linear_factor=None):
     """Combined rope table for interleaved variable-resolution batches
     (reference per-resolution buffers 256/1024/2304/4096,
     models/dit.py:1203-1232).
@@ -70,13 +70,20 @@ def build_multires_rope(txt_length: int, img_lengths: Tuple[int, ...],
     grid in `img_lengths`. Returns (cos, sin, offsets) where offsets maps
     img_length -> row offset of its 2D block; the packing collate adds the
     offset to each image token's raster index.
+
+    linear_factor: per-resolution frequency stretch. Default None =
+    grid_side/16, matching the reference's hardcoded per-resolution
+    factors ((256,1),(1024,2),(2304,3),(4096,4) — models/dit.py:1213).
+    A float applies uniformly.
     """
     cos1, sin1 = rope_1d(txt_length, head_dim, base)
     cos_parts, sin_parts = [cos1], [sin1]
     offsets = {}
     off = txt_length
     for n in img_lengths:
-        c2, s2 = rope_2d_lumina(n, head_dim, linear_factor, base)
+        lf = (linear_factor if linear_factor is not None
+              else max(math.isqrt(n) / 16.0, 1.0))
+        c2, s2 = rope_2d_lumina(n, head_dim, lf, base)
         offsets[n] = off
         cos_parts.append(c2)
         sin_parts.append(s2)
