@@ -199,18 +199,51 @@ def extract_functions(path: str, names, extra_globals=None) -> dict:
 
 class TorchShim:
     """Proxy for the `torch` name inside extracted reference functions that
-    replaces torch.multinomial with an injectable Gumbel-trick sampler so
-    the same noise can be fed to our sampler (token-for-token parity;
-    torch.multinomial's RNG stream is not reproducible cross-framework)."""
+    replaces the stochastic primitives with injectable versions so the
+    same noise can be fed to our samplers (token-for-token parity; torch
+    RNG streams are not reproducible cross-framework):
 
-    def __init__(self, exp_queue):
+      * torch.multinomial        -> Gumbel-trick argmax on `exp_queue`
+      * torch.rand_like          -> pops `rand_queue` (first-hitting)
+      * torch.distributions.Gumbel(0,1).sample -> pops `gumbel_queue`
+        (the AR sampler's precomputed noise, model_eval.py:2764)
+    """
+
+    def __init__(self, exp_queue, rand_queue=None, gumbel_queue=None):
         self._exp_queue = exp_queue
+        self._rand_queue = rand_queue
+        self._gumbel_queue = gumbel_queue
 
     def multinomial(self, probs2d, num_samples):
         assert num_samples == 1
         import torch
         exp = self._exp_queue.pop(0).reshape(probs2d.shape)
         return (probs2d / torch.as_tensor(exp)).argmax(-1, keepdim=True)
+
+    def rand_like(self, x, dtype=None, **kw):
+        import torch
+        assert self._rand_queue is not None, "no rand_queue injected"
+        r = self._rand_queue.pop(0)
+        assert tuple(r.shape) == tuple(x.shape), (r.shape, x.shape)
+        return torch.as_tensor(r, dtype=dtype)
+
+    @property
+    def distributions(self):
+        import torch
+        if self._gumbel_queue is None:
+            return torch.distributions
+        queue = self._gumbel_queue
+
+        class _Gumbel:
+            def __init__(self, loc, scale):
+                assert (loc, scale) == (0, 1)
+
+            def sample(self, shape):
+                g = queue.pop(0)
+                assert tuple(shape) == tuple(g.shape), (shape, g.shape)
+                return torch.as_tensor(g, dtype=torch.float32)
+
+        return types.SimpleNamespace(Gumbel=_Gumbel)
 
     def __getattr__(self, name):
         import torch

@@ -177,7 +177,8 @@ STEPS = 5
 EPS = 1e-5
 
 
-def _extract_eval_ns(exp_queue, gumbel_queue):
+def _extract_eval_ns(exp_queue, gumbel_queue, rand_queue=None,
+                     torch_gumbel_queue=None):
     """Exec the reference sampler functions with injectable RNG shims."""
 
     def injected_sample_categorical(probs):
@@ -187,11 +188,13 @@ def _extract_eval_ns(exp_queue, gumbel_queue):
 
     ns = extract_functions(
         MODEL_EVAL,
-        ["_ddpm_update", "_maskgit_update", "_first_hitting_update",
-         "adap_sche", "get_cfg_weight", "_ddpm_forward"],
+        ["_ddpm_update", "_ddpm_caching_update", "_maskgit_update",
+         "_maskgit_nucleus_update", "_first_hitting_update", "adap_sche",
+         "get_cfg_weight", "_ddpm_forward", "nucleus_sampling",
+         "nucleus_sampling_batch", "_ar_sampler"],
         extra_globals={
             "_sample_categorical": injected_sample_categorical,
-            "torch": TorchShim(exp_queue),
+            "torch": TorchShim(exp_queue, rand_queue, torch_gumbel_queue),
             "np": NumpyShim(gumbel_queue),
             "get_interleaved_block_mask": None,
         })
@@ -665,3 +668,321 @@ def test_production_dit_split_embed_parity():
             _sys.modules.pop("model", None)
         else:
             _sys.modules["model"] = old
+
+
+# ---------------------------------------------------------------------------
+# 5. Remaining sampler paths (round-3): ddpm_cache (the DEFAULT predictor,
+#    configs/config.yaml:38), first-hitting, maskgit-nucleus, the AR
+#    sampler (+ nucleus_sampling), and the analytic/SEDD update — each
+#    driven token-for-token against the AST-extracted reference code with
+#    shared injected noise.
+# ---------------------------------------------------------------------------
+
+MODEL_UTILS = "/root/reference/model_utils.py"
+
+
+def test_ddpm_cache_token_parity_vs_reference_code():
+    """MDLM caching predictor: p_x0 reuse while x is unchanged + the
+    driver's allclose cache-invalidate rule (reference:
+    model_eval.py:2072-2104 and the ddpm_cache branch :2381-2385)."""
+    rng = np.random.RandomState(20)
+    exp = rng.exponential(size=(STEPS, SB, SL, SV)).astype(np.float32) + 1e-10
+    torch_fn, jax_fn = _fixed_logits_fn(21)
+
+    ns = _extract_eval_ns([e for e in exp], [])
+    self = _make_ref_self(ns)
+    _attach_forward(self, torch_fn)
+
+    x = torch.full((SB, SL), SMASK, dtype=torch.long)
+    timesteps = torch.linspace(1, EPS, STEPS + 1)
+    dt = (1 - EPS) / STEPS
+    p_cache = None
+    ref_nfe = 0
+    for i in range(STEPS):
+        t = timesteps[i] * torch.ones(SB, 1)
+        p_cache, x_next, nfe = ns["_ddpm_caching_update"](
+            self, x, t, dt, p_x0=p_cache)
+        ref_nfe += nfe
+        if not torch.allclose(x_next, x):
+            p_cache = None  # driver rule (model_eval.py:2383)
+        x = x_next
+    ref_tokens = x.numpy()
+
+    sample = _our_sampler("ddpm_cache", jax_fn)
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0),
+                 jnp.zeros((SB, SL), jnp.int32), jnp.zeros((SB, SL), bool),
+                 None, {"exp": jnp.asarray(exp)})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+    assert int(out.nfe) == ref_nfe  # cache hits must line up exactly
+
+
+def test_first_hitting_token_parity_vs_reference_code():
+    """First-hitting unmasker: categorical token draw + uniformly-random
+    position selection (reference: model_eval.py:3004-3043)."""
+    rng = np.random.RandomState(24)
+    exp = rng.exponential(size=(STEPS, SB, SL, SV)).astype(np.float32) + 1e-10
+    rand = rng.rand(STEPS, SB, SL).astype(np.float32)
+    torch_fn, jax_fn = _fixed_logits_fn(25)
+
+    ns = _extract_eval_ns([e for e in exp], [], rand_queue=[r for r in rand])
+    self = _make_ref_self(ns)
+    _attach_forward(self, torch_fn)
+
+    x = torch.full((SB, SL), SMASK, dtype=torch.long)
+    schedule = ns["adap_sche"](x, STEPS, SMASK, mode="arccos")
+    timesteps = torch.linspace(1, EPS, STEPS + 1)
+    dt = (1 - EPS) / STEPS
+    for i in range(STEPS):
+        t = timesteps[i] * torch.ones(SB, 1)
+        x, _ = ns["_first_hitting_update"](self, x, t, dt,
+                                           schedule=schedule, step=i)
+    ref_tokens = x.numpy()
+
+    sample = _our_sampler("first_hitting", jax_fn)
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0),
+                 jnp.zeros((SB, SL), jnp.int32), jnp.zeros((SB, SL), bool),
+                 None, {"exp": jnp.asarray(exp), "uniform": jnp.asarray(rand)})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+def test_maskgit_nucleus_token_parity_vs_reference_code():
+    """Top-p maskgit variant (reference: model_eval.py:3117-3168 +
+    nucleus_sampling_batch :2642-2689). B=1: the reference's
+    `if num_unmask <= 0` bool() on a (B,)-tensor only runs for B=1.
+    Covers the probs/temperature (no re-softmax) cutoff semantics and
+    sorted-space multinomial."""
+    B1 = 1
+    rng = np.random.RandomState(27)
+    exp = rng.exponential(size=(STEPS, B1, SL, SV)).astype(np.float32) + 1e-10
+    gum = rng.gumbel(size=(STEPS, B1, SL)).astype(np.float64)
+    torch_fn, jax_fn = _fixed_logits_fn(28)
+
+    ns = _extract_eval_ns([e for e in exp], [g for g in gum])
+    self = _make_ref_self(ns)
+    self.config.eval.top_p = 0.9
+    self.config.eval.temperature = 0.9
+    _attach_forward(self, torch_fn)
+
+    x = torch.full((B1, SL), SMASK, dtype=torch.long)
+    schedule = ns["adap_sche"](x, STEPS, SMASK, mode="arccos")
+    timesteps = torch.linspace(1, EPS, STEPS + 1)
+    dt = (1 - EPS) / STEPS
+    for i in range(STEPS):
+        t = timesteps[i] * torch.ones(B1, 1)
+        x, _ = ns["_maskgit_nucleus_update"](self, x, t, dt,
+                                             schedule=schedule, step=i)
+    ref_tokens = x.numpy()
+
+    cfg = Config.make("tiny").override(**{
+        "model.length": SL, "model.txt_length": SL, "model.img_length": 0,
+        "model.text_vocab_size": SV, "model.image_vocab_size": 0,
+        "sampling.predictor": "maskgit_nucleus", "sampling.steps": STEPS,
+        "sampling.cfg": None, "sampling.noise_removal": False,
+        "sampling.top_p": 0.9, "sampling.temperature": 0.9})
+    sample = jax.jit(build_sampler(jax_fn, cfg, inject_noise=True))
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0),
+                 jnp.zeros((B1, SL), jnp.int32), jnp.zeros((B1, SL), bool),
+                 None, {"exp": jnp.asarray(exp),
+                        "gumbel": jnp.asarray(gum.astype(np.float32))})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+def _make_ar_self(ns, *, cfg_w=None, top_p=None, temperature=1.0,
+                  length, bos, force_argmax=False, tvs=None):
+    self = _make_ref_self(ns, cfg_w=cfg_w, force_argmax=force_argmax,
+                          text_vocab_size=tvs)
+    self.config.model.length = length
+    self.config.model.use_kv_cache = False
+    self.config.model.force_argmax_valid_indices = force_argmax
+    self.config.eval.top_p = top_p
+    self.config.eval.temperature = temperature
+    # constant CFG weight: the ONLY runnable reference AR+CFG config —
+    # the annealed get_cfg_weight(float) call crashes upstream
+    # ((_cfg*(1-t))[:, None] on a float, model_eval.py:1746)
+    self.config.eval.force_cfg_value = cfg_w is not None
+    self.use_kv_cache = False
+    self.vocab_size = SV
+    self.tokenizer = types.SimpleNamespace(bos_token_id=bos)
+    return self
+
+
+def _causal_table_fns(seed):
+    """Causal fixed logits: logits[b, j] = E[x_j] + 0.25 * mean_{j'<=j}
+    E[x_j'], identical in torch (full prefix) and JAX (incremental cache).
+    The mask row is pushed far down so the reference's unrestricted AR
+    argmax (it never masks mask_index) can't pick it."""
+    table = np.random.RandomState(seed).randn(SV, SV).astype(np.float32) * 2
+    table[:, SMASK] -= 100.0
+
+    def torch_forward(self):
+        def forward(x=None, sigma=None, modality=None, start_pos=None,
+                    disable_ar_shift=True, **kw):
+            e = torch.as_tensor(table)[x]                     # (B, L', V)
+            csum = torch.cumsum(e, dim=1)
+            cnt = torch.arange(1, x.shape[1] + 1,
+                               dtype=e.dtype)[None, :, None]
+            return e + 0.25 * csum / cnt
+        self.forward = forward
+
+    def apply_token(params, tok, kv, cache_index, modality_tok):
+        # kv = {"sum": (B, V), "cnt": ()} running prefix mean state
+        e = jnp.asarray(table)[tok[:, 0]]                     # (B, V)
+        new_sum = kv["sum"] + e
+        cnt = kv["cnt"] + 1.0
+        logits = e + 0.25 * new_sum / cnt
+        return logits[:, None, :], {"sum": new_sum, "cnt": cnt}
+
+    return torch_forward, apply_token
+
+
+def _patched_ar_sampler(monkeypatch, cfg):
+    """build_ar_sampler with the DIT KV cache swapped for the test's
+    running-sum cache (same scan-carry contract)."""
+    import unidisc_tpu.sampling.ar_sampler as ar_mod
+
+    def fake_cache(m, batch, max_len=None):
+        return {"sum": jnp.zeros((batch, SV), jnp.float32),
+                "cnt": jnp.zeros((), jnp.float32)}
+
+    monkeypatch.setattr(ar_mod, "init_kv_cache_for", fake_cache)
+    return ar_mod.build_ar_sampler
+
+
+def test_ar_sampler_cfg_token_parity_vs_reference_code(monkeypatch):
+    """The actual _ar_sampler loop (reference: model_eval.py:2736-2822):
+    BOS + prompt conditioning, doubled-batch CFG at the constant
+    force_cfg_value weight (the annealed path is a latent upstream crash,
+    see SamplingConfig.force_cfg_value), precomputed Gumbel noise,
+    per-step clamping."""
+    L = SL
+    rng = np.random.RandomState(30)
+    gum = rng.gumbel(size=(SB, L - 1, SV)).astype(np.float32)
+    torch_forward, apply_token = _causal_table_fns(31)
+
+    ns = _extract_eval_ns([], [], torch_gumbel_queue=[gum])
+    self = _make_ar_self(ns, cfg_w=2.0, length=L, bos=1)
+    torch_forward(self)
+
+    x0_np = rng.randint(0, SV - 1, (SB, L)).astype(np.int64)
+    x0_np[:, 0] = 1  # BOS
+    unmask_np = np.zeros((SB, L), bool)
+    unmask_np[:, :3] = True
+    modality_np = np.zeros((SB, L), np.int64)
+
+    ref_tokens, _ = ns["_ar_sampler"](
+        self, SB, x0=torch.tensor(x0_np), x0_unmask=torch.tensor(unmask_np),
+        modality=torch.tensor(modality_np))
+    ref_tokens = ref_tokens.numpy()
+
+    cfg = Config.make("tiny").override(**{
+        "model.length": L, "model.txt_length": L, "model.img_length": 0,
+        "model.text_vocab_size": SV, "model.image_vocab_size": 0,
+        "model.full_attention": False, "trainer.parameterization": "ar",
+        "sampling.cfg": 2.0, "sampling.force_cfg_value": True,
+        "sampling.temperature": 1.0, "sampling.top_p": None})
+    build = _patched_ar_sampler(monkeypatch, cfg)
+    sample = jax.jit(build(apply_token, cfg))
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0),
+                 jnp.asarray(x0_np.astype(np.int32)), jnp.asarray(unmask_np),
+                 jnp.asarray(modality_np.astype(np.int32)),
+                 injected={"gumbel": jnp.asarray(gum.transpose(1, 0, 2))})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+def test_ar_sampler_nucleus_token_parity_vs_reference_code(monkeypatch):
+    """AR nucleus path (reference: model_eval.py:2691-2728
+    nucleus_sampling + :2800): softmax(logits/temperature), largest
+    prefix with mass <= top_p, sorted-space multinomial."""
+    L = SL
+    rng = np.random.RandomState(34)
+    exp = rng.exponential(size=(L - 1, SB, SV)).astype(np.float32) + 1e-10
+    torch_forward, apply_token = _causal_table_fns(35)
+
+    ns = _extract_eval_ns([e for e in exp], [])
+    self = _make_ar_self(ns, cfg_w=None, top_p=0.9, temperature=0.8,
+                         length=L, bos=1)
+    torch_forward(self)
+
+    x0_np = rng.randint(0, SV - 1, (SB, L)).astype(np.int64)
+    x0_np[:, 0] = 1
+    unmask_np = np.zeros((SB, L), bool)
+    unmask_np[:, :2] = True
+    modality_np = np.zeros((SB, L), np.int64)
+
+    ref_tokens, _ = ns["_ar_sampler"](
+        self, SB, x0=torch.tensor(x0_np), x0_unmask=torch.tensor(unmask_np),
+        modality=torch.tensor(modality_np))
+    ref_tokens = ref_tokens.numpy()
+
+    cfg = Config.make("tiny").override(**{
+        "model.length": L, "model.txt_length": L, "model.img_length": 0,
+        "model.text_vocab_size": SV, "model.image_vocab_size": 0,
+        "model.full_attention": False, "trainer.parameterization": "ar",
+        "sampling.cfg": None, "sampling.temperature": 0.8,
+        "sampling.top_p": 0.9})
+    build = _patched_ar_sampler(monkeypatch, cfg)
+    sample = jax.jit(build(apply_token, cfg))
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0),
+                 jnp.asarray(x0_np.astype(np.int32)), jnp.asarray(unmask_np),
+                 jnp.asarray(modality_np.astype(np.int32)),
+                 injected={"exp": jnp.asarray(exp)})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+def test_analytic_sedd_token_parity_vs_reference_code():
+    """Analytic/SEDD updates (reference: model_utils.py:371-438 get_score,
+    _staggered_score, _transp_transition, _analytic_update,
+    _denoiser_update) driven step-for-step with injected exponentials."""
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(40)
+    exp = rng.exponential(
+        size=(STEPS + 1, SB, SL, SV)).astype(np.float32) + 1e-10
+    torch_fn, jax_fn = _fixed_logits_fn(41)
+
+    exp_queue = [e for e in exp]
+
+    def injected_sample_categorical(probs):
+        e = torch.as_tensor(exp_queue.pop(0),
+                            dtype=probs.dtype).reshape(probs.shape)
+        return (probs / e).argmax(-1)
+
+    ns = extract_functions(
+        MODEL_UTILS,
+        ["get_score", "_staggered_score", "_transp_transition",
+         "_analytic_update", "_denoiser_update", "_unsqueeze"],
+        extra_globals={
+            "_sample_categorical": injected_sample_categorical,
+            "F": F,
+        })
+    ns["_subs_parameterization"] = extract_functions(
+        MODEL, ["_subs_parameterization"])["_subs_parameterization"]
+    self = _make_ref_self(ns)
+    self.vocab_size = SV
+    self.get_score = lambda *a, **k: ns["get_score"](self, *a, **k)
+    self._staggered_score = \
+        lambda *a, **k: ns["_staggered_score"](self, *a, **k)
+    self._transp_transition = \
+        lambda *a, **k: ns["_transp_transition"](self, *a, **k)
+    _attach_forward(self, torch_fn)
+
+    x = torch.full((SB, SL), SMASK, dtype=torch.long)
+    timesteps = torch.linspace(1, EPS, STEPS + 1)
+    dt = (1 - EPS) / STEPS
+    for i in range(STEPS):
+        t = timesteps[i] * torch.ones(SB, 1)
+        x, _ = ns["_analytic_update"](self, x, t, dt)
+    t = timesteps[-1] * torch.ones(SB, 1)
+    x = ns["_denoiser_update"](self, x, t)
+    ref_tokens = x.numpy()
+
+    from unidisc_tpu.sampling.extras import build_analytic_sampler
+    cfg = Config.make("tiny").override(**{
+        "model.length": SL, "model.txt_length": SL, "model.img_length": 0,
+        "model.text_vocab_size": SV, "model.image_vocab_size": 0,
+        "sampling.predictor": "analytic", "sampling.steps": STEPS})
+    sample = jax.jit(build_analytic_sampler(jax_fn, cfg))
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0),
+                 jnp.zeros((SB, SL), jnp.int32), jnp.zeros((SB, SL), bool),
+                 None, injected={"exp": jnp.asarray(exp)})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)

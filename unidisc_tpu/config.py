@@ -176,6 +176,13 @@ class SamplingConfig:
     cfg: Optional[float] = None  # classifier-free guidance weight
     cfg_min_timestep: Optional[float] = None
     cfg_max_timestep: Optional[float] = None
+    # constant (non-annealed) CFG weight (reference eval.force_cfg_value).
+    # NOTE: the reference AR sampler's annealed call
+    # get_cfg_weight(1 - i/N) CRASHES upstream ((_cfg*(1-t))[:, None] on a
+    # float t, model_eval.py:1746) — force_cfg_value=True is the only
+    # runnable reference AR+CFG configuration; our annealed path is the
+    # intended-but-broken behavior, fixed.
+    force_cfg_value: bool = False
     maskgit_r_temp: float = 10.0
     maskgit_mode: str = "arccos"  # root | linear | square | cosine | arccos
     # dilated unmasking ("Plan for Speed: Dilated Scheduling for Masked

@@ -66,7 +66,7 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
     mask_index = m.mask_index
     use_cfg = s.cfg is not None
 
-    def sample(params, rng, x0, x0_unmask, modality=None):
+    def sample(params, rng, x0, x0_unmask, modality=None, injected=None):
         b, l = x0.shape
         if modality is None:
             modality = jnp.zeros((b, l), jnp.int32)
@@ -116,16 +116,32 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
 
             if use_cfg:
                 lc, lu = jnp.split(logits, 2, axis=0)
-                w = s.cfg
+                if s.force_cfg_value:
+                    # constant weight — the only RUNNABLE reference AR+CFG
+                    # config (eval.force_cfg_value; the annealed float-t
+                    # call crashes upstream, model_eval.py:1746)
+                    w = jnp.full((b, 1), s.cfg, jnp.float32)
+                else:
+                    # the reference's INTENDED time-annealed weight,
+                    # w(1 - i/N) (model_eval.py:2782), fixed to actually run
+                    from unidisc_tpu.sampling.sampler import guidance_weight
+                    t_i = 1.0 - i.astype(jnp.float32) / (l - 1)
+                    w = guidance_weight(s, jnp.full((b,), t_i))[:, None]
                 logits_b = (1 + w) * lc - w * lu
             else:
                 logits_b = logits
+
+            def _inj(name):
+                if injected is None or name not in injected:
+                    return None
+                return injected[name][i]
 
             if s.top_p is not None and s.temperature > 0:
                 probs = jax.nn.softmax(logits_b / s.temperature, axis=-1)
                 from unidisc_tpu.sampling.sampler import nucleus_sample
                 next_tok = nucleus_sample(
-                    jax.random.fold_in(rng_n, i), probs, s.top_p)
+                    jax.random.fold_in(rng_n, i), probs, s.top_p,
+                    exp_noise=_inj("exp"))
             elif s.temperature <= 0:
                 # temperature 0 is greedy decode regardless of top_p —
                 # the zero-temperature limit of nucleus sampling is the
@@ -137,9 +153,11 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
                 # model_eval.py:2764,2800-2802). Per-step fold_in instead of
                 # a precomputed (L, B, V) tensor — that would be ~L*B*48k
                 # floats of HBM for noise XLA can fuse into the argmax.
-                g = jax.random.gumbel(jax.random.fold_in(rng_g, i),
-                                      logits_b.shape,
-                                      dtype=logits_b.dtype)
+                g = _inj("gumbel")
+                if g is None:
+                    g = jax.random.gumbel(jax.random.fold_in(rng_g, i),
+                                          logits_b.shape,
+                                          dtype=logits_b.dtype)
                 next_tok = jnp.argmax(logits_b / s.temperature + g,
                                       axis=-1)
 

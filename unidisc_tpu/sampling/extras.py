@@ -34,7 +34,12 @@ def build_analytic_sampler(forward_logits: Callable, config: Config,
     eps = config.sampling.sampling_eps
     mask_index = m.mask_index
 
-    def analytic_update(rng, params, x, t, dt, modality):
+    def _draw(rng, probs, exp_noise):
+        if exp_noise is not None:
+            return jnp.argmax(probs / exp_noise, axis=-1)
+        return sample_categorical(rng, probs)
+
+    def analytic_update(rng, params, x, t, dt, modality, exp_noise=None):
         curr_sigma = noise.total(t)
         next_sigma = noise.total(t - dt)
         dsigma = curr_sigma - next_sigma
@@ -43,9 +48,9 @@ def build_analytic_sampler(forward_logits: Callable, config: Config,
         score = get_score(log_p, x, curr_sigma, mask_index)
         stag = staggered_score(score, dsigma, mask_index)
         probs = stag * transp_transition(x, dsigma, m.vocab_size, mask_index)
-        return sample_categorical(rng, probs)
+        return _draw(rng, probs, exp_noise)
 
-    def denoiser_update(rng, params, x, t, modality):
+    def denoiser_update(rng, params, x, t, modality, exp_noise=None):
         sigma = noise.total(t)
         logits = forward_logits(params, x, sigma, modality)
         log_p = subs_parameterization(logits, x, mask_index)
@@ -53,9 +58,9 @@ def build_analytic_sampler(forward_logits: Callable, config: Config,
         stag = staggered_score(score, sigma, mask_index)
         probs = stag * transp_transition(x, sigma, m.vocab_size, mask_index)
         probs = probs.at[..., mask_index].set(0)
-        return sample_categorical(rng, probs)
+        return _draw(rng, probs, exp_noise)
 
-    def sample(params, rng, x0, x0_unmask, modality=None):
+    def sample(params, rng, x0, x0_unmask, modality=None, injected=None):
         b, l = x0.shape
         x = jnp.where(x0_unmask, x0, mask_index)
         timesteps = jnp.linspace(1.0, eps, steps + 1)
@@ -65,14 +70,16 @@ def build_analytic_sampler(forward_logits: Callable, config: Config,
             x, rng = carry
             rng, k = jax.random.split(rng)
             t = jnp.full((b,), timesteps[i])
-            x = analytic_update(k, params, x, t, dt, modality)
+            exp_i = injected["exp"][i] if injected is not None else None
+            x = analytic_update(k, params, x, t, dt, modality, exp_i)
             x = jnp.where(x0_unmask, x0, x)
             return (x, rng), None
 
         (x, rng), _ = jax.lax.scan(body, (x, rng), jnp.arange(steps))
         rng, k = jax.random.split(rng)
         t = jnp.full((b,), eps)
-        x = denoiser_update(k, params, x, t, modality)
+        exp_f = injected["exp"][steps] if injected is not None else None
+        x = denoiser_update(k, params, x, t, modality, exp_f)
         x = jnp.where(x0_unmask, x0, x)
         return SampleResult(tokens=x, nfe=jnp.int32(steps + 1))
 

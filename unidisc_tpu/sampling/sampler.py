@@ -46,20 +46,34 @@ def sample_categorical(rng: jax.Array, probs: jax.Array) -> jax.Array:
 
 
 def nucleus_sample(rng: jax.Array, probs: jax.Array, top_p: float,
-                   temperature: float = 1.0) -> jax.Array:
-    """Top-p (nucleus) sampling, fully vectorized
-    (reference: model_eval.py:2642-2728 nucleus_sampling_batch)."""
-    if temperature != 1.0:
-        logits = jnp.log(jnp.maximum(probs, 1e-30)) / temperature
-        probs = jax.nn.softmax(logits, axis=-1)
-    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+                   temperature: float = 1.0,
+                   exp_noise: Optional[jax.Array] = None) -> jax.Array:
+    """Top-p (nucleus) sampling, token-exact vs the reference
+    (model_eval.py:2642-2689 nucleus_sampling_batch):
+
+      * probs are divided by temperature WITHOUT re-softmaxing — since the
+        filtered distribution is renormalized, temperature only moves the
+        top-p cutoff (effective mass bound = top_p * temperature), it does
+        not re-shape probabilities (reference :2660 keeps the softmax
+        commented out);
+      * the kept set is the LARGEST prefix with cumulative mass <= top_p
+        (inclusive cumsum), plus always the top-1 token;
+      * sampling runs in sorted space (where the reference's multinomial
+        draws), so injected exponential noise lands on the same lanes.
+    """
+    scaled = probs / temperature
+    order = jnp.argsort(-scaled, axis=-1)             # descending
+    sorted_probs = jnp.take_along_axis(scaled, order, axis=-1)
     cumsum = jnp.cumsum(sorted_probs, axis=-1)
-    # keep the smallest prefix with cumulative mass >= top_p
-    cutoff_count = jnp.sum(cumsum < top_p, axis=-1, keepdims=True) + 1
-    threshold = jnp.take_along_axis(sorted_probs, cutoff_count - 1, axis=-1)
-    filtered = jnp.where(probs >= threshold, probs, 0.0)
+    keep = cumsum <= top_p
+    keep = keep.at[..., 0].set(True)
+    filtered = jnp.where(keep, sorted_probs, 0.0)
     filtered = filtered / jnp.maximum(filtered.sum(-1, keepdims=True), 1e-30)
-    return sample_categorical(rng, filtered)
+    if exp_noise is None:
+        exp_noise = jax.random.exponential(rng, filtered.shape,
+                                           dtype=jnp.float32) + 1e-10
+    j = jnp.argmax(filtered / exp_noise, axis=-1)
+    return jnp.take_along_axis(order, j[..., None], axis=-1).squeeze(-1)
 
 
 def adaptive_schedule(num_masked: jax.Array, steps: int,
@@ -242,7 +256,7 @@ def build_sampler(forward_logits: Callable, config: Config,
         k_tok, k_gumbel = jax.random.split(rng)
         if use_nucleus:
             pred = nucleus_sample(k_tok, jnp.exp(raw), cfg.top_p,
-                                  cfg.temperature)
+                                  cfg.temperature, exp_noise=exp_noise)
             lse = jnp.zeros(raw.shape[:-1], raw.dtype)  # already normalized
         else:
             pred = gumbel_select(k_tok, raw, exp_noise)
@@ -260,16 +274,18 @@ def build_sampler(forward_logits: Callable, config: Config,
         return out, jnp.int32(1)
 
     def first_hitting_step(rng, params, x, t, dt, x0, x0_unmask, modality,
-                           schedule, step):
+                           schedule, step, exp_noise=None, uniform=None):
         sigma_t = noise.total(t)
         copy = x != mask_index
         num_unmask = jnp.minimum(schedule[:, step], (~copy).sum(-1))
         log_p = ddpm_forward(params, x, t, sigma_t, x0, x0_unmask, modality)
         k_tok, k_sel = jax.random.split(rng)
-        pred = gumbel_select(k_tok, log_p)
+        pred = gumbel_select(k_tok, log_p, exp_noise)
         # pick num_unmask uniformly-random masked positions
         # (reference: model_eval.py:3025-3040)
-        randv = jnp.where(copy, -1.0, jax.random.uniform(k_sel, x.shape))
+        if uniform is None:
+            uniform = jax.random.uniform(k_sel, x.shape)
+        randv = jnp.where(copy, -1.0, uniform)
         thresh = confidence_threshold(randv, num_unmask)
         sel = randv >= thresh
         return jnp.where(sel, pred, x), jnp.int32(1)
@@ -362,12 +378,17 @@ def build_sampler(forward_logits: Callable, config: Config,
                 x, rng, nfe = carry
                 rng, step_rng = jax.random.split(rng)
                 t = jnp.full((b,), timesteps[i])
-                exp_i = injected["exp"][i] if inject_noise else None
-                gum_i = injected["gumbel"][i] if inject_noise else None
+
+                def _inj(name):
+                    if not inject_noise or name not in injected:
+                        return None
+                    return injected[name][i]
+
+                exp_i, gum_i = _inj("exp"), _inj("gumbel")
                 if predictor == "first_hitting":
                     x_next, used = first_hitting_step(
                         step_rng, params, x, t, dt, x0, x0_unmask, modality,
-                        schedule, i)
+                        schedule, i, exp_noise=exp_i, uniform=_inj("uniform"))
                 else:
                     x_next, used = maskgit_step(
                         step_rng, params, x, t, dt, x0, x0_unmask, modality,
