@@ -325,10 +325,10 @@ class Config:
             if m.n_blocks % self.mesh.pp != 0:
                 errs.append(f"model.n_blocks {m.n_blocks} not divisible "
                             f"by mesh.pp {self.mesh.pp}")
-            if self.mesh.seq > 1:
-                errs.append("mesh.pp and mesh.seq cannot combine (the "
-                            "ring would nest inside the pipeline's "
-                            "shard_map)")
+            # mesh.pp x mesh.seq composes since round 3: the L axis stays
+            # sharded through the pipeline stage and the ring runs
+            # directly in the stage body (models/dit.py
+            # _inside_manual_mesh; parallel/pipeline.py seq_axis)
             if m.dropout > 0:
                 errs.append("pipeline parallelism requires model."
                             "dropout=0 (per-stage block.apply carries "

@@ -38,6 +38,21 @@ from unidisc_tpu.parallel.seq_parallel import current_seq_mesh as _ring_ctx
 Dtype = Any
 
 
+def _inside_manual_mesh(axis: str) -> bool:
+    """True when tracing inside a shard_map that already manualizes
+    `axis` (e.g. the GPipe stage body on a seq x pp mesh) — collectives
+    over the axis can then be issued directly; a nested shard_map would
+    conflict with the manual context mesh."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is None or axis not in getattr(am, "axis_names", ()):
+            return False
+        i = am.axis_names.index(axis)
+        return str(am.axis_types[i]) in ("Manual", "AxisType.Manual")
+    except Exception:  # noqa: BLE001 — jax-version-dependent introspection
+        return False
+
+
 def torch_linear_init(dtype=jnp.float32):
     """Match torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     def init(key, shape, dtype=dtype):
@@ -301,26 +316,35 @@ class Attention(nn.Module):
             # segment ids rotate around the ring with K/V.
             from unidisc_tpu.parallel.ring_attention import ring_attention
             mesh, axis = _ring_ctx()
-            from jax.sharding import PartitionSpec as SP
-            tensor_ax = ("tensor" if c.n_heads % max(
-                mesh.shape.get("tensor", 1), 1) == 0
-                and mesh.shape.get("tensor", 1) > 1 else None)
-            spec = SP(("dcn", "fsdp"), axis, tensor_ax, None)
             import functools as _ft
             body = _ft.partial(ring_attention, axis_name=axis,
                                causal=not c.full_attention)
-            if segment_ids is None:
-                out = jax.shard_map(
-                    lambda q, k, v: body(q, k, v), mesh=mesh,
-                    in_specs=(spec, spec, spec),
-                    out_specs=spec, check_vma=False)(q, k, v)
+            if _inside_manual_mesh(axis):
+                # already per-device code (e.g. inside the GPipe stage's
+                # shard_map on a seq x pp mesh, parallel/pipeline.py):
+                # all mesh axes are manual here, so run the ring body
+                # directly — a nested shard_map would fail and the pp
+                # boundary no longer all-gathers L
+                out = body(q, k, v) if segment_ids is None \
+                    else body(q, k, v, segment_ids[0])
             else:
-                seg_spec = SP(("dcn", "fsdp"), axis)
-                out = jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(spec, spec, spec, seg_spec),
-                    out_specs=spec, check_vma=False)(
-                        q, k, v, segment_ids[0])
+                from jax.sharding import PartitionSpec as SP
+                tensor_ax = ("tensor" if c.n_heads % max(
+                    mesh.shape.get("tensor", 1), 1) == 0
+                    and mesh.shape.get("tensor", 1) > 1 else None)
+                spec = SP(("dcn", "fsdp"), axis, tensor_ax, None)
+                if segment_ids is None:
+                    out = jax.shard_map(
+                        lambda q, k, v: body(q, k, v), mesh=mesh,
+                        in_specs=(spec, spec, spec),
+                        out_specs=spec, check_vma=False)(q, k, v)
+                else:
+                    seg_spec = SP(("dcn", "fsdp"), axis)
+                    out = jax.shard_map(
+                        body, mesh=mesh,
+                        in_specs=(spec, spec, spec, seg_spec),
+                        out_specs=spec, check_vma=False)(
+                            q, k, v, segment_ids[0])
         else:
             backend = c.attn_backend
             if backend == "auto":
@@ -698,10 +722,27 @@ class DIT(nn.Module):
                 a, _ = jax.lax.scan(layer, a, local_params)
                 return a
 
+            # seq x pp composition: keep the L axis sharded over 'seq'
+            # inside the pipeline stage (the ring runs directly in the
+            # stage body — see _inside_manual_mesh in the attention)
+            seq_kw = {}
+            sp_ctx = _ring_ctx()
+            if sp_ctx is not None and mesh.shape.get(sp_ctx[1], 1) > 1:
+                seq_ax = sp_ctx[1]
+                assert "attn_mask" not in mb, \
+                    "dense attn_mask is incompatible with seq x pp (the " \
+                    "ring handles segment isolation via sample_ids)"
+                # post-microbatch dims: x (M, mb, L, H) -> 2;
+                # (B, L)-shaped mb leaves -> 2; c (B, cond) -> None
+                seq_kw = dict(
+                    seq_axis=seq_ax, x_seq_dim=2,
+                    mb_seq_dims={k: (None if k == "c" else 2)
+                                 for k in mb},
+                    bcast_seq_dims=tuple(0 for _ in bcast))
             x = pipeline_sharded(stage_fn, stacked, x, mesh, *bcast,
                                  mb_args=mb, pp_axis=axis,
                                  microbatches=micro,
-                                 batch_axes=("dcn", "fsdp"))
+                                 batch_axes=("dcn", "fsdp"), **seq_kw)
             new_cache = None
         else:
             block_cls = DDiTBlock

@@ -117,7 +117,9 @@ def pipeline_apply(stage_fn: Callable, params_local, x_mb, mb_args=(),
 
 def pipeline_sharded(stage_fn: Callable, stacked_params, x, mesh: Mesh,
                      *broadcast_args, mb_args=(), pp_axis: str = "pp",
-                     microbatches: int = 4, batch_axes=None):
+                     microbatches: int = 4, batch_axes=None,
+                     seq_axis=None, x_seq_dim=None, mb_seq_dims=None,
+                     bcast_seq_dims=None):
     """Jit-level entry: run a stacked layer sequence as a pipeline.
 
     stacked_params: pytree with a leading (n_layers, ...) axis on every
@@ -127,6 +129,14 @@ def pipeline_sharded(stage_fn: Callable, stacked_params, x, mesh: Mesh,
     microbatched alongside x. stage_fn sees the LOCAL (n_layers/P, ...)
     params and must scan over them:
     stage_fn(params_local, a, mb_args_t, *broadcast_args) -> a.
+
+    Sequence-parallel composition (seq x pp meshes): pass `seq_axis` plus
+    the POST-microbatch sequence dim of x (`x_seq_dim`), a pytree of
+    per-leaf seq dims for mb_args (`mb_seq_dims`, None = not L-shaped),
+    and per-arg dims for broadcast_args (`bcast_seq_dims`). The L axis
+    then STAYS sharded over `seq_axis` inside each stage — attention in
+    the stage body runs the ring directly (all mesh axes are manual
+    inside this shard_map), instead of the pp boundary all-gathering L.
     """
     n = mesh.shape[pp_axis]
     bsz = x.shape[0]
@@ -149,15 +159,33 @@ def pipeline_sharded(stage_fn: Callable, stacked_params, x, mesh: Mesh,
     # the per-microbatch row axis (dim 1 of (M, mb, ...)) keeps its data
     # sharding — without this every data-parallel replica would
     # all-gather the global batch and duplicate the whole trunk compute
-    def dspec(e):
-        if batch_axes is None:
+    def dspec(e, seq_dim=None):
+        dims = [None] * e.ndim
+        if batch_axes is not None:
+            dims[1] = batch_axes
+        if seq_axis is not None and seq_dim is not None:
+            dims[seq_dim] = seq_axis
+        if all(d is None for d in dims):
             return P()
-        return P(None, batch_axes, *([None] * (e.ndim - 2)))
-    mb_specs = jax.tree_util.tree_map(dspec, mb_args)
-    bcast_specs = tuple(P() for _ in broadcast_args)
+        return P(*dims)
+    if mb_seq_dims is None:
+        mb_specs = jax.tree_util.tree_map(dspec, mb_args)
+    else:
+        # mb_seq_dims: flat {key: seq_dim_or_None} over a dict mb_args
+        mb_specs = {k: dspec(v, mb_seq_dims.get(k))
+                    for k, v in mb_args.items()}
+    if bcast_seq_dims is None:
+        bcast_specs = tuple(P() for _ in broadcast_args)
+    else:
+        bcast_specs = tuple(
+            (P() if (d is None or seq_axis is None)
+             else P(*[seq_axis if k == d else None
+                      for k in range(a.ndim)]))
+            for a, d in zip(broadcast_args, bcast_seq_dims))
     out = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(param_specs, dspec(x_mb), mb_specs) + bcast_specs,
-        out_specs=dspec(x_mb), check_vma=False,
+        in_specs=(param_specs, dspec(x_mb, x_seq_dim), mb_specs)
+        + bcast_specs,
+        out_specs=dspec(x_mb, x_seq_dim), check_vma=False,
     )(stacked_params, x_mb, mb_args, *broadcast_args)
     return out.reshape(bsz, *out.shape[2:])
