@@ -130,3 +130,136 @@ def test_bag_of_ngrams_features_deterministic():
     t = ["hello world foo", "bar baz qux"]
     np.testing.assert_array_equal(judges.bag_of_ngrams_features(t),
                                   judges.bag_of_ngrams_features(t))
+
+
+# ---------------------------------------------------------------------------
+# Asset drop round-trip (round-3 VERDICT #4): randomly-initialized weights
+# saved in the DOCUMENTED layout must load and score through each judge —
+# proving a real asset drop would work first try (the published files are
+# state_dicts; eval/judge_nets.py holds the architecture ports).
+# ---------------------------------------------------------------------------
+
+def _fake_clip_dir(path, projection_dim=64):
+    """Write a tiny random HF CLIP dir (model + processor + BPE
+    tokenizer whose EOT is the highest id, as in the real CLIP vocab)."""
+    import json as _json
+
+    from transformers import (CLIPConfig, CLIPImageProcessor, CLIPModel,
+                              CLIPTokenizer)
+    cfg = CLIPConfig(
+        projection_dim=projection_dim,
+        text_config={"hidden_size": 32, "intermediate_size": 64,
+                     "num_hidden_layers": 2, "num_attention_heads": 2,
+                     "max_position_embeddings": 77, "vocab_size": 16},
+        vision_config={"hidden_size": 32, "intermediate_size": 64,
+                       "num_hidden_layers": 2, "num_attention_heads": 2,
+                       "image_size": 224, "patch_size": 32})
+    CLIPModel(cfg).save_pretrained(path)
+    CLIPImageProcessor().save_pretrained(path)
+    vocab = {chr(97 + i) + "</w>": i for i in range(10)}
+    vocab["<|startoftext|>"] = 14
+    vocab["<|endoftext|>"] = 15
+    (path / "vocab.json").write_text(_json.dumps(vocab))
+    (path / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(path / "vocab.json"),
+                        str(path / "merges.txt"))
+    tok.save_pretrained(path)
+
+
+def test_inception_asset_drop_loads_and_scores(monkeypatch, tmp_path):
+    """pt_inception-2015-12-05.pt is a STATE_DICT — a random one saved in
+    the documented name must load into FIDInceptionV3 and produce 2048-d
+    features."""
+    import torch
+
+    from unidisc_tpu.eval.judge_nets import FIDInceptionV3
+
+    torch.manual_seed(0)
+    net = FIDInceptionV3()
+    torch.save(net.state_dict(), tmp_path / "pt_inception-2015-12-05.pt")
+    monkeypatch.setenv("UNIDISC_ASSETS", str(tmp_path))
+
+    feats = judges.inception_features()
+    imgs = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    out = feats(imgs)
+    assert out.shape == (2, 2048)
+    assert np.isfinite(out).all()
+
+
+def test_hpsv2_asset_drop_loads_and_scores(monkeypatch, tmp_path):
+    """The HPSv2 file is {'state_dict': open_clip weights} — a small
+    random open_clip-layout checkpoint must size/load OpenClipModel and
+    score image-prompt pairs."""
+    import torch
+
+    from unidisc_tpu.eval.judge_nets import OpenClipModel
+
+    torch.manual_seed(1)
+    model = OpenClipModel(image_size=28, patch=14, v_width=160,
+                          v_layers=2, v_heads=2, t_width=128, t_layers=2,
+                          t_heads=2, vocab=16, ctx=77, embed_dim=64)
+    for p in model.parameters():
+        p.data.normal_(0, 0.02)
+    torch.save({"state_dict": model.state_dict()},
+               tmp_path / "HPS_v2_compressed.pt")
+    _fake_clip_dir(tmp_path / "clip-vit-large-patch14")
+    monkeypatch.setenv("UNIDISC_ASSETS", str(tmp_path))
+
+    score = judges.hpsv2_fn()
+    imgs = np.random.RandomState(0).rand(3, 32, 32, 3).astype(np.float32)
+    out = score(imgs, ["a cat", "a dog", "a house"])
+    assert out.shape == (3,)
+    assert np.isfinite(out).all()
+    assert (np.abs(out) <= 1.0 + 1e-5).all()  # cosine of unit vectors
+
+
+def test_laion_aesthetic_asset_drop_loads_and_scores(monkeypatch,
+                                                     tmp_path):
+    """ava+logos-l14-linearMSE.pth is the MLP head's state_dict — a
+    random one + a CLIP dir must produce sigmoid scores in (0, 1)."""
+    import torch
+
+    from unidisc_tpu.eval.judge_nets import AestheticPredictor
+
+    torch.manual_seed(2)
+    head = AestheticPredictor(64)  # matches the fake CLIP projection_dim
+    torch.save(head.state_dict(),
+               tmp_path / "ava+logos-l14-linearMSE.pth")
+    _fake_clip_dir(tmp_path / "clip-vit-large-patch14")
+    monkeypatch.setenv("UNIDISC_ASSETS", str(tmp_path))
+
+    score = judges.laion_aesthetic_fn()
+    imgs = (np.random.RandomState(0).rand(2, 48, 48, 3) * 255)
+    out = score(imgs.astype(np.float32))
+    assert out.shape == (2,)
+    assert ((out > 0) & (out < 1)).all()
+
+
+def test_hpsv2_and_laion_rewards_route_through_registry(monkeypatch,
+                                                        tmp_path):
+    """The reward registry entries must reach the real judges (not the
+    former raise-stubs) once assets exist."""
+    import torch
+
+    from unidisc_tpu.eval.judge_nets import (AestheticPredictor,
+                                             OpenClipModel)
+    from unidisc_tpu.eval.rewards import get_scorer
+
+    torch.manual_seed(3)
+    model = OpenClipModel(image_size=28, patch=14, v_width=160,
+                          v_layers=2, v_heads=2, t_width=128, t_layers=2,
+                          t_heads=2, vocab=16, ctx=77, embed_dim=64)
+    torch.save({"state_dict": model.state_dict()},
+               tmp_path / "HPS_v2_compressed.pt")
+    torch.save(AestheticPredictor(64).state_dict(),
+               tmp_path / "ava+logos-l14-linearMSE.pth")
+    _fake_clip_dir(tmp_path / "clip-vit-large-patch14")
+    monkeypatch.setenv("UNIDISC_ASSETS", str(tmp_path))
+
+    batch = {"images": np.random.RandomState(1).rand(
+        2, 32, 32, 3).astype(np.float32),
+        "texts": ["abc", "bcd"]}
+    hps = get_scorer("hpsv2")(batch)
+    aes = get_scorer("laion_aesthetic")(batch)
+    assert hps.shape == (2,) and np.isfinite(hps).all()
+    assert aes.shape == (2,) and np.isfinite(aes).all()

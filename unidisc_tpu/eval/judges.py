@@ -263,10 +263,17 @@ def inception_features(asset_path: Optional[str] = None) -> Callable:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    net = sd if isinstance(sd, torch.nn.Module) else None
-    if net is None:
-        raise RuntimeError(
-            "expected a scripted/torch module checkpoint from pytorch-fid")
+    if isinstance(sd, torch.nn.Module):
+        net = sd  # scripted module (accepted for convenience)
+    else:
+        # pytorch-fid's published file IS a state_dict (torchvision
+        # inception_v3 key layout) — load it into our architecture port
+        # (eval/judge_nets.py FIDInceptionV3; round-3 VERDICT fix)
+        from unidisc_tpu.eval.judge_nets import FIDInceptionV3
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        net = FIDInceptionV3()
+        net.load_state_dict(sd)
     net.eval()
 
     def feats(images):
@@ -313,6 +320,130 @@ def clip_score_fn(asset_path: Optional[str] = None) -> Callable:
         img = out.image_embeds / out.image_embeds.norm(dim=-1, keepdim=True)
         txt = out.text_embeds / out.text_embeds.norm(dim=-1, keepdim=True)
         return (100.0 * (img * txt).sum(-1)).numpy()
+
+    return score
+
+
+# ---------------------------------------------------------------------------
+# LAION aesthetic v2 (asset-gated; reference:
+# unidisc/tokenizers/laion_aesthetic_v2.py)
+# ---------------------------------------------------------------------------
+
+def laion_aesthetic_fn(asset_path: Optional[str] = None) -> Callable:
+    """Returns score(images (B,H,W,3)) -> (B,) sigmoid aesthetic scores.
+
+    Loads the published ava+logos-l14-linearMSE.pth MLP head
+    (eval/judge_nets.AestheticPredictor) over CLIP ViT-L/14 image
+    embeddings from the clip-vit-large-patch14 asset dir. Matches the
+    reference's sigmoid(mlp(emb) - 5.6) scoring
+    (laion_aesthetic_v2.py:45-62)."""
+    base = assets_dir(asset_path)
+    head_path = None
+    for name in ("ava+logos-l14-linearMSE.pth",
+                 "sac+logos+ava1-l14-linearMSE.pth"):
+        cand = os.path.join(base, name) if base else None
+        if cand and os.path.isfile(cand):
+            head_path = cand
+            break
+    if head_path is None:
+        raise FileNotFoundError(
+            "LAION aesthetic head not found; place "
+            "ava+logos-l14-linearMSE.pth under $UNIDISC_ASSETS "
+            "(see docs/EVAL_ASSETS.md)")
+    clip_dir = os.path.join(base, "clip-vit-large-patch14")
+    if not os.path.isdir(clip_dir):
+        raise FileNotFoundError(
+            "LAION aesthetic needs the clip-vit-large-patch14 asset dir "
+            "for image embeddings (see docs/EVAL_ASSETS.md)")
+    import torch
+    from transformers import CLIPModel, CLIPProcessor
+
+    from unidisc_tpu.eval.judge_nets import AestheticPredictor
+
+    sd = torch.load(head_path, map_location="cpu", weights_only=True)
+    head = AestheticPredictor(sd["layers.0.weight"].shape[1])
+    head.load_state_dict(sd)
+    head.eval()
+    clip = CLIPModel.from_pretrained(clip_dir)
+    clip.eval()
+    processor = CLIPProcessor.from_pretrained(clip_dir)
+
+    def score(images):
+        ims = [np.asarray(im, np.uint8) for im in np.asarray(images)]
+        inputs = processor(images=ims, return_tensors="pt")
+        with torch.no_grad():
+            emb = clip.get_image_features(**inputs)
+            emb = emb / emb.norm(dim=-1, keepdim=True)
+            raw = head(emb.float())[:, 0] - 5.6
+        return 1.0 / (1.0 + np.exp(-raw.numpy()))
+
+    return score
+
+
+# ---------------------------------------------------------------------------
+# HPSv2 (asset-gated; reference: unidisc/tokenizers/hpsv2_img_score.py)
+# ---------------------------------------------------------------------------
+
+def hpsv2_fn(asset_path: Optional[str] = None) -> Callable:
+    """Returns score(images (B,H,W,3), prompts list[str]) -> (B,) HPS.
+
+    Loads the published HPSv2 checkpoint (an open_clip ViT-H-14
+    state_dict under 'state_dict') into our open_clip-compatible
+    implementation (eval/judge_nets.OpenClipModel — tower sizes are read
+    off the checkpoint, so smaller test checkpoints also load). Text uses
+    the CLIP BPE tokenizer from the clip-vit-large-patch14 asset dir
+    (identical vocab across CLIP models). HPS = image_feat . text_feat
+    of the finetuned model (hpsv2_img_score.py:70-76)."""
+    base = assets_dir(asset_path)
+    ckpt = None
+    for name in ("HPS_v2.1_compressed.pt", "HPS_v2_compressed.pt",
+                 "HPS_v2.pt"):
+        cand = os.path.join(base, name) if base else None
+        if cand and os.path.isfile(cand):
+            ckpt = cand
+            break
+    if ckpt is None:
+        raise FileNotFoundError(
+            "HPSv2 checkpoint not found; place HPS_v2_compressed.pt "
+            "under $UNIDISC_ASSETS (see docs/EVAL_ASSETS.md)")
+    tok_dir = os.path.join(base, "clip-vit-large-patch14")
+    if not os.path.isdir(tok_dir):
+        raise FileNotFoundError(
+            "HPSv2 needs the clip-vit-large-patch14 asset dir for the "
+            "CLIP BPE tokenizer (see docs/EVAL_ASSETS.md)")
+    import torch
+    from transformers import CLIPTokenizer
+
+    from unidisc_tpu.eval.judge_nets import OpenClipModel
+
+    sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    model = OpenClipModel.from_state_dict(sd)
+    tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+    ctx = model.positional_embedding.shape[0]
+    size = model.visual.conv1.weight.shape[-1] * int(round(
+        (model.visual.positional_embedding.shape[0] - 1) ** 0.5))
+    # open_clip val preprocess: resize+center-crop to the tower's input
+    # size, CLIP mean/std normalization
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def score(images, prompts):
+        x = np.asarray(images, np.float32)
+        if x.max() > 1.5:
+            x = x / 255.0
+        x = torch.as_tensor((x - mean) / std).permute(0, 3, 1, 2)
+        if x.shape[-2:] != (size, size):
+            x = torch.nn.functional.interpolate(
+                x, size=(size, size), mode="bicubic", align_corners=False)
+        toks = tokenizer(list(prompts), return_tensors="pt",
+                         padding="max_length", truncation=True,
+                         max_length=ctx).input_ids
+        with torch.no_grad():
+            out = model(x, toks)
+        return (out["image_features"]
+                * out["text_features"]).sum(-1).numpy()
 
     return score
 

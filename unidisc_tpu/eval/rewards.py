@@ -122,10 +122,46 @@ def _clip(*, assets=None, **kw):
     return score
 
 
-_needs_assets("hpsv2", "HPSv2 checkpoint; reference: "
-              "unidisc/tokenizers/hpsv2_img_score.py")
-_needs_assets("laion_aesthetic", "LAION aesthetic v2 head; reference: "
-              "unidisc/tokenizers/laion_aesthetic_v2.py")
+@register("hpsv2")
+def _hpsv2(*, assets=None, **kw):
+    """Human Preference Score v2 (reference:
+    unidisc/tokenizers/hpsv2_img_score.py) — lazily loads the open_clip
+    ViT-H-14 HPSv2 checkpoint into eval/judge_nets.OpenClipModel."""
+    state = {}
+
+    def score(batch):
+        if "fn" not in state:
+            from unidisc_tpu.eval.judges import hpsv2_fn
+            try:
+                state["fn"] = hpsv2_fn(assets)
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"reward 'hpsv2' needs downloaded judge weights: {e}"
+                ) from e
+        return state["fn"](batch["images"], batch["texts"])
+    return score
+
+
+@register("laion_aesthetic")
+def _laion_aesthetic(*, assets=None, **kw):
+    """LAION aesthetic v2 (reference:
+    unidisc/tokenizers/laion_aesthetic_v2.py) — MLP head over CLIP
+    ViT-L/14 embeddings, sigmoid(mlp(emb) - 5.6)."""
+    state = {}
+
+    def score(batch):
+        if "fn" not in state:
+            from unidisc_tpu.eval.judges import laion_aesthetic_fn
+            try:
+                state["fn"] = laion_aesthetic_fn(assets)
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"reward 'laion_aesthetic' needs downloaded judge "
+                    f"weights: {e}") from e
+        return state["fn"](batch["images"])
+    return score
+
+
 _needs_assets("dfn", "DFN CLIP checkpoint")
 _needs_assets("chameleon_perplexity", "Anole-7b; reference: "
               "unidisc/tokenizers/chameleon_tokenizers.py")
