@@ -80,6 +80,18 @@ def main():
     ours_s = (time.perf_counter() - t0) / ITERS
     ours_tps = gen_tokens / ours_s
 
+    # ---- same scan sampler in bf16 (no int8): isolates the ARCHITECTURE
+    # win (single-XLA-program scan vs host-synced loop) from the int8
+    # lever, so per-round regressions in either are visible --
+    bf16_sample = jax.jit(build_t2i_sampler(model, cfg))
+    for _ in range(WARMUP):
+        np.asarray(bf16_sample(params, rng, txt).tokens)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        np.asarray(bf16_sample(params, jax.random.fold_in(rng, i),
+                               txt).tokens)
+    bf16_tps = gen_tokens / ((time.perf_counter() - t0) / ITERS)
+
     # ---- baseline: per-step host-synced loop (reference architecture) ---
     step_cfg = cfg.override(**{"sampling.steps": 1,
                                "sampling.noise_removal": False})
@@ -105,8 +117,12 @@ def main():
         "metric": "sample_tokens_per_sec",
         "value": round(ours_tps, 2),
         "unit": f"tok/s (b{BATCH} x {STEPS}-step maskgit+CFG, 115M int8 W8A8, 1 chip; baseline loop is bf16 — the reference has no int8 path)",
-        # baseline loop batch matches ours; ratio is architecture A/B
+        # headline ratio: int8 scan vs bf16 loop (both levers combined)
         "vs_baseline": round(ours_tps / base_tps, 3),
+        # architecture-only ratio: bf16 scan vs bf16 loop (same math,
+        # no quantization) — the int8 lever is value/bf16_scan
+        "vs_baseline_arch_bf16": round(bf16_tps / base_tps, 3),
+        "bf16_scan_tok_per_s": round(bf16_tps, 2),
     }))
 
 

@@ -40,17 +40,29 @@ def main():
 
     cfg, model, params = quantize_model(cfg, params)
 
-    sample = jax.jit(build_t2i_sampler(model, cfg))
     txt = jnp.zeros((BATCH, m.txt_length), jnp.int32)
     rng = jax.random.PRNGKey(1)
-    np.asarray(sample(params, rng, txt).tokens)  # compile+warm
-    ts = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        np.asarray(sample(params, jax.random.fold_in(rng, i), txt).tokens)
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts)
+
+    def timed(sampler, p):
+        np.asarray(sampler(p, rng, txt).tokens)  # compile+warm
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            np.asarray(sampler(p, jax.random.fold_in(rng, i), txt).tokens)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    sample = jax.jit(build_t2i_sampler(model, cfg))
+    dt = timed(sample, params)
     tps = BATCH * m.img_length / dt
+
+    # fast_nfe preset (8-NFE dilated maskgit — the configuration that
+    # crosses the >=5x north star; quality evidence for the dilated
+    # schedule comes from scripts/nfe_quality_ab.py at the largest
+    # on-chip-trainable scale, recorded in BASELINE.md)
+    fast_cfg = cfg.apply_experiments("fast_nfe")
+    fast_sample = jax.jit(build_t2i_sampler(model, fast_cfg))
+    fast_tps = BATCH * m.img_length / timed(fast_sample, params)
 
     # ---- baseline: per-step host-synced loop in bf16 (the reference's
     # serving architecture: one sampler step per dispatch with a host
@@ -95,6 +107,12 @@ def main():
     base_dt = time.perf_counter() - t0
     base_tps = BATCH * m.img_length / base_dt
 
+    # bf16 scan at 32 steps: architecture-only ratio (no int8 lever)
+    bf16_scan = jax.jit(build_t2i_sampler(
+        bf16_model, bf16_cfg.override(**{"sampling.steps": STEPS,
+                                         "sampling.noise_removal": True})))
+    bf16_tps = BATCH * m.img_length / timed(bf16_scan, bf16_params)
+
     print(json.dumps({
         "metric": "sample_tokens_per_sec_1p4b",
         "value": round(tps, 2),
@@ -103,6 +121,10 @@ def main():
         "p50_batch_latency_s": round(dt, 3),
         "baseline_loop_tok_per_s": round(base_tps, 2),
         "vs_baseline": round(tps / base_tps, 3),
+        "vs_baseline_arch_bf16": round(bf16_tps / base_tps, 3),
+        "bf16_scan_tok_per_s": round(bf16_tps, 2),
+        "fast_nfe_tok_per_s": round(fast_tps, 2),
+        "fast_nfe_vs_baseline": round(fast_tps / base_tps, 3),
     }))
 
 

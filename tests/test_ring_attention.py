@@ -196,3 +196,88 @@ def test_fully_masked_rows_produce_zero_output():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(out[1], np.asarray(ref)[1],
                                atol=2e-5, rtol=2e-5)
+
+
+# -- flash-kernel ring (round-3: Pallas blocks + lse merging) --------------
+
+
+def test_flash_ring_matches_xla_ring():
+    """The Pallas-block ring (lse-residual merging) must reproduce the
+    XLA ring exactly — causal and full — at CPU-interpret scale."""
+    from unidisc_tpu.parallel.ring_attention import ring_attention_flash
+
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(11)
+    spec = P(None, "seq", None, None)
+    for causal in (False, True):
+        ref = multihead_attention(q, k, v, causal=causal, backend="xla")
+        out = jax.jit(jax.shard_map(
+            lambda q, k, v: ring_attention_flash(q, k, v, causal=causal),
+            mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=False))(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"causal={causal}")
+
+
+def test_flash_ring_segments_and_masked_rows():
+    """Segment isolation matches the dense mask; queries whose id matches
+    no key return exactly zero (kernel pad semantics)."""
+    from unidisc_tpu.ops.attention import make_sample_ids_mask
+    from unidisc_tpu.parallel.ring_attention import ring_attention_flash
+
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(12)
+    seg_kv = np.repeat(np.arange(4), L // 4)[None].repeat(B, 0).astype(
+        np.int32)
+    seg_q = seg_kv.copy()
+    seg_q[0, :16] = 99  # matches no key -> zero rows
+
+    spec = P(None, "seq", None, None)
+    sspec = P(None, "seq")
+    out = jax.jit(jax.shard_map(
+        lambda q, k, v, s, ks: ring_attention_flash(
+            q, k, v, s, kv_segment_ids=ks),
+        mesh=mesh, in_specs=(spec,) * 3 + (sspec, sspec),
+        out_specs=spec, check_vma=False))(
+            q, k, v, jnp.asarray(seg_q), jnp.asarray(seg_kv))
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[0, :16], 0.0)
+    ref = multihead_attention(
+        q, k, v, mask=make_sample_ids_mask(jnp.asarray(seg_kv)),
+        backend="xla")
+    np.testing.assert_allclose(out[0, 16:], np.asarray(ref)[0, 16:],
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(out[1], np.asarray(ref)[1],
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_ring_gradients_match_xla_ring():
+    """custom_vjp: backward re-runs the XLA ring's VJP — grads must match
+    the plain ring (and therefore single-device attention)."""
+    from unidisc_tpu.parallel.ring_attention import ring_attention_flash
+
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(13)
+    spec = P(None, "seq", None, None)
+
+    def make_loss(fn):
+        def loss(q, k, v):
+            o = jax.shard_map(
+                lambda q, k, v: fn(q, k, v, causal=True),
+                mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+                check_vma=False)(q, k, v)
+            return jnp.sum(jnp.sin(o))
+        return loss
+
+    g_flash = jax.jit(jax.grad(make_loss(ring_attention_flash),
+                               argnums=(0, 1, 2)))(q, k, v)
+
+    def loss_ref(q, k, v):
+        o = multihead_attention(q, k, v, causal=True, backend="xla")
+        return jnp.sum(jnp.sin(o))
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"d{name}")

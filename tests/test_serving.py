@@ -421,3 +421,62 @@ def test_engine_with_fast_nfe_experiment():
     eng = InferenceEngine(cfg, model, params)
     out = eng.run(text="hello", seed=1)
     assert out["nfe"] <= 9
+
+
+def test_elm_engine_serves_over_http():
+    """`--model elm:tiny` route (VERDICT r2 #4): the OpenELM baseline
+    behind the HTTP server through the continuous batcher, including SSE
+    streaming — the reference serves any configured backbone
+    (demo/server.py:117-219)."""
+    from unidisc_tpu.serving.engine import build_elm_engine
+
+    eng = build_elm_engine(preset="tiny")
+    assert eng.config.trainer.parameterization == "ar"
+    server = make_server(eng, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # byte tokenizer ids must stay inside the tiny ELM vocab (64):
+        # control chars 0-9 map to low ids
+        req = {"messages": [{"role": "user",
+                             "content": "\x01\x02\x03"}],
+               "max_tokens": 6, "temperature": 0.0}
+        data = json.dumps(req).encode()
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions", data=data,
+            headers={"Content-Type": "application/json"}), timeout=300)
+        body = json.load(r)
+        # the AR route returns plain-string content (OpenAI text shape)
+        content = body["choices"][0]["message"]["content"]
+        assert isinstance(content, str)
+
+        # streaming: SSE chunks arrive and terminate with [DONE]
+        req["stream"] = True
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}), timeout=300)
+        payload = r.read().decode()
+        assert "data: [DONE]" in payload
+        assert "chat.completion.chunk" in payload
+    finally:
+        server.shutdown()
+        if eng._continuous is not None:
+            eng._continuous.shutdown()
+
+
+def test_elm_engine_int8_kv_and_weights():
+    """quantize=int8 + kv_cache=int8 options build and complete."""
+    from unidisc_tpu.serving.engine import build_elm_engine
+
+    eng = build_elm_engine(preset="tiny", quantize="int8",
+                           kv_cache="int8")
+    try:
+        res = eng.complete_text("\x01\x02", max_new_tokens=4,
+                                temperature=0.0).result(timeout=300)
+        assert len(res["tokens"]) <= 4
+        assert isinstance(res["text"], str)
+    finally:
+        if eng._continuous is not None:
+            eng._continuous.shutdown()

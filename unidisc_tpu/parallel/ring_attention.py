@@ -171,3 +171,146 @@ def ring_attention_sharded(q, k, v, mesh: Mesh, segment_ids=None, *,
         lambda q, k, v, s, ks: fn(q, k, v, s, kv_segment_ids=ks),
         mesh=mesh, in_specs=(spec, spec, spec, seg_spec, seg_spec),
         out_specs=spec)(q, k, v, segment_ids, kv_segment_ids)
+
+
+# ---------------------------------------------------------------------------
+# Flash-kernel ring (round-3 VERDICT #6): the XLA `_block` above
+# materializes fp32 (B, H, Lc, Lc) score tiles per ring step — exact and
+# fine at test scale, but at the >8k-token lengths the ring exists for
+# this is the same score-spill regime root-caused at B32 (BASELINE.md).
+# This variant runs each ring block through the Pallas flash kernel
+# (ops/pallas_attention) and merges blocks by their logsumexp residuals:
+#
+#   lse_new = logaddexp(lse_run, lse_blk)
+#   out_new = out_run * e^(lse_run-lse_new) + out_blk * e^(lse_blk-lse_new)
+#
+# Forward memory per ring step is O(Lc) residuals instead of O(Lc^2)
+# scores. Backward (training) re-runs the exact XLA ring under jax.vjp —
+# same math, score-materializing regime — via a custom_vjp, so gradients
+# stay available without a flash-lse backward rule.
+# ---------------------------------------------------------------------------
+
+
+def _flash_block(q, k, v, qseg, kseg, scale, causal):
+    """(B, Lc, H, D) tensors -> (out (B,H,Lq,D) fp32 normalized,
+    lse (B,H,Lq) fp32 with -inf on fully-masked rows)."""
+    from unidisc_tpu.ops.pallas_attention import _flash_fwd
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    segs = (qseg, kseg) if qseg is not None else None
+    out, lse = _flash_fwd(qt, kt, vt, segs, causal, scale, need_lse=True)
+    lse = lse[:, :, : qt.shape[2], 0]
+    if qseg is not None:
+        # the kernel writes lse=0 on fully-masked rows (its own zero
+        # sentinel); for cross-block merging those must weigh NOTHING
+        ok = (qseg[:, :, None] == kseg[:, None, :]) & \
+            (qseg >= 0)[:, :, None]
+        if causal:
+            lq, lk = q.shape[1], k.shape[1]
+            ok = ok & (jnp.arange(lk)[None, None, :]
+                       <= jnp.arange(lq)[None, :, None])
+        valid = ok.any(-1)[:, None, :]                    # (B, 1, Lq)
+        lse = jnp.where(valid, lse, -jnp.inf)
+    return out.astype(jnp.float32), lse
+
+
+def _merge(lse_run, out_run, lse_b, out_b):
+    lse_new = jnp.logaddexp(lse_run, lse_b)
+    dead = jnp.isneginf(lse_new)
+    w_old = jnp.where(dead, 0.0, jnp.exp(lse_run - lse_new))
+    w_new = jnp.where(dead, 0.0, jnp.exp(lse_b - lse_new))
+    return lse_new, out_run * w_old[..., None] + out_b * w_new[..., None]
+
+
+def _ring_flash_impl(q, k, v, qseg, kvseg, axis_name, causal, scale):
+    b, lc, h, d = q.shape
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    kv0 = kvseg if kvseg is not None else qseg
+    # r=0 is the diagonal block: local causal masking applies here (and
+    # only here — earlier chunks are fully visible, later ones skipped)
+    out, lse = _flash_block(q, k, v, qseg, kv0, scale, causal)
+
+    def _vary(x):
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, axis_name, to="varying")
+        return jax.lax.pvary(x, axis_name)
+
+    seg0 = kv0 if kv0 is not None else _vary(
+        jnp.zeros((b, lc), jnp.int32))
+
+    def body(carry, r):
+        k_cur, v_cur, seg_cur, lse, out = carry
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        seg_cur = jax.lax.ppermute(seg_cur, axis_name, perm)
+        src = (idx - r) % n
+
+        def attend(args):
+            k_cur, v_cur, seg_cur, lse, out = args
+            ob, lb = _flash_block(q, k_cur, v_cur, qseg,
+                                  seg_cur if qseg is not None else None,
+                                  scale, causal=False)
+            lse, out = _merge(lse, out, lb, ob)
+            return lse, out
+
+        if causal:
+            lse, out = jax.lax.cond(
+                src <= idx, attend, lambda a: a[3:],
+                (k_cur, v_cur, seg_cur, lse, out))
+        else:
+            lse, out = attend((k_cur, v_cur, seg_cur, lse, out))
+        return (k_cur, v_cur, seg_cur, lse, out), None
+
+    if n > 1:
+        (_, _, _, lse, out), _ = jax.lax.scan(
+            body, (k, v, seg0, lse, out), jnp.arange(1, n))
+    # rows masked in every block: lse == -inf and out == 0 already
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _ring_flash(q, k, v, qseg, kvseg, axis_name, causal, scale):
+    return _ring_flash_impl(q, k, v, qseg, kvseg, axis_name, causal, scale)
+
+
+def _ring_flash_fwd(q, k, v, qseg, kvseg, axis_name, causal, scale):
+    out = _ring_flash_impl(q, k, v, qseg, kvseg, axis_name, causal, scale)
+    return out, (q, k, v, qseg, kvseg)
+
+
+def _ring_flash_bwd(axis_name, causal, scale, res, g):
+    q, k, v, qseg, kvseg = res
+
+    def f(q, k, v):
+        return ring_attention(q, k, v, qseg, axis_name=axis_name,
+                              causal=causal, softmax_scale=scale,
+                              kv_segment_ids=kvseg)
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    import numpy as _np
+
+    def _f0(x):
+        return None if x is None else _np.zeros(x.shape,
+                                                dtype=jax.dtypes.float0)
+    return dq, dk, dv, _f0(qseg), _f0(kvseg)
+
+
+_ring_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
+
+
+def ring_attention_flash(q, k, v, segment_ids=None, *,
+                         axis_name: str = "seq", causal: bool = False,
+                         softmax_scale: Optional[float] = None,
+                         kv_segment_ids=None):
+    """Per-shard flash-kernel ring (same contract as ring_attention,
+    with ONE divergence: pad queries/keys carry the Pallas kernel's
+    semantics — segment id < 0 rows are fully masked and return zero,
+    instead of pads-attend-pads). Backward runs the XLA ring's VJP."""
+    d = q.shape[-1]
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+    return _ring_flash(q, k, v, segment_ids, kv_segment_ids,
+                       axis_name, causal, scale)
