@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--arrival-ms", type=float, default=0.0,
                     help="inter-arrival gap; 0 = all at once (the static "
                     "baseline's best case)")
+    ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"],
+                    help="decode KV cache dtype (int8 halves cache reads; "
+                    "A/B at --slots 16+ where decode is cache-bound)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -56,7 +59,8 @@ def main():
         "sampling.top_p": None})
     m = cfg.model
     model, params = init_dit(jax.random.PRNGKey(0), m)
-    qm = dataclasses.replace(m, quant="int8")
+    qm = dataclasses.replace(m, quant="int8",
+                             kv_cache_dtype=args.kv_cache)
     cfg = dataclasses.replace(cfg, model=qm)
     model = DIT(qm)
     params = quantize_dit_params(params)
@@ -85,7 +89,7 @@ def main():
 
     def run_static():
         t0 = time.perf_counter()
-        lat = []
+        lat = []  # per-request latency (arrival -> its group finishing)
         for g in range(0, len(reqs), args.slots):
             group = reqs[g:g + args.slots]
             b = len(group)
@@ -112,7 +116,7 @@ def main():
             done = time.perf_counter() - t0
             for i in range(b):
                 lat.append(done - (g + i) * args.arrival_ms / 1e3)
-        return time.perf_counter() - t0, float(np.mean(lat))
+        return time.perf_counter() - t0, lat
 
     run_static()  # warm/compile
     dt_s, lat_s = run_static()
@@ -145,7 +149,7 @@ def main():
             f.result(timeout=1200)
         lat = [done_at[i] - (t0 + i * args.arrival_ms / 1e3)
                for i in range(len(reqs))]
-        return time.perf_counter() - t0, float(np.mean(lat))
+        return time.perf_counter() - t0, lat
 
     try:
         run_continuous()  # warm/compile
@@ -157,9 +161,14 @@ def main():
                           ("continuous", dt_c, lat_c)):
         print(json.dumps({
             "mode": name, "requests": args.requests, "slots": args.slots,
+            "kv_cache": args.kv_cache,
             "wall_s": round(dt, 3),
             "gen_tok_per_s": round(total_new / dt, 1),
-            "mean_latency_s": round(lat, 3)}))
+            "mean_latency_s": round(float(np.mean(lat)), 3),
+            # latency TAIL: drain skipping adds EOS-detection delay —
+            # bounded by the wall-clock drain deadline since round 3
+            "p50_latency_s": round(float(np.percentile(lat, 50)), 3),
+            "p95_latency_s": round(float(np.percentile(lat, 95)), 3)}))
     print(json.dumps({"metric": "continuous_vs_static_speedup",
                       "value": round(dt_s / dt_c, 3)}))
 

@@ -480,3 +480,30 @@ def test_elm_engine_int8_kv_and_weights():
     finally:
         if eng._continuous is not None:
             eng._continuous.shutdown()
+
+
+def test_experiments_survive_checkpoint_restore(tmp_path):
+    """ADVICE r2 (medium): build_engine applied --experiments overlays
+    BEFORE checkpoint restore and then replaced the config with the
+    checkpoint snapshot — the server claimed to serve fast_nfe but ran
+    the plain config. Overlays must be re-applied after restore."""
+    from unidisc_tpu.config import Config
+    from unidisc_tpu.serving.engine import build_engine
+    from unidisc_tpu.training.checkpoint import CheckpointManager
+    from unidisc_tpu.training.train_state import init_train_state
+
+    cfg = Config.make("tiny")
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(cfg, params)
+    mgr = CheckpointManager(str(tmp_path / "checkpoints"),
+                            save_interval_steps=1)
+    mgr.save(1, state, cfg)
+    mgr.wait()
+    mgr.close()
+
+    eng = build_engine(preset="tiny", checkpoint=str(tmp_path),
+                       experiments=["fast_nfe"])
+    assert eng.config.sampling.steps == 8          # overlay survived
+    assert eng.config.sampling.maskgit_dilation == 2
+    # the checkpoint snapshot still supplied the trained architecture
+    assert eng.config.model.hidden_size == cfg.model.hidden_size
