@@ -49,7 +49,7 @@ def main():
     import numpy as np
 
     from unidisc_tpu.config import Config
-    from unidisc_tpu.eval.scoring import _render_scene
+    from unidisc_tpu.eval.scoring import _render_scene_pos
     from unidisc_tpu.models.dit import init_dit
     from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
     from unidisc_tpu.tokenizers.image_codecs import get_codec
@@ -77,19 +77,25 @@ def main():
         "trainer.lr": 3e-4, "trainer.warmup_steps": 20,
         "sampling.predictor": "maskgit", "sampling.cfg": None, **arch})
 
-    # deterministic dataset: caption -> image tokens (finite scene set)
+    # deterministic dataset: caption -> image tokens, DEDUPED by caption
+    # and position-complete (_render_scene_pos) so the conditional target
+    # is a FUNCTION — the original _render_scene omits position and only
+    # ~90 captions exist, making exact-match accuracy ill-posed
     rng = np.random.default_rng(0)
     scenes = []
-    for _ in range(args.scenes):
-        img, cap = _render_scene(rng, GRID * 16)
+    seen = set()
+    attempts = 0
+    while len(scenes) < args.scenes and attempts < 100 * args.scenes:
+        attempts += 1
+        img, cap = _render_scene_pos(rng, GRID * 16)
+        if cap in seen:
+            continue
+        seen.add(cap)
         ids = np.asarray(codec.encode(codec.params,
                                       jnp.asarray(img[None])))[0]
         txt = tok(cap, max_length=TXT)["input_ids"][0]
         scenes.append((txt, ids, cap))
-    # caption -> canonical image ids (captions can repeat; keep first)
-    truth = {}
-    for txt, ids, cap in scenes:
-        truth.setdefault(cap, ids)
+    truth = {cap: ids for txt, ids, cap in scenes}
 
     model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
     n_params = sum(int(np.prod(p.shape))

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--eval-batch", type=int, default=16)
     ap.add_argument("--scenes", type=int, default=256)
     ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--big", default="1024x24x16",
+                    help="big model as HIDDENxBLOCKSxHEADS")
+    ap.add_argument("--small", default="256x6x4")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -44,7 +47,7 @@ def main():
 
     from unidisc_tpu.config import Config
     from unidisc_tpu.eval.harness import sequence_nll
-    from unidisc_tpu.eval.scoring import _render_scene
+    from unidisc_tpu.eval.scoring import _render_scene_pos
     from unidisc_tpu.models.dit import init_dit
     from unidisc_tpu.sampling.sampler import build_sampler
     from unidisc_tpu.tokenizers.image_codecs import get_codec
@@ -71,21 +74,28 @@ def main():
             "sampling.predictor": "maskgit", "sampling.cfg": None,
             "sampling.steps": args.steps})
 
-    cfg_small = make_cfg(256, 6, 4)
-    cfg_big = make_cfg(1024, 24, 16)
+    cfg_small = make_cfg(*(int(x) for x in args.small.split("x")))
+    cfg_big = make_cfg(*(int(x) for x in args.big.split("x")))
 
-    # deterministic dataset (identical to nfe_quality_ab)
+    # deterministic dataset: caption -> image tokens, DEDUPED by caption
+    # and position-complete (_render_scene_pos) so the conditional target
+    # is a FUNCTION — the original _render_scene omits position and only
+    # ~90 captions exist, making exact-match accuracy ill-posed
     rng = np.random.default_rng(0)
     scenes = []
-    for _ in range(args.scenes):
-        img, cap = _render_scene(rng, GRID * 16)
+    seen = set()
+    attempts = 0
+    while len(scenes) < args.scenes and attempts < 100 * args.scenes:
+        attempts += 1
+        img, cap = _render_scene_pos(rng, GRID * 16)
+        if cap in seen:
+            continue
+        seen.add(cap)
         ids = np.asarray(codec.encode(codec.params,
                                       jnp.asarray(img[None])))[0]
         txt = tok(cap, max_length=TXT)["input_ids"][0]
         scenes.append((txt, ids, cap))
-    truth = {}
-    for txt, ids, cap in scenes:
-        truth.setdefault(cap, ids)
+    truth = {cap: ids for txt, ids, cap in scenes}
 
     def batch_of(idx, cfg):
         txts = np.stack([scenes[i][0] for i in idx])

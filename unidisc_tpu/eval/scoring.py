@@ -70,6 +70,36 @@ def _render_scene(rng: np.random.Generator, size: int):
     return img * 2 - 1, caption
 
 
+def _render_scene_pos(rng: np.random.Generator, size: int, grid: int = 4):
+    """Position-complete scene: the caption FULLY determines the image
+    (the shape is drawn at a quantized grid cell named in the caption),
+    so caption -> image tokens is a function and exact-token accuracy is
+    well-posed. `_render_scene` omits the position — identical captions
+    map to many images, capping exact-match accuracy regardless of model
+    quality (round-3 A/B finding). Caption stays under 32 bytes."""
+    names = list(_COLORS)
+    bg, fg = rng.choice(names, 2, replace=False)
+    shape = str(rng.choice(_SHAPES))
+    row, col = int(rng.integers(0, grid)), int(rng.integers(0, grid))
+    img = np.ones((size, size, 3), np.float32) * \
+        (np.asarray(_COLORS[bg], np.float32) / 255)
+    c = np.asarray(_COLORS[fg], np.float32) / 255
+    s = size // 4
+    cell = size // grid
+    cy = row * cell + cell // 2
+    cx = col * cell + cell // 2
+    if shape == "square":
+        img[max(cy - s // 2, 0):cy + s // 2,
+            max(cx - s // 2, 0):cx + s // 2] = c
+    elif shape == "circle":
+        yy, xx = np.mgrid[:size, :size]
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 < (s // 2) ** 2] = c
+    else:
+        img[:, max(cx - s // 4, 0):cx + s // 4] = c
+    caption = f"{fg} {shape} r{row} c{col} on {bg}"
+    return img * 2 - 1, caption
+
+
 def mask_caption_spans(caption: str, rng: np.random.Generator,
                        mask_token: str = "<mask>") -> str:
     """Random contiguous word span -> mask tokens (the reference's offline
