@@ -83,6 +83,10 @@ class ModelConfig:
     # and vocab head; 1.7-1.8x matmul speedup measured on v5e, see
     # ops/quant.py). Convert params with quant.quantize_dit_params.
     quant: Optional[str] = None
+    # int8 matmul backend: "xla" | "pallas" (ops/int8_matmul.py Mosaic
+    # full-K-slab kernel with fused epilogue; pick per
+    # scripts/bench_int8_dot.py on the target chip)
+    quant_backend: str = "xla"
     # Pallas norm+adaLN+quantize prologue kernel feeding the int8 matmuls
     # (ops/fused_qmm.py). MEASURED NEUTRAL-TO-NEGATIVE on v5e at the 115M
     # flagship (6413 vs ~6540 tok/s): XLA already fuses the unfused

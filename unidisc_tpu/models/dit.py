@@ -80,6 +80,7 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = True
     out_dtype: Dtype = jnp.bfloat16
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, prologue=None):
@@ -104,7 +105,8 @@ class QDense(nn.Module):
             y = fused_qmm(x.reshape(-1, k), kernel_q, scale, bias=bias,
                           out_dtype=self.out_dtype, **prologue)
             return y.reshape(*lead, self.features)
-        return qdot(x, kernel_q, scale, bias=bias, out_dtype=self.out_dtype)
+        return qdot(x, kernel_q, scale, bias=bias, out_dtype=self.out_dtype,
+                    backend=self.backend)
 
 
 def make_dense(cfg: ModelConfig, features: int, *, use_bias: bool,
@@ -112,6 +114,7 @@ def make_dense(cfg: ModelConfig, features: int, *, use_bias: bool,
     """nn.Dense, or QDense when cfg.quant == 'int8' (inference)."""
     if cfg.quant == "int8":
         return QDense(features, use_bias=use_bias, out_dtype=dtype,
+                      backend=getattr(cfg, "quant_backend", "xla"),
                       name=name)
     kw = dict(use_bias=use_bias, dtype=dtype, kernel_init=kernel_init,
               name=name)

@@ -50,15 +50,23 @@ def dynamic_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def qdot(x: jax.Array, w_q: jax.Array, w_scale: jax.Array, *,
          bias: Optional[jax.Array] = None,
-         out_dtype=jnp.bfloat16) -> jax.Array:
+         out_dtype=jnp.bfloat16, backend: str = "xla") -> jax.Array:
     """y = x @ dequant(w_q) with int8 MXU math.
 
     x: (..., K) float; w_q: (K, N) int8; w_scale: (N,) f32.
-    Accumulates int32 on the MXU, rescales by (x_row_scale * w_scale)."""
+    Accumulates int32 on the MXU, rescales by (x_row_scale * w_scale).
+    backend: "xla" (default) or "pallas" — the Mosaic full-K-slab kernel
+    with fused epilogue (ops/int8_matmul.py; flip per
+    scripts/bench_int8_dot.py measurements on the target chip)."""
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     x_q, x_scale = dynamic_quantize(x2)
+    if backend == "pallas":
+        from unidisc_tpu.ops.int8_matmul import int8_matmul
+        y = int8_matmul(x_q, x_scale, w_q, w_scale, bias=bias,
+                        out_dtype=out_dtype)
+        return y.reshape(*lead, w_q.shape[-1])
     y = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * x_scale * w_scale[None, :]

@@ -64,7 +64,8 @@ def _head_linear(params, y, cfg, v0):
         # the quantized kernel + its per-channel scales
         from unidisc_tpu.ops.quant import qdot
         return qdot(y, lin["kernel_q"][:, v0:], lin["scale"][v0:],
-                    bias=lin["bias"][v0:], out_dtype=dt)
+                    bias=lin["bias"][v0:], out_dtype=dt,
+                    backend=getattr(cfg.model, "quant_backend", "xla"))
     kernel = lin["kernel"][:, v0:]
     bias = lin["bias"][v0:]
     return (y.astype(dt) @ kernel.astype(dt)) + bias.astype(dt)
