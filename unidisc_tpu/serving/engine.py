@@ -34,9 +34,21 @@ def expand_mask_tokens(text: str) -> str:
 
 class InferenceEngine:
     def __init__(self, config: Config, model, params, *, tokenizer=None,
-                 codec=None):
+                 codec=None, mesh=None):
         self.config = config
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip serving (parallel/sample.py): weights live
+            # sharded on the mesh; samplers are wrapped below
+            from unidisc_tpu.parallel.sample import (batch_multiple,
+                                                     shard_params,
+                                                     validate_mesh)
+            validate_mesh(config, mesh)
+            params = shard_params(params, mesh)
+            self._batch_multiple = batch_multiple(config, mesh)
+        else:
+            self._batch_multiple = 1
         self.params = params
         self.m = config.model
         if tokenizer is None:
@@ -110,10 +122,17 @@ class InferenceEngine:
         return out
 
     # ------------------------------------------------------------------
+    def _jit(self, fn):
+        """jit a built sampler — SPMD-wrapped when serving on a mesh."""
+        if self.mesh is not None:
+            from unidisc_tpu.parallel.sample import spmd_sampler
+            return spmd_sampler(fn, self.config, self.mesh)
+        return jax.jit(fn)
+
     def _sampler(self, steps: Optional[int] = None):
         key = steps or self.config.sampling.steps
         if key not in self._samplers:
-            self._samplers[key] = jax.jit(build_sampler(
+            self._samplers[key] = self._jit(build_sampler(
                 self._forward, self.config, num_steps=key))
         return self._samplers[key]
 
@@ -124,7 +143,7 @@ class InferenceEngine:
         key = ("t2i", steps or self.config.sampling.steps)
         if key not in self._samplers:
             from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
-            self._samplers[key] = jax.jit(build_t2i_sampler(
+            self._samplers[key] = self._jit(build_t2i_sampler(
                 self.model, self.config, num_steps=key[1]))
         return self._samplers[key]
 
@@ -227,6 +246,13 @@ class InferenceEngine:
             reps = pad_to - n
             x0 = np.concatenate([x0, np.repeat(x0[-1:], reps, 0)])
             unmask = np.concatenate([unmask, np.repeat(unmask[-1:], reps, 0)])
+        mult = self._batch_multiple
+        if x0.shape[0] % mult:
+            # mesh granule (dp width x pp microbatches): round up with
+            # duplicate rows, dropped again after sampling
+            reps = mult - x0.shape[0] % mult
+            x0 = np.concatenate([x0, np.repeat(x0[-1:], reps, 0)])
+            unmask = np.concatenate([unmask, np.repeat(unmask[-1:], reps, 0)])
         b = x0.shape[0]
 
         if fastpath:
@@ -283,7 +309,7 @@ class InferenceEngine:
                 sample = build_sampler(fwd, self.config, num_steps=key[1])
                 return sample(params, rng, x0, unmask, modality)
 
-            self._samplers[key] = jax.jit(run)
+            self._samplers[key] = self._jit(run)
         return self._samplers[key]
 
     def run_interleaved(self, segments: List[dict], *,
@@ -365,11 +391,12 @@ class InferenceEngine:
         sample_ids[:pos] = 0  # one document per row
 
         sampler = self._interleaved_sampler(steps)
+        # a mesh granule > 1 needs the single document tiled across rows
+        reps = self._batch_multiple
+        tile = lambda a: jnp.asarray(np.repeat(a[None], reps, 0))
         out = sampler(self.params, jax.random.PRNGKey(seed),
-                      jnp.asarray(x0[None]), jnp.asarray(unmask[None]),
-                      jnp.asarray(modality[None]),
-                      jnp.asarray(sample_ids[None]),
-                      jnp.asarray(rope_index[None]))
+                      tile(x0), tile(unmask), tile(modality),
+                      tile(sample_ids), tile(rope_index))
         tokens = np.asarray(out.tokens)[0]
 
         from unidisc_tpu.tokenizers.text import wrapped_batch_decode
@@ -521,17 +548,37 @@ def build_elm_engine(*, preset: str = "270m",
                      kv_cache=kv_cache)
 
 
+def parse_mesh_spec(spec: str):
+    """'fsdp=2,pp=2' / 'pp=4' -> a live jax.sharding.Mesh over the
+    session's devices (unnamed axes default to 1; one axis may be -1 =
+    all remaining devices)."""
+    from unidisc_tpu.config import MeshConfig
+    from unidisc_tpu.parallel.mesh import make_mesh
+    kw = {}
+    for part in spec.split(","):
+        k, _, v = part.strip().partition("=")
+        if k not in ("dcn", "fsdp", "tensor", "seq", "pp",
+                     "pp_microbatches"):
+            raise ValueError(f"unknown mesh axis {k!r}")
+        kw[k] = int(v)
+    kw.setdefault("fsdp", 1)
+    return make_mesh(MeshConfig(**kw)), kw
+
+
 def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                  codec_name: Optional[str] = None,
                  steps: Optional[int] = None,
                  quantize: Optional[str] = None,
                  kv_cache: Optional[str] = None,
+                 mesh: Optional[str] = None,
                  experiments=None) -> "InferenceEngine":
     """Construct an engine from a config preset and optional run dir
     (EMA params) + codec — the shared bootstrap for the server, the
     scoring battery, and scripts. quantize="int8" serves with W8A8 int8
     matmuls (ops/quant.py; ~1.4x sampling throughput on v5e);
-    kv_cache="int8" decodes AR models on an int8 KV cache."""
+    kv_cache="int8" decodes AR models on an int8 KV cache;
+    mesh="fsdp=2,pp=2" serves SPMD across chips (parallel/sample.py —
+    data-parallel + depth-wise pipeline over the diffusion samplers)."""
     import dataclasses
     import json as _json
 
@@ -580,7 +627,13 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         probe = get_codec(codec_name)
         codec = get_codec(codec_name,
                           image_size=grid * probe.downsample)
-    return InferenceEngine(config, model, params, codec=codec)
+    live_mesh = None
+    if mesh:
+        live_mesh, mesh_kw = parse_mesh_spec(mesh)
+        config = config.override(**{f"mesh.{k}": v
+                                    for k, v in mesh_kw.items()})
+    return InferenceEngine(config, model, params, codec=codec,
+                           mesh=live_mesh)
 
 
 def downscale_bool_mask(mask: np.ndarray, d: int) -> np.ndarray:

@@ -369,6 +369,10 @@ def main(argv: Optional[list] = None):
                         help="comma-separated experiment overlays (e.g. "
                         "fast_nfe: 8-step dilated sampling at matched "
                         "quality, 3.3x throughput)")
+    parser.add_argument("--mesh", default=None,
+                        help="SPMD serving mesh spec, e.g. 'fsdp=2,pp=2' "
+                        "— shards weights and pipelines the trunk across "
+                        "chips (parallel/sample.py)")
     args = parser.parse_args(argv)
 
     from unidisc_tpu.serving.engine import build_engine
@@ -376,6 +380,7 @@ def main(argv: Optional[list] = None):
     engine = build_engine(preset=args.model, checkpoint=args.ckpt,
                           codec_name=args.codec, steps=args.steps,
                           quantize=args.quantize, kv_cache=args.kv_cache,
+                          mesh=args.mesh,
                           experiments=(args.experiments.split(",")
                                        if args.experiments else None))
     server = make_server(engine, args.port, args.host)
