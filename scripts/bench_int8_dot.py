@@ -11,6 +11,17 @@ outputs are output-write-bound at these shapes), host-transfer barrier.
 Prints one JSON line per (shape, backend, blocks) cell with achieved
 TOPS (2*M*N*K per dot).
 
+MEASURED CAVEAT (round 3, v5e-1): the XLA cells of THIS harness are not
+trustworthy — the int8-xor feedback chain defeats XLA's epilogue fusion
+and some cells read 3-17 TOPS where the same dot inside the model runs
+at ~200 TOPS. The decisive numbers are the in-model A/Bs
+(model.quant_backend='pallas' vs 'xla' through the real sampler):
+115M 5826 vs 6655 tok/s, 1.4B 871 vs 963 tok/s — XLA wins in-model at
+both scales (it fuses the quantize chain around the dot; the pallas_call
+boundary costs more than the fused epilogue saves). Default stays
+'xla'; the kernel remains a tested option for chips/shapes where the
+balance differs.
+
 Run: python scripts/bench_int8_dot.py [--iters 64]
 """
 import argparse

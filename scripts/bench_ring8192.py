@@ -71,12 +71,9 @@ def main():
         "ring_flash_block": shard1(
             lambda q, k, v: ring_attention_flash(q, k, v,
                                                  causal=args.causal)),
+        # flash_attention takes (B, L, H, D) directly
         "fused_flash_kernel": jax.jit(
-            lambda q, k, v: flash_attention(
-                jnp.transpose(q, (0, 2, 1, 3)),
-                jnp.transpose(k, (0, 2, 1, 3)),
-                jnp.transpose(v, (0, 2, 1, 3)),
-                causal=args.causal)),
+            lambda q, k, v: flash_attention(q, k, v, causal=args.causal)),
     }
 
     results = {}
