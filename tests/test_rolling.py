@@ -1,0 +1,218 @@
+"""Rolling diffusion batching (serving/rolling.py): lockstep parity with
+the static maskgit sampler, admission-timing determinism, and the
+threaded front end."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.models.dit import init_dit
+from unidisc_tpu.sampling.sampler import build_sampler
+from unidisc_tpu.serving.rolling import (RollingDiffusionBatcher,
+                                         build_rolling_sampler)
+
+STEPS = 4
+
+
+def tiny_setup(cfg_over=None):
+    over = {
+        "model.text_vocab_size": 61,
+        "model.image_vocab_size": 16,
+        "model.length": 24,
+        "model.txt_length": 8,
+        "model.img_length": 16,
+        "model.force_argmax_valid_indices": True,
+        "model.dropout": 0.0,
+        "sampling.steps": STEPS,
+        "sampling.predictor": "maskgit",
+        "sampling.cfg": 1.5,
+    }
+    over.update(cfg_over or {})
+    cfg = Config.make("tiny").override(**over)
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+
+    def forward_logits(params, x, sigma, modality):
+        return model.apply({"params": params}, x, sigma, modality=modality)
+
+    return cfg, params, forward_logits
+
+
+def t2i_rows(cfg, b, seed=0):
+    m = cfg.model
+    rng = np.random.RandomState(seed)
+    x0 = np.zeros((b, m.length), np.int32)
+    x0[:, :m.txt_length] = rng.randint(1, 50, (b, m.txt_length))
+    unmask = np.zeros((b, m.length), bool)
+    unmask[:, :m.txt_length] = True
+    modality = np.concatenate(
+        [np.zeros((b, m.txt_length), np.int32),
+         np.ones((b, m.img_length), np.int32)], -1)
+    return x0, unmask, modality
+
+
+def drive(built, params, state, injected=None, max_chunks=32):
+    for _ in range(max_chunks):
+        if bool((np.asarray(state.step) >= built.done_at).all()):
+            break
+        state = (built.step_chunk(params, state, injected) if injected
+                 is not None else built.step_chunk(params, state))
+    return state
+
+
+def test_lockstep_parity_with_static_sampler():
+    """All slots admitted at once + injected noise == build_sampler
+    token-for-token (the same noise arrays feed both paths)."""
+    cfg, params, fwd = tiny_setup()
+    m = cfg.model
+    B = 4
+    x0, unmask, modality = t2i_rows(cfg, B)
+    V = m.text_vocab_size + m.image_vocab_size
+
+    rng = np.random.RandomState(7)
+    injected = {
+        "exp": jnp.asarray(rng.exponential(
+            size=(STEPS, B, m.length, V)).astype(np.float32)),
+        "gumbel": jnp.asarray(-np.log(rng.exponential(
+            size=(STEPS, B, m.length))).astype(np.float32)),
+    }
+
+    static = build_sampler(fwd, cfg, inject_noise=True)
+    ref = static(params, jax.random.PRNGKey(0), jnp.asarray(x0),
+                 jnp.asarray(unmask), jnp.asarray(modality),
+                 injected=injected)
+
+    built = build_rolling_sampler(fwd, cfg, slots=B, chunk=2,
+                                  inject_noise=True)
+    state = built.init_state()
+    state = built.insert_many(
+        state, jnp.arange(B), jnp.asarray(x0), jnp.asarray(unmask),
+        jnp.asarray(modality), jnp.zeros((B,), jnp.int32))
+    state = drive(built, params, state, injected=injected)
+
+    np.testing.assert_array_equal(np.asarray(state.x),
+                                  np.asarray(ref.tokens))
+
+
+def test_rolling_rows_independent_of_admission_timing():
+    """A request's tokens are a pure function of its seed and inputs —
+    identical whether it runs alone or admitted mid-flight next to
+    other rows at different steps."""
+    cfg, params, fwd = tiny_setup()
+    B = 3
+    x0, unmask, modality = t2i_rows(cfg, B, seed=3)
+    built = build_rolling_sampler(fwd, cfg, slots=4, chunk=1)
+
+    def solo(r, seed):
+        st = built.init_state()
+        st = built.insert_many(
+            st, jnp.asarray([0]), jnp.asarray(x0[r:r + 1]),
+            jnp.asarray(unmask[r:r + 1]), jnp.asarray(modality[r:r + 1]),
+            jnp.asarray([seed], jnp.int32))
+        st = drive(built, params, st)
+        return np.asarray(st.x[0])
+
+    solos = [solo(r, 10 + r) for r in range(B)]
+
+    # staggered: row0 at step 0; admit row1 after 1 chunk, row2 after 2
+    st = built.init_state()
+    admit = lambda st, slot, r, seed: built.insert_many(
+        st, jnp.asarray([slot]), jnp.asarray(x0[r:r + 1]),
+        jnp.asarray(unmask[r:r + 1]), jnp.asarray(modality[r:r + 1]),
+        jnp.asarray([seed], jnp.int32))
+    st = admit(st, 0, 0, 10)
+    st = built.step_chunk(params, st)
+    st = admit(st, 1, 1, 11)
+    st = built.step_chunk(params, st)
+    st = admit(st, 2, 2, 12)
+    st = drive(built, params, st)
+
+    for r in range(B):
+        np.testing.assert_array_equal(np.asarray(st.x[r]), solos[r])
+
+
+def test_insert_padding_rows_dropped():
+    cfg, params, fwd = tiny_setup()
+    built = build_rolling_sampler(fwd, cfg, slots=4, chunk=1)
+    x0, unmask, modality = t2i_rows(cfg, 2)
+    st = built.init_state()
+    # one real row + one padding row (slot == S): padding must not write
+    st = built.insert_many(
+        st, jnp.asarray([1, 4]), jnp.asarray(x0), jnp.asarray(unmask),
+        jnp.asarray(modality), jnp.asarray([5, 6], jnp.int32))
+    active = np.asarray(st.active)
+    assert active.tolist() == [False, True, False, False]
+    # slot 3 (== S-1) untouched — a -1 sentinel would have wrapped here
+    assert int(np.asarray(st.step)[3]) == built.done_at
+
+
+def test_threaded_batcher_matches_state_machine():
+    cfg, params, fwd = tiny_setup()
+    B = 3
+    x0, unmask, modality = t2i_rows(cfg, B, seed=5)
+    built = build_rolling_sampler(fwd, cfg, slots=4, chunk=2)
+
+    def solo(r, seed):
+        st = built.init_state()
+        st = built.insert_many(
+            st, jnp.asarray([0]), jnp.asarray(x0[r:r + 1]),
+            jnp.asarray(unmask[r:r + 1]), jnp.asarray(modality[r:r + 1]),
+            jnp.asarray([seed], jnp.int32))
+        st = drive(built, params, st)
+        return np.asarray(st.x[0])
+
+    expected = [solo(r, 20 + r) for r in range(B)]
+
+    batcher = RollingDiffusionBatcher(fwd, params, cfg, slots=4, chunk=2)
+    try:
+        futs = []
+        for r in range(B):
+            futs.append(batcher.submit(x0[r], unmask[r], modality[r],
+                                       seed=20 + r))
+            time.sleep(0.05)  # staggered arrivals
+        rows = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.shutdown()
+
+    for r in range(B):
+        np.testing.assert_array_equal(rows[r], expected[r])
+
+
+def test_rejects_non_maskgit_predictor():
+    cfg, params, fwd = tiny_setup({"sampling.predictor": "ddpm"})
+    with pytest.raises(ValueError, match="maskgit"):
+        build_rolling_sampler(fwd, cfg, slots=2)
+
+
+def test_engine_rolling_route():
+    """InferenceEngine(rolling=N): gen_image requests flow through the
+    rolling batcher and decode like the whole-batch path."""
+    from unidisc_tpu.serving.engine import InferenceEngine
+
+    cfg = Config.make("tiny").override(**{
+        "model.text_vocab_size": 261,
+        "model.image_vocab_size": 64,
+        "model.length": 48,
+        "model.txt_length": 16,
+        "model.img_length": 32,
+        "model.force_argmax_valid_indices": True,
+        "model.dropout": 0.0,
+        "sampling.steps": 4,
+        "sampling.predictor": "maskgit",
+    })
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    eng = InferenceEngine(cfg, model, params, rolling=4)
+    try:
+        out = eng.run(text="a red square", task="gen_image", seed=3)
+        assert out["image_ids"].shape == (1, cfg.model.img_length)
+        assert (out["image_ids"] >= 0).all()
+        assert out["nfe"] == 5  # 4 steps + noise removal
+        # same seed reproduces through the rolling route
+        out2 = eng.run(text="a red square", task="gen_image", seed=3)
+        np.testing.assert_array_equal(out["image_ids"], out2["image_ids"])
+    finally:
+        for b in eng._rolling.values():
+            b.shutdown()

@@ -34,10 +34,16 @@ def expand_mask_tokens(text: str) -> str:
 
 class InferenceEngine:
     def __init__(self, config: Config, model, params, *, tokenizer=None,
-                 codec=None, mesh=None):
+                 codec=None, mesh=None, rolling: int = 0):
         self.config = config
         self.model = model
         self.mesh = mesh
+        # rolling > 0: serve diffusion requests through the rolling
+        # continuous batcher (serving/rolling.py) with that many slots —
+        # requests admit into finished rows mid-flight instead of
+        # waiting for whole-batch boundaries
+        self._rolling_slots = rolling
+        self._rolling: Dict[int, Any] = {}
         if mesh is not None:
             # multi-chip serving (parallel/sample.py): weights live
             # sharded on the mesh; samplers are wrapped below
@@ -147,6 +153,15 @@ class InferenceEngine:
                 self.model, self.config, num_steps=key[1]))
         return self._samplers[key]
 
+    def _rolling_batcher(self, steps: Optional[int] = None):
+        key = steps or self.config.sampling.steps
+        if key not in self._rolling:
+            from unidisc_tpu.serving.rolling import RollingDiffusionBatcher
+            self._rolling[key] = RollingDiffusionBatcher(
+                self._forward, self.params, self.config,
+                slots=self._rolling_slots, num_steps=key)
+        return self._rolling[key]
+
     def _layout(self, batch: int):
         m = self.m
         modality = np.concatenate([
@@ -231,9 +246,27 @@ class InferenceEngine:
         All rows must agree on `fastpath`. pad_to rounds the batch up with
         duplicate rows so only a few batch shapes ever compile (the
         batcher passes powers of two up to the per-chip optimum)."""
+        if self._rolling_slots:
+            # rolling mode: the batcher's worker owns device dispatch;
+            # per-row seeds keep results independent of co-tenancy
+            return self._run_batch_rolling(prepared, steps=steps,
+                                           seed=seed)
         with self._device_lock:
             return self._run_batch_locked(prepared, steps=steps, seed=seed,
                                           pad_to=pad_to)
+
+    def _run_batch_rolling(self, prepared, *, steps, seed):
+        m = self.m
+        batcher = self._rolling_batcher(steps)
+        futs = []
+        for i, p in enumerate(prepared):
+            row_seed = (seed * 0x9E3779B1 + i) & 0x7FFFFFFF
+            futs.append(batcher.submit(p["x0"], p["unmask"],
+                                       self._layout(1)[0],
+                                       seed=row_seed))
+        tokens = np.stack([f.result(timeout=600) for f in futs])
+        nfe = batcher.built.done_at
+        return self._decode_rows(prepared, tokens, nfe)
 
     def _run_batch_locked(self, prepared, *, steps, seed, pad_to):
         m = self.m
@@ -265,7 +298,11 @@ class InferenceEngine:
                          jnp.asarray(x0), jnp.asarray(unmask),
                          jnp.asarray(self._layout(b)))
         tokens = np.asarray(out.tokens)[:n]
+        return self._decode_rows(prepared, tokens, int(out.nfe))
 
+    def _decode_rows(self, prepared, tokens, nfe):
+        """Shared decode tail: token rows -> per-request result dicts."""
+        m = self.m
         txt_ids = tokens[:, :m.txt_length]
         img_ids = tokens[:, m.txt_length:] - m.text_vocab_size
         from unidisc_tpu.tokenizers.text import wrapped_batch_decode
@@ -278,7 +315,7 @@ class InferenceEngine:
                 self.codec.params, jnp.asarray(np.maximum(img_ids, 0))))
         for i, p in enumerate(prepared):
             r = {"task": p["task"], "text": texts[i], "texts": [texts[i]],
-                 "image_ids": img_ids[i:i + 1], "nfe": int(out.nfe)}
+                 "image_ids": img_ids[i:i + 1], "nfe": int(nfe)}
             if decode_imgs and p["task"] != "gen_text":
                 r["images_b64"] = [encode_image_b64(imgs[i])]
             results.append(r)
@@ -571,6 +608,7 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                  quantize: Optional[str] = None,
                  kv_cache: Optional[str] = None,
                  mesh: Optional[str] = None,
+                 rolling: int = 0,
                  experiments=None) -> "InferenceEngine":
     """Construct an engine from a config preset and optional run dir
     (EMA params) + codec — the shared bootstrap for the server, the
@@ -578,7 +616,10 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
     matmuls (ops/quant.py; ~1.4x sampling throughput on v5e);
     kv_cache="int8" decodes AR models on an int8 KV cache;
     mesh="fsdp=2,pp=2" serves SPMD across chips (parallel/sample.py —
-    data-parallel + depth-wise pipeline over the diffusion samplers)."""
+    data-parallel + depth-wise pipeline over the diffusion samplers);
+    rolling=N serves diffusion requests through the rolling continuous
+    batcher with N slots (serving/rolling.py — per-row denoise steps,
+    mid-flight admission)."""
     import dataclasses
     import json as _json
 
@@ -633,7 +674,7 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         config = config.override(**{f"mesh.{k}": v
                                     for k, v in mesh_kw.items()})
     return InferenceEngine(config, model, params, codec=codec,
-                           mesh=live_mesh)
+                           mesh=live_mesh, rolling=rolling)
 
 
 def downscale_bool_mask(mask: np.ndarray, d: int) -> np.ndarray:

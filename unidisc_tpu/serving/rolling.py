@@ -1,0 +1,329 @@
+"""Rolling (continuous) batching for DIFFUSION sampling.
+
+The AR continuous batcher (serving/continuous.py) keeps a persistent
+device batch where every row is at its own decode position. This module
+gives the masked-diffusion samplers the same treatment: every slot row
+carries its OWN denoise step index, so new text->image / infill requests
+are admitted into finished slots mid-flight instead of waiting for the
+whole batch to finish (the reference — and our micro-batching engine —
+run diffusion strictly whole-batch: demo/inference.py:63 samples one
+fixed batch per call).
+
+Design (TPU-native):
+  - one persistent `RollingState` on device; the hot loop is ONE jitted
+    `step_chunk` program (a lax.scan over K denoise iterations), so
+    dispatch count stays at 1 per K steps regardless of admission churn
+    (the tunnel's ~130ms/RPC makes dispatch count the binding resource —
+    CLAUDE.md);
+  - per-row step indices: `t`, the maskgit reveal budget, and the
+    finalize (noise-removal) branch are all gathered per row, so rows at
+    different denoise stages share each forward batch;
+  - per-row noise is a pure function of (request seed, row step):
+    admission timing and co-tenant rows CANNOT change a request's
+    tokens (the same determinism contract the AR batcher got in round 3)
+    — tested by token-identity between solo and staggered runs;
+  - rows are independent in the forward (full self-attention per row),
+    so a row's trajectory is identical to a solo whole-batch run with
+    the same seed.
+
+Parity: in `inject_noise` mode the chunk consumes the same pre-drawn
+noise arrays as sampling/sampler.py's harness, and a lockstep rolling
+run is asserted token-for-token equal to `build_sampler` (maskgit path;
+reference math model_eval.py:3045-3114) in tests/test_rolling.py.
+
+Restrictions: predictor must be "maskgit" (the serving default;
+nucleus/first-hitting rows would add per-row top-p state), and CFG
+follows config.sampling.cfg as in the static sampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unidisc_tpu.config import Config
+from unidisc_tpu.diffusion.noise import get_noise
+from unidisc_tpu.diffusion.subs import subs_parameterization
+from unidisc_tpu.sampling.sampler import (adaptive_schedule,
+                                          confidence_threshold,
+                                          guidance_weight)
+
+
+class RollingState(NamedTuple):
+    x: jax.Array          # (S, L) int32 current tokens
+    x0: jax.Array         # (S, L) int32 conditioning tokens
+    unmask: jax.Array     # (S, L) bool  conditioning positions
+    modality: jax.Array   # (S, L) int32
+    schedule: jax.Array   # (S, steps) int32 per-row reveal budget
+    step: jax.Array       # (S,) int32: 0..steps-1 denoise, steps =
+    #                       finalize (noise removal), done_at = finished
+    seed: jax.Array       # (S,) int32 request seed
+    active: jax.Array     # (S,) bool
+
+
+def build_rolling_sampler(forward_logits: Callable, config: Config, *,
+                          slots: int, num_steps: Optional[int] = None,
+                          chunk: int = 8, inject_noise: bool = False):
+    """Compile the rolling-batch state machine.
+
+    forward_logits(params, x, sigma, modality) -> (B, L, V) raw logits —
+    the same closure contract as build_sampler.
+
+    Returns an object with:
+      init_state() -> RollingState
+      insert_many(state, slots_v, x0, unmask, modality, seeds) -> state
+        (jitted; slots_v entries >= slots are padding, dropped on device)
+      step_chunk(params, state[, injected]) -> state  (jitted; `chunk`
+        denoise iterations in one program)
+      done_at: step value at which a row is finished
+    """
+    cfg = config.sampling
+    mcfg = config.model
+    if cfg.predictor != "maskgit":
+        raise ValueError(
+            f"rolling batching supports predictor='maskgit' "
+            f"(got {cfg.predictor!r})")
+    noise = get_noise(config.noise)
+    steps = num_steps or cfg.steps
+    mask_index = mcfg.mask_index
+    eps = cfg.sampling_eps
+    L = mcfg.length
+    S = slots
+    use_cfg = cfg.cfg is not None
+    done_at = steps + (1 if cfg.noise_removal else 0)
+    timesteps = jnp.linspace(1.0, eps, steps + 1)
+    modal_kw = dict(text_vocab_size=mcfg.text_vocab_size) \
+        if mcfg.force_argmax_valid_indices else None
+
+    def _forward(params, x, t, x0, x0_unmask, modality):
+        """Unnormalized masked log-p with CFG (per-row t), mirroring
+        build_sampler's ddpm_forward (reference model_eval.py:1761-1833);
+        normalization is skipped — Gumbel-argmax is shift-invariant and
+        confidences use an explicit logsumexp."""
+        sigma_t = noise.total(t)
+        mk = dict(modality=modality, **modal_kw) \
+            if (modal_kw is not None and modality is not None) else {}
+        if use_cfg:
+            x_uncond = jnp.where(x0_unmask, mask_index, x)
+            xx = jnp.concatenate([x, x_uncond], axis=0)
+            ss = jnp.concatenate([sigma_t, sigma_t], axis=0)
+            mm = None if modality is None else \
+                jnp.concatenate([modality, modality], axis=0)
+            logits = forward_logits(params, xx, ss, mm)
+            logit_c, logit_u = jnp.split(logits, 2, axis=0)
+            w = guidance_weight(cfg, t)[:, None, None]
+            combined = (1 + w) * logit_c - w * logit_u
+            return subs_parameterization(combined, None, mask_index,
+                                         normalize=False, **mk)
+        logits = forward_logits(params, x, sigma_t, modality)
+        return subs_parameterization(logits, x, mask_index,
+                                     normalize=False, **mk)
+
+    def init_state() -> RollingState:
+        z = lambda *s: jnp.zeros(s, jnp.int32)
+        return RollingState(
+            x=jnp.full((S, L), mask_index, jnp.int32), x0=z(S, L),
+            unmask=jnp.zeros((S, L), bool), modality=z(S, L),
+            schedule=z(S, steps), step=jnp.full((S,), done_at, jnp.int32),
+            seed=z(S), active=jnp.zeros((S,), bool))
+
+    def insert_many(state: RollingState, slots_v, x0, unmask, modality,
+                    seeds) -> RollingState:
+        """Scatter N new requests into their slots (slot >= S = padding,
+        dropped device-side via scatter mode='drop' so admission groups
+        can be bucketed; -1 would WRAP to S-1 in JAX, so the sentinel
+        must be out-of-range high)."""
+        x_init = jnp.where(unmask, x0, mask_index)
+        sche = adaptive_schedule((x_init == mask_index).sum(-1), steps,
+                                 cfg.maskgit_mode)
+        put = lambda arr, val: arr.at[slots_v].set(val, mode="drop")
+        n = slots_v.shape[0]
+        return RollingState(
+            x=put(state.x, x_init), x0=put(state.x0, x0),
+            unmask=put(state.unmask, unmask),
+            modality=put(state.modality, modality),
+            schedule=put(state.schedule, sche),
+            step=put(state.step, jnp.zeros((n,), jnp.int32)),
+            seed=put(state.seed, seeds.astype(jnp.int32)),
+            active=put(state.active, jnp.ones((n,), bool)))
+
+    def _row_keys(seed, step):
+        """Noise key = f(request seed, row step): reproducible under any
+        admission timing / co-tenancy."""
+        k = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        return jax.random.fold_in(k, step)
+
+    def _body(params, s: RollingState, injected=None) -> RollingState:
+        denoise = s.active & (s.step < steps)
+        final = s.active & (s.step == steps)
+        step_c = jnp.clip(s.step, 0, steps - 1)
+        t = jnp.where(s.step >= steps, eps, timesteps[step_c])
+
+        raw = _forward(params, s.x, t, s.x0, s.unmask, s.modality)
+        V = raw.shape[-1]
+
+        if inject_noise:
+            gi = jnp.clip(s.step, 0, steps - 1)
+            exp_n = jnp.take_along_axis(
+                injected["exp"], gi[None, :, None, None], axis=0)[0]
+            gum_n = jnp.take_along_axis(
+                injected["gumbel"], gi[None, :, None], axis=0)[0]
+            pred = jnp.argmax(raw - jnp.log(exp_n), axis=-1)
+        else:
+            keys = jax.vmap(_row_keys)(s.seed, s.step)
+            g_tok = jax.vmap(lambda k: jax.random.gumbel(
+                jax.random.fold_in(k, 1), (L, V), raw.dtype))(keys)
+            gum_n = jax.vmap(lambda k: jax.random.gumbel(
+                jax.random.fold_in(k, 2), (L,)))(keys)
+            pred = jnp.argmax(raw + g_tok, axis=-1)
+
+        copy = s.x != mask_index
+        lse = jax.nn.logsumexp(raw, axis=-1)
+        conf = jnp.take_along_axis(raw, pred[..., None],
+                                   axis=-1).squeeze(-1) - lse
+        conf = jnp.maximum(conf, jnp.log(1e-30))
+        conf = conf + cfg.maskgit_r_temp * gum_n * t[:, None]
+        conf = jnp.where(copy, -jnp.inf, conf)
+        num_unmask = jnp.take_along_axis(s.schedule, step_c[:, None],
+                                         axis=1)[:, 0]
+        num_unmask = jnp.minimum(num_unmask, (~copy).sum(-1))
+        thresh = confidence_threshold(conf, num_unmask)
+        x_mg = jnp.where(conf >= thresh, pred, s.x)
+
+        # noise removal: rows at step==steps argmax their remaining masks
+        x_fin = jnp.where(s.x == mask_index, jnp.argmax(raw, -1), s.x)
+
+        x_next = jnp.where(denoise[:, None], x_mg,
+                           jnp.where(final[:, None], x_fin, s.x))
+        x_next = jnp.where(s.unmask, s.x0, x_next)
+        step_next = jnp.where(s.active,
+                              jnp.minimum(s.step + 1, done_at), s.step)
+        return s._replace(x=x_next, step=step_next)
+
+    def step_chunk(params, state: RollingState,
+                   injected=None) -> RollingState:
+        assert (injected is not None) == inject_noise
+
+        def body(s, _):
+            return _body(params, s, injected), None
+
+        state, _ = jax.lax.scan(body, state, None, length=chunk)
+        return state
+
+    class _Built(NamedTuple):
+        init_state: Callable
+        insert_many: Callable
+        step_chunk: Callable
+        done_at: int
+        steps: int
+        chunk: int
+
+    return _Built(init_state, jax.jit(insert_many), jax.jit(step_chunk),
+                  done_at, steps, chunk)
+
+
+def _bucket(n: int, cap: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+class RollingDiffusionBatcher:
+    """Threaded front end: submit() returns a Future of the (L,) token
+    row; a worker admits pending requests into free slots (bucketed,
+    padded with slot=-1 — ONE device dispatch per admission group) and
+    advances the whole batch `chunk` denoise steps per dispatch."""
+
+    def __init__(self, forward_logits, params, config: Config, *,
+                 slots: int = 8, chunk: int = 8,
+                 num_steps: Optional[int] = None):
+        self.built = build_rolling_sampler(forward_logits, config,
+                                           slots=slots, chunk=chunk,
+                                           num_steps=num_steps)
+        self.params = params
+        self.slots = slots
+        self.L = config.model.length
+        self.state = self.built.init_state()
+        self._pending: "queue.Queue" = queue.Queue()
+        self._owner = [None] * slots  # slot -> Future | None
+        self._lock = threading.Lock()
+        self._stop = False
+        self._wake = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, x0: np.ndarray, unmask: np.ndarray,
+               modality: Optional[np.ndarray] = None,
+               seed: int = 0) -> "Future":
+        fut: Future = Future()
+        if modality is None:
+            modality = np.zeros((self.L,), np.int32)
+        self._pending.put((np.asarray(x0, np.int32),
+                           np.asarray(unmask, bool),
+                           np.asarray(modality, np.int32), int(seed), fut))
+        self._wake.set()
+        return fut
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+    def _admit(self):
+        free = [i for i, o in enumerate(self._owner) if o is None]
+        group = []
+        while free and not self._pending.empty():
+            try:
+                group.append(self._pending.get_nowait())
+            except queue.Empty:
+                break
+            if len(group) == len(free):
+                break
+        if not group:
+            return False
+        n = _bucket(len(group), self.slots)
+        slots_v = np.full((n,), self.slots, np.int32)  # S = dropped pad
+        x0 = np.zeros((n, self.L), np.int32)
+        unmask = np.zeros((n, self.L), bool)
+        modality = np.zeros((n, self.L), np.int32)
+        seeds = np.zeros((n,), np.int32)
+        for j, (x0_r, um_r, mod_r, seed, fut) in enumerate(group):
+            slot = free[j]
+            slots_v[j] = slot
+            x0[j], unmask[j], modality[j], seeds[j] = x0_r, um_r, mod_r, seed
+            self._owner[slot] = fut
+        self.state = self.built.insert_many(
+            self.state, jnp.asarray(slots_v), jnp.asarray(x0),
+            jnp.asarray(unmask), jnp.asarray(modality), jnp.asarray(seeds))
+        return True
+
+    def _harvest(self):
+        # one small transfer for the step vector, rows only for finishers
+        step = np.asarray(self.state.step)
+        done = [i for i, o in enumerate(self._owner)
+                if o is not None and step[i] >= self.built.done_at]
+        if not done:
+            return
+        rows = np.asarray(self.state.x[jnp.asarray(done)])
+        for j, i in enumerate(done):
+            fut, self._owner[i] = self._owner[i], None
+            fut.set_result(rows[j])
+
+    def _worker(self):
+        while not self._stop:
+            admitted = self._admit()
+            busy = any(o is not None for o in self._owner)
+            if not busy and not admitted:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            self.state = self.built.step_chunk(self.params, self.state)
+            self._harvest()

@@ -373,6 +373,11 @@ def main(argv: Optional[list] = None):
                         help="SPMD serving mesh spec, e.g. 'fsdp=2,pp=2' "
                         "— shards weights and pipelines the trunk across "
                         "chips (parallel/sample.py)")
+    parser.add_argument("--rolling", type=int, default=0,
+                        help="serve diffusion requests through the "
+                        "rolling continuous batcher with N slots "
+                        "(per-row denoise steps, mid-flight admission; "
+                        "serving/rolling.py)")
     args = parser.parse_args(argv)
 
     from unidisc_tpu.serving.engine import build_engine
@@ -380,7 +385,7 @@ def main(argv: Optional[list] = None):
     engine = build_engine(preset=args.model, checkpoint=args.ckpt,
                           codec_name=args.codec, steps=args.steps,
                           quantize=args.quantize, kv_cache=args.kv_cache,
-                          mesh=args.mesh,
+                          mesh=args.mesh, rolling=args.rolling,
                           experiments=(args.experiments.split(",")
                                        if args.experiments else None))
     server = make_server(engine, args.port, args.host)
