@@ -21,6 +21,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _chunk_limit_bytes() -> int:
+    """Score-spill chunk threshold (bytes); UNIDISC_ATTN_CHUNK_MB
+    overrides (0 = never chunk). Read per call so tests/benches can
+    sweep it — jit caches by traced value anyway."""
+    import os
+    mb = os.environ.get("UNIDISC_ATTN_CHUNK_MB")
+    if mb is None:
+        return 96 * 1024 * 1024
+    v = int(mb)
+    return (1 << 62) if v == 0 else v * 1024 * 1024
+
+
 def make_sample_ids_mask(sample_ids: jax.Array) -> jax.Array:
     """Build a (B, L, L) boolean attention mask from per-token sample ids.
 
@@ -70,7 +82,9 @@ def multihead_attention(q: jax.Array,
     # batch anti-scaling of BASELINE.md). Running the same einsum over
     # batch chunks keeps every chunk on the fused strategy.
     score_bytes = b * h * lq * k.shape[1] * 4
-    _CHUNK_LIMIT = 96 * 1024 * 1024  # swept on v5e: 64-96MB best, 256MB bad
+    # swept on v5e at 115M: 64-96MB best, 256MB bad; override for
+    # per-chip tuning (UNIDISC_ATTN_CHUNK_MB=0 disables chunking)
+    _CHUNK_LIMIT = _chunk_limit_bytes()
     if score_bytes > _CHUNK_LIMIT and mask is None and b > 1:
         per = b * h * lq * k.shape[1] * 4 // b
         chunk = max(1, _CHUNK_LIMIT // per)
