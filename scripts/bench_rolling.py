@@ -160,7 +160,8 @@ def main():
     # ---- rolling -----------------------------------------------------------
     batcher = RollingDiffusionBatcher(forward_logits, qparams, qcfg,
                                       slots=S, chunk=args.chunk)
-    # warm: one request end-to-end compiles insert + chunk
+    batcher.warmup()  # pre-compile all admission buckets + chunk
+    # and one request end-to-end through the worker loop
     batcher.submit(x0[0], unmask[0], modality[0], seed=0).result(timeout=600)
 
     done_t = [0.0] * N

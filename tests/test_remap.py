@@ -167,3 +167,109 @@ def test_conv_mirror_template_matches_mirror_keys():
     template = conv_mirror_template(params)
     assert template == {k: sd[k] for k in template}
     assert set(template) == set(sd)
+
+
+# ---------------------------------------------------------------------------
+# VQGAN (LlamaGen layout): template + foreign roundtrip
+
+
+def test_vqgan_template_matches_mirror():
+    torch = pytest.importorskip("torch")
+    from unidisc_tpu.tokenizers.remap import vqgan_mirror_template
+    from unidisc_tpu.tokenizers.vqgan import VQConfig
+    from tests.test_vqgan import TINY, build_torch_vqmodel
+
+    cfg = VQConfig(**TINY)
+    torch.manual_seed(0)
+    mirror = build_torch_vqmodel(cfg)
+    sd = {k: tuple(v.shape) for k, v in mirror.state_dict().items()}
+    template = vqgan_mirror_template(cfg)
+    assert template == sd
+    assert list(template) == list(sd)  # registration ORDER too
+
+
+def test_vqgan_foreign_roundtrip():
+    torch = pytest.importorskip("torch")
+    from unidisc_tpu.tokenizers.remap import load_vqgan_foreign
+    from unidisc_tpu.tokenizers.vqgan import (VQGAN, VQConfig,
+                                              load_torch_state_dict)
+    from tests.test_vqgan import TINY, build_torch_vqmodel
+
+    cfg = VQConfig(**TINY)
+    torch.manual_seed(0)
+    mirror = build_torch_vqmodel(cfg)
+    model = VQGAN(cfg)
+    imgs = np.random.RandomState(0).uniform(
+        -1, 1, (1, 16, 16, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    sd = {k: v.detach().numpy() for k, v in mirror.state_dict().items()}
+    direct = load_torch_state_dict(dict(params), dict(sd))
+
+    # taming-flavoured renaming: sections, list nesting, leaf names
+    def fz(k):
+        k = k.replace("encoder.", "enc.").replace("decoder.", "dec.")
+        k = k.replace("conv_blocks.", "down.") if k.startswith("enc") \
+            else k.replace("conv_blocks.", "up.")
+        k = k.replace(".res.", ".block.").replace("quantize.embedding",
+                                                  "vq.codes")
+        k = k.replace("norm1.weight", "norm1.g").replace(
+            "norm1.bias", "norm1.b")
+        return k
+
+    foreign = {fz(k): v for k, v in sd.items()}
+    assert set(foreign) != set(sd)
+    foreign["loss.disc.0.weight"] = np.zeros((8, 3, 4, 4), np.float32)
+
+    ported, report = load_vqgan_foreign(dict(params), foreign, cfg)
+    assert report.complete
+    for a, b in zip(jax.tree_util.tree_leaves(direct),
+                    jax.tree_util.tree_leaves(ported)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# TiTok (ViT layout): template + foreign roundtrip
+
+
+def test_titok_template_matches_mirror():
+    torch = pytest.importorskip("torch")
+    from unidisc_tpu.tokenizers.remap import titok_mirror_template
+    from tests.test_titok import CFG, TTiTok
+
+    torch.manual_seed(0)
+    mirror = TTiTok(CFG).eval()
+    sd = {k: tuple(v.shape) for k, v in mirror.state_dict().items()}
+    template = titok_mirror_template(CFG)
+    assert template == sd
+    assert list(template) == list(sd)
+
+
+def test_titok_foreign_roundtrip():
+    torch = pytest.importorskip("torch")
+    from unidisc_tpu.tokenizers.remap import load_titok_foreign
+    from unidisc_tpu.tokenizers.titok import TiTok, load_torch_state_dict
+    from tests.test_titok import CFG, TTiTok, _torch_sd
+
+    torch.manual_seed(0)
+    mirror = TTiTok(CFG).eval()
+    model = TiTok(CFG)
+    imgs = np.random.RandomState(3).rand(1, 16, 16, 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    sd = _torch_sd(mirror)
+    direct = load_torch_state_dict(dict(params), dict(sd), CFG.n_layers)
+
+    # 1d-tokenizer-flavoured renaming (keeps registration order)
+    def fz(k):
+        k = k.replace("encoder.", "enc.transformer.")
+        k = k.replace("decoder.", "dec.transformer.")
+        k = k.replace("mlp_0", "mlp.fc1").replace("mlp_2", "mlp.fc2")
+        k = k.replace("to_pixels", "ffn_out")
+        return k
+
+    foreign = {fz(k): v for k, v in sd.items()}
+    assert set(foreign) != set(sd)
+    ported, report = load_titok_foreign(dict(params), foreign, CFG)
+    assert report.complete
+    for a, b in zip(jax.tree_util.tree_leaves(direct),
+                    jax.tree_util.tree_leaves(ported)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -253,11 +253,34 @@ class RollingDiffusionBatcher:
         self.state = self.built.init_state()
         self._pending: "queue.Queue" = queue.Queue()
         self._owner = [None] * slots  # slot -> Future | None
+        # host-side mirror of state.step: the device update is
+        # deterministic (min(step + chunk, done_at) per dispatched
+        # chunk), so harvest needs NO device sync to know who finished
+        # — on the tunneled chip (~130ms/RPC) per-chunk syncs dominated
+        # the measured serving latency
+        self._steps = [self.built.done_at] * slots
         self._lock = threading.Lock()
         self._stop = False
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def warmup(self):
+        """Pre-compile every admission bucket + the chunk program on a
+        throwaway state (compiles are ~1s each over a tunneled chip;
+        without this they land inside the first requests' latency)."""
+        st = self.built.init_state()
+        L = self.L
+        b = 1
+        while b <= self.slots:
+            pad = jnp.full((b,), self.slots, jnp.int32)  # all-dropped
+            st = self.built.insert_many(
+                st, pad, jnp.zeros((b, L), jnp.int32),
+                jnp.zeros((b, L), bool), jnp.zeros((b, L), jnp.int32),
+                jnp.zeros((b,), jnp.int32))
+            b *= 2
+        st = self.built.step_chunk(self.params, st)
+        np.asarray(st.x)  # also warms the harvest transfer path
 
     def submit(self, x0: np.ndarray, unmask: np.ndarray,
                modality: Optional[np.ndarray] = None,
@@ -300,22 +323,26 @@ class RollingDiffusionBatcher:
             slots_v[j] = slot
             x0[j], unmask[j], modality[j], seeds[j] = x0_r, um_r, mod_r, seed
             self._owner[slot] = fut
+            self._steps[slot] = 0
         self.state = self.built.insert_many(
             self.state, jnp.asarray(slots_v), jnp.asarray(x0),
             jnp.asarray(unmask), jnp.asarray(modality), jnp.asarray(seeds))
         return True
 
     def _harvest(self):
-        # one small transfer for the step vector, rows only for finishers
-        step = np.asarray(self.state.step)
+        # the host step mirror decides who is done — no step-vector sync
+        # per chunk. The transfer is the WHOLE (S, L) token array (a few
+        # KB): a fixed shape, so no per-done-set gather programs get
+        # compiled (each distinct shape is a ~1s remote compile on the
+        # tunneled chip — measured dominating the first A/B run)
         done = [i for i, o in enumerate(self._owner)
-                if o is not None and step[i] >= self.built.done_at]
+                if o is not None and self._steps[i] >= self.built.done_at]
         if not done:
             return
-        rows = np.asarray(self.state.x[jnp.asarray(done)])
-        for j, i in enumerate(done):
+        rows = np.asarray(self.state.x)
+        for i in done:
             fut, self._owner[i] = self._owner[i], None
-            fut.set_result(rows[j])
+            fut.set_result(rows[i])
 
     def _worker(self):
         while not self._stop:
@@ -326,4 +353,8 @@ class RollingDiffusionBatcher:
                 self._wake.clear()
                 continue
             self.state = self.built.step_chunk(self.params, self.state)
+            for i, o in enumerate(self._owner):
+                if o is not None:
+                    self._steps[i] = min(self._steps[i] + self.built.chunk,
+                                         self.built.done_at)
             self._harvest()

@@ -210,10 +210,136 @@ def load_magvit_foreign(params: dict, state_dict: dict):
     return load_torch_state_dict(params, renamed), report
 
 
-def load_vqgan_foreign(params: dict, state_dict: dict):
-    """Auto-remap + load a foreign-named LlamaGen/taming VQGAN."""
+def vqgan_mirror_template(cfg) -> Dict[str, Shape]:
+    """Expected LlamaGen VQModel state_dict (key -> torch shape), in
+    registration order, derived from VQConfig — the naming
+    tokenizers/vqgan.py:load_torch_state_dict consumes (public LlamaGen
+    tokenizer/tokenizer_image/vq_model.py layout)."""
+    out: Dict[str, Shape] = {}
+
+    def conv(name, cout, cin, k):
+        out[f"{name}.weight"] = (cout, cin, k, k)
+        out[f"{name}.bias"] = (cout,)
+
+    def norm(name, c):
+        out[f"{name}.weight"] = (c,)
+        out[f"{name}.bias"] = (c,)
+
+    def resblock(name, cin, cout):
+        norm(f"{name}.norm1", cin)
+        conv(f"{name}.conv1", cout, cin, 3)
+        norm(f"{name}.norm2", cout)
+        conv(f"{name}.conv2", cout, cout, 3)
+        if cin != cout:
+            conv(f"{name}.nin_shortcut", cout, cin, 1)
+
+    def attn(name, c):
+        norm(f"{name}.norm", c)
+        for p in ("q", "k", "v", "proj_out"):
+            conv(f"{name}.{p}", c, c, 1)
+
+    # encoder
+    conv("encoder.conv_in", cfg.ch, 3, 3)
+    cin = cfg.ch
+    for i, mult in enumerate(cfg.ch_mult):
+        cout = cfg.ch * mult
+        for j in range(cfg.num_res_blocks):
+            resblock(f"encoder.conv_blocks.{i}.res.{j}", cin, cout)
+            cin = cout
+        if i != len(cfg.ch_mult) - 1:
+            conv(f"encoder.conv_blocks.{i}.downsample.conv", cin, cin, 3)
+    resblock("encoder.mid.0", cin, cin)
+    attn("encoder.mid.1", cin)
+    resblock("encoder.mid.2", cin, cin)
+    norm("encoder.norm_out", cin)
+    conv("encoder.conv_out", cfg.z_channels, cin, 3)
+
+    # decoder
+    cin = cfg.ch * cfg.ch_mult[-1]
+    conv("decoder.conv_in", cin, cfg.z_channels, 3)
+    resblock("decoder.mid.0", cin, cin)
+    attn("decoder.mid.1", cin)
+    resblock("decoder.mid.2", cin, cin)
+    for bi, i in enumerate(reversed(range(len(cfg.ch_mult)))):
+        cout = cfg.ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks + 1):
+            resblock(f"decoder.conv_blocks.{bi}.res.{j}", cin, cout)
+            cin = cout
+        if i != 0:
+            conv(f"decoder.conv_blocks.{bi}.upsample.conv", cin, cin, 3)
+    norm("decoder.norm_out", cin)
+    conv("decoder.conv_out", 3, cin, 3)
+
+    out["quantize.embedding.weight"] = (cfg.codebook_size, cfg.codebook_dim)
+    conv("quant_conv", cfg.codebook_dim, cfg.z_channels, 1)
+    conv("post_quant_conv", cfg.z_channels, cfg.codebook_dim, 1)
+    return out
+
+
+def titok_mirror_template(cfg) -> Dict[str, Shape]:
+    """Expected TiTok mirror state_dict (key -> torch shape) in
+    registration order (tests/test_titok.py mirror of the public
+    bytedance/1d-tokenizer modeling/titok.py ViT layout)."""
+    h = cfg.hidden_size
+    n = cfg.grid * cfg.grid + cfg.num_latent_tokens
+    out: Dict[str, Shape] = {}
+
+    def linear(name, dout, din):
+        out[f"{name}.weight"] = (dout, din)
+        out[f"{name}.bias"] = (dout,)
+
+    def norm(name):
+        out[f"{name}.weight"] = (h,)
+        out[f"{name}.bias"] = (h,)
+
+    def vit(prefix):
+        for i in range(cfg.n_layers):
+            norm(f"{prefix}.{i}.norm1")
+            out[f"{prefix}.{i}.attn.in_proj_weight"] = (3 * h, h)
+            out[f"{prefix}.{i}.attn.in_proj_bias"] = (3 * h,)
+            linear(f"{prefix}.{i}.attn.out_proj", h, h)
+            norm(f"{prefix}.{i}.norm2")
+            linear(f"{prefix}.{i}.mlp_0", cfg.mlp_ratio * h, h)
+            linear(f"{prefix}.{i}.mlp_2", h, cfg.mlp_ratio * h)
+
+    # torch state_dict lists the root module's direct Parameters FIRST
+    # (in assignment order), then submodules in assignment order
+    out["enc_pos"] = (n, h)
+    out["latent_tokens"] = (cfg.num_latent_tokens, h)
+    out["codebook"] = (cfg.codebook_size, cfg.codebook_dim)
+    out["mask_token"] = (h,)
+    out["dec_pos"] = (n, h)
+    out["patch_embed.weight"] = (h, 3, cfg.patch_size, cfg.patch_size)
+    out["patch_embed.bias"] = (h,)
+    vit("encoder")
+    norm("enc_norm")
+    linear("to_code", cfg.codebook_dim, h)
+    linear("from_code", h, cfg.codebook_dim)
+    vit("decoder")
+    norm("dec_norm")
+    linear("to_pixels", cfg.patch_size * cfg.patch_size * 3, h)
+    return out
+
+
+def load_titok_foreign(params: dict, state_dict: dict, cfg):
+    """Auto-remap + load a foreign-named TiTok ViT tokenizer."""
+    from unidisc_tpu.tokenizers.titok import load_torch_state_dict
+    template = titok_mirror_template(cfg)
+    renamed, report = auto_remap(
+        {k: np.asarray(v) for k, v in state_dict.items()}, template)
+    if report.unmatched_mirror:
+        raise ValueError(
+            "foreign checkpoint does not cover the architecture: "
+            + report.summary()
+            + f"; first unmatched: {report.unmatched_mirror[:5]}")
+    return load_torch_state_dict(params, renamed, cfg.n_layers), report
+
+
+def load_vqgan_foreign(params: dict, state_dict: dict, cfg):
+    """Auto-remap + load a foreign-named taming-style VQGAN into the
+    LlamaGen layout tokenizers/vqgan.py expects. cfg: VQConfig."""
     from unidisc_tpu.tokenizers.vqgan import load_torch_state_dict
-    template = conv_mirror_template(params)
+    template = vqgan_mirror_template(cfg)
     renamed, report = auto_remap(
         {k: np.asarray(v) for k, v in state_dict.items()}, template)
     if report.unmatched_mirror:
