@@ -1,0 +1,108 @@
+"""Per-round training-throughput benchmark (single chip).
+
+Measures the fully-jitted train step (fwd+bwd+AdamW+EMA, remat per
+trainer.use_gradient_checkpointing) at the two tracked scales:
+  - 115M flagship, B32 x L384 (remat — B32 fwd+bwd needs it, CLAUDE.md)
+  - 1.4B extra_large, B32 x L384 remat (the production recipe shape,
+    reference configs/experiments/large_scale_train.yaml:115-151)
+
+Prints one JSON line per scale: tokens/sec/chip, model TF/s (6*N*L per
+token, the reference's throughput_monitor.py:549 convention) and MFU vs
+the v5e bf16 peak (197 TF/s).
+
+Timing: chained steps inside one process with host-transfer barriers
+(the tunnel makes block_until_ready unreliable); per-step time is the
+min over measured windows of 4 steps each.
+
+Run: python scripts/bench_train.py [--scales 115m,1p4b]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+PEAK_TFLOPS = 197.0  # v5e bf16
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="115m,1p4b")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unidisc_tpu.config import Config
+    from unidisc_tpu.models.dit import init_dit
+    from unidisc_tpu.training.train_state import (init_train_state,
+                                                  make_train_step)
+
+    for scale in args.scales.split(","):
+        preset = {"115m": "small", "1p4b": "extra_large"}[scale]
+        cfg = Config.make(preset).apply_experiments("vq16_t2i").override(
+            **{"trainer.use_gradient_checkpointing": True,
+               "model.dropout": 0.0})
+        if args.cpu:
+            cfg = cfg.override(**{
+                "model.hidden_size": 64, "model.n_blocks": 2,
+                "model.n_heads": 2})
+        m = cfg.model
+        B = args.batch
+        model, params = init_dit(jax.random.PRNGKey(0), m)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(params))
+        state = init_train_state(cfg, params)
+        del params
+        step_fn = jax.jit(make_train_step(cfg, model))
+
+        rng = jax.random.PRNGKey(1)
+        k1, _ = jax.random.split(rng)
+        txt = jax.random.randint(k1, (B, m.txt_length), 0,
+                                 m.text_vocab_size - 1)
+        img = jax.random.randint(k1, (B, m.img_length),
+                                 m.text_vocab_size, m.vocab_size)
+        batch = {"input_ids": jnp.concatenate([txt, img], -1).astype(
+                     jnp.int32),
+                 "modality": jnp.concatenate(
+                     [jnp.zeros((B, m.txt_length), jnp.int32),
+                      jnp.ones((B, m.img_length), jnp.int32)], -1)}
+
+        # warmup (compile)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+        np.asarray(metrics.loss)
+
+        times = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(4):
+                state, metrics = step_fn(state, batch,
+                                         jax.random.fold_in(rng, w * 4 + i))
+            np.asarray(metrics.loss)  # barrier
+            times.append((time.perf_counter() - t0) / 4)
+        dt = min(times)
+
+        tokens = B * m.length
+        tok_per_s = tokens / dt
+        # fwd+bwd model FLOPs/token ~ 6*N (reference model_setup.py:823);
+        # remat recompute is NOT counted (same convention as BASELINE)
+        tf_per_s = 6.0 * n_params * tok_per_s / 1e12
+        print(json.dumps({
+            "scale": scale, "params": n_params, "batch": B,
+            "seq": m.length, "s_per_step": round(dt, 4),
+            "tok_per_s": round(tok_per_s, 1),
+            "model_tflops_per_s": round(tf_per_s, 1),
+            "mfu_vs_v5e_peak": round(tf_per_s / PEAK_TFLOPS, 3),
+            "loss": round(float(np.asarray(metrics.loss)), 4),
+        }), flush=True)
+        del state, step_fn
+
+
+if __name__ == "__main__":
+    main()

@@ -216,3 +216,69 @@ def test_engine_rolling_route():
     finally:
         for b in eng._rolling.values():
             b.shutdown()
+
+
+def test_mixed_step_counts_share_a_batch():
+    """A 2-step fast request and a 4-step request co-resident: each
+    row's tokens match its solo run at the same (seed, steps) — the
+    capability whole-batch serving cannot offer."""
+    cfg, params, fwd = tiny_setup()
+    x0, unmask, modality = t2i_rows(cfg, 2, seed=9)
+    built = build_rolling_sampler(fwd, cfg, slots=4, chunk=1)
+
+    def solo(r, seed, steps):
+        st = built.init_state()
+        st = built.insert_many(
+            st, jnp.asarray([0]), jnp.asarray(x0[r:r + 1]),
+            jnp.asarray(unmask[r:r + 1]), jnp.asarray(modality[r:r + 1]),
+            jnp.asarray([seed], jnp.int32),
+            jnp.asarray([steps], jnp.int32))
+        st = drive(built, params, st)
+        return np.asarray(st.x[0])
+
+    ref_fast = solo(0, 30, 2)
+    ref_full = solo(1, 31, STEPS)
+
+    st = built.init_state()
+    st = built.insert_many(
+        st, jnp.asarray([0, 1]), jnp.asarray(x0), jnp.asarray(unmask),
+        jnp.asarray(modality), jnp.asarray([30, 31], jnp.int32),
+        jnp.asarray([2, STEPS], jnp.int32))
+    st = drive(built, params, st)
+    step = np.asarray(st.step)
+    assert step[0] == 2 + 1 and step[1] == STEPS + 1  # each at ITS finish
+    np.testing.assert_array_equal(np.asarray(st.x[0]), ref_fast)
+    np.testing.assert_array_equal(np.asarray(st.x[1]), ref_full)
+
+
+def test_batcher_per_request_steps():
+    cfg, params, fwd = tiny_setup()
+    x0, unmask, modality = t2i_rows(cfg, 2, seed=11)
+    built = build_rolling_sampler(fwd, cfg, slots=4, chunk=2)
+
+    def solo(r, seed, steps):
+        st = built.init_state()
+        st = built.insert_many(
+            st, jnp.asarray([0]), jnp.asarray(x0[r:r + 1]),
+            jnp.asarray(unmask[r:r + 1]), jnp.asarray(modality[r:r + 1]),
+            jnp.asarray([seed], jnp.int32),
+            jnp.asarray([steps], jnp.int32))
+        st = drive(built, params, st)
+        return np.asarray(st.x[0])
+
+    expected = [solo(0, 40, 2), solo(1, 41, STEPS)]
+    batcher = RollingDiffusionBatcher(fwd, params, cfg, slots=4, chunk=2)
+    try:
+        f0 = batcher.submit(x0[0], unmask[0], modality[0], seed=40, steps=2)
+        f1 = batcher.submit(x0[1], unmask[1], modality[1], seed=41)
+        rows = [f0.result(timeout=120), f1.result(timeout=120)]
+    finally:
+        batcher.shutdown()
+    np.testing.assert_array_equal(rows[0], expected[0])
+    np.testing.assert_array_equal(rows[1], expected[1])
+    b2 = RollingDiffusionBatcher(fwd, params, cfg, slots=2)
+    try:
+        with pytest.raises(ValueError, match="steps"):
+            b2.submit(x0[0], unmask[0], steps=99)
+    finally:
+        b2.shutdown()

@@ -60,11 +60,50 @@ class RollingState(NamedTuple):
     x0: jax.Array         # (S, L) int32 conditioning tokens
     unmask: jax.Array     # (S, L) bool  conditioning positions
     modality: jax.Array   # (S, L) int32
-    schedule: jax.Array   # (S, steps) int32 per-row reveal budget
-    step: jax.Array       # (S,) int32: 0..steps-1 denoise, steps =
-    #                       finalize (noise removal), done_at = finished
+    schedule: jax.Array   # (S, max_steps) int32 per-row reveal budget
+    step: jax.Array       # (S,) int32: 0..row_steps-1 denoise,
+    #                       row_steps = finalize, row_steps+extra = done
+    row_steps: jax.Array  # (S,) int32 per-REQUEST denoise step count —
+    #                       8-NFE fast rows and 32-step rows share a batch
     seed: jax.Array       # (S,) int32 request seed
     active: jax.Array     # (S,) bool
+
+
+def adaptive_schedule_ragged(num_masked: jax.Array, steps_v: jax.Array,
+                             max_steps: int, mode: str) -> jax.Array:
+    """Per-row unmasking schedule with PER-ROW step counts (traced),
+    padded to (B, max_steps). Exactly adaptive_schedule (sampler.py,
+    reference adap_sche model_eval.py:2964-3001) for uniform rows —
+    asserted by test_rolling.py's lockstep parity."""
+    i = jnp.arange(max_steps)[None, :]
+    act = i < steps_v[:, None]
+    denom = jnp.maximum(steps_v - 1, 1)[:, None].astype(jnp.float32)
+    r = jnp.clip(1.0 - i.astype(jnp.float32) / denom, 0.0, 1.0)
+    if mode == "root":
+        val = 1 - jnp.sqrt(r)
+    elif mode == "linear":
+        val = 1 - r
+    elif mode == "square":
+        val = 1 - r ** 2
+    elif mode == "cosine":
+        val = jnp.cos(r * jnp.pi * 0.5)
+    elif mode == "arccos":
+        val = jnp.arccos(r) / (jnp.pi * 0.5)
+    else:
+        raise ValueError(mode)
+    val = jnp.where(act, val, 0.0)
+    frac = val / val.sum(-1, keepdims=True)
+    nm = num_masked[:, None].astype(jnp.float32)
+    sche = jnp.round(frac * nm)
+    sche = jnp.where(act & (sche == 0), 1.0, sche)
+    last_idx = steps_v - 1
+    is_last = i == last_idx[:, None]
+    sum_except_last = (sche * act).sum(-1) - \
+        jnp.take_along_axis(sche, last_idx[:, None], 1)[:, 0]
+    last = jnp.maximum(num_masked.astype(jnp.float32) - sum_except_last,
+                       0.0)
+    sche = jnp.where(is_last, last[:, None], sche)
+    return jnp.where(act, sche, 0.0).astype(jnp.int32)
 
 
 def build_rolling_sampler(forward_logits: Callable, config: Config, *,
@@ -90,14 +129,15 @@ def build_rolling_sampler(forward_logits: Callable, config: Config, *,
             f"rolling batching supports predictor='maskgit' "
             f"(got {cfg.predictor!r})")
     noise = get_noise(config.noise)
-    steps = num_steps or cfg.steps
+    steps = num_steps or cfg.steps    # per-row MAXIMUM (and the default)
     mask_index = mcfg.mask_index
     eps = cfg.sampling_eps
     L = mcfg.length
     S = slots
     use_cfg = cfg.cfg is not None
-    done_at = steps + (1 if cfg.noise_removal else 0)
-    timesteps = jnp.linspace(1.0, eps, steps + 1)
+    extra = 1 if cfg.noise_removal else 0
+    done_at = steps + extra           # max over rows; per-row is
+    #                                   row_steps + extra
     modal_kw = dict(text_vocab_size=mcfg.text_vocab_size) \
         if mcfg.force_argmax_valid_indices else None
 
@@ -131,25 +171,32 @@ def build_rolling_sampler(forward_logits: Callable, config: Config, *,
             x=jnp.full((S, L), mask_index, jnp.int32), x0=z(S, L),
             unmask=jnp.zeros((S, L), bool), modality=z(S, L),
             schedule=z(S, steps), step=jnp.full((S,), done_at, jnp.int32),
+            row_steps=jnp.full((S,), steps, jnp.int32),
             seed=z(S), active=jnp.zeros((S,), bool))
 
     def insert_many(state: RollingState, slots_v, x0, unmask, modality,
-                    seeds) -> RollingState:
+                    seeds, steps_v=None) -> RollingState:
         """Scatter N new requests into their slots (slot >= S = padding,
         dropped device-side via scatter mode='drop' so admission groups
         can be bucketed; -1 would WRAP to S-1 in JAX, so the sentinel
-        must be out-of-range high)."""
-        x_init = jnp.where(unmask, x0, mask_index)
-        sche = adaptive_schedule((x_init == mask_index).sum(-1), steps,
-                                 cfg.maskgit_mode)
-        put = lambda arr, val: arr.at[slots_v].set(val, mode="drop")
+        must be out-of-range high). steps_v: per-request denoise step
+        counts <= max steps (default: max) — fast low-NFE requests and
+        full-step requests share the batch."""
         n = slots_v.shape[0]
+        if steps_v is None:
+            steps_v = jnp.full((n,), steps, jnp.int32)
+        x_init = jnp.where(unmask, x0, mask_index)
+        sche = adaptive_schedule_ragged(
+            (x_init == mask_index).sum(-1), steps_v, steps,
+            cfg.maskgit_mode)
+        put = lambda arr, val: arr.at[slots_v].set(val, mode="drop")
         return RollingState(
             x=put(state.x, x_init), x0=put(state.x0, x0),
             unmask=put(state.unmask, unmask),
             modality=put(state.modality, modality),
             schedule=put(state.schedule, sche),
             step=put(state.step, jnp.zeros((n,), jnp.int32)),
+            row_steps=put(state.row_steps, steps_v.astype(jnp.int32)),
             seed=put(state.seed, seeds.astype(jnp.int32)),
             active=put(state.active, jnp.ones((n,), bool)))
 
@@ -160,10 +207,18 @@ def build_rolling_sampler(forward_logits: Callable, config: Config, *,
         return jax.random.fold_in(k, step)
 
     def _body(params, s: RollingState, injected=None) -> RollingState:
-        denoise = s.active & (s.step < steps)
-        final = s.active & (s.step == steps)
-        step_c = jnp.clip(s.step, 0, steps - 1)
-        t = jnp.where(s.step >= steps, eps, timesteps[step_c])
+        rs = s.row_steps
+        denoise = s.active & (s.step < rs)
+        # noise-removal branch only exists when configured; without it a
+        # row at step==rs is DONE and must freeze, not finalize
+        final = (s.active & (s.step == rs)) if extra else \
+            jnp.zeros_like(denoise)
+        step_c = jnp.clip(s.step, 0, rs - 1)
+        # static-sampler parity: timesteps[i] = 1 - i*(1-eps)/steps
+        # (linspace(1.0, eps, steps+1)), with per-row step counts
+        t_lin = 1.0 - step_c.astype(jnp.float32) * (1.0 - eps) / \
+            jnp.maximum(rs, 1).astype(jnp.float32)
+        t = jnp.where(s.step >= rs, eps, t_lin)
 
         raw = _forward(params, s.x, t, s.x0, s.unmask, s.modality)
         V = raw.shape[-1]
@@ -203,7 +258,7 @@ def build_rolling_sampler(forward_logits: Callable, config: Config, *,
                            jnp.where(final[:, None], x_fin, s.x))
         x_next = jnp.where(s.unmask, s.x0, x_next)
         step_next = jnp.where(s.active,
-                              jnp.minimum(s.step + 1, done_at), s.step)
+                              jnp.minimum(s.step + 1, rs + extra), s.step)
         return s._replace(x=x_next, step=step_next)
 
     def step_chunk(params, state: RollingState,
@@ -220,12 +275,13 @@ def build_rolling_sampler(forward_logits: Callable, config: Config, *,
         init_state: Callable
         insert_many: Callable
         step_chunk: Callable
-        done_at: int
-        steps: int
+        done_at: int      # max over rows; a row finishes at its own
+        steps: int        # row_steps + extra
         chunk: int
+        extra: int        # 1 when noise_removal adds a finalize step
 
     return _Built(init_state, jax.jit(insert_many), jax.jit(step_chunk),
-                  done_at, steps, chunk)
+                  done_at, steps, chunk, extra)
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -259,6 +315,9 @@ class RollingDiffusionBatcher:
         # — on the tunneled chip (~130ms/RPC) per-chunk syncs dominated
         # the measured serving latency
         self._steps = [self.built.done_at] * slots
+        # per-slot finish line: row_steps + extra (requests may carry
+        # their own step count — 8-NFE fast rows share the batch)
+        self._done = [self.built.done_at] * slots
         self._lock = threading.Lock()
         self._stop = False
         self._wake = threading.Event()
@@ -284,13 +343,20 @@ class RollingDiffusionBatcher:
 
     def submit(self, x0: np.ndarray, unmask: np.ndarray,
                modality: Optional[np.ndarray] = None,
-               seed: int = 0) -> "Future":
+               seed: int = 0, steps: Optional[int] = None) -> "Future":
+        """steps: per-request denoise step count <= the batcher's max
+        (e.g. 8 for a fast_nfe-style request sharing a 32-step batch)."""
         fut: Future = Future()
         if modality is None:
             modality = np.zeros((self.L,), np.int32)
+        steps = self.built.steps if steps is None else int(steps)
+        if not 1 <= steps <= self.built.steps:
+            raise ValueError(
+                f"steps={steps} outside [1, {self.built.steps}]")
         self._pending.put((np.asarray(x0, np.int32),
                            np.asarray(unmask, bool),
-                           np.asarray(modality, np.int32), int(seed), fut))
+                           np.asarray(modality, np.int32), int(seed),
+                           steps, fut))
         self._wake.set()
         return fut
 
@@ -318,15 +384,19 @@ class RollingDiffusionBatcher:
         unmask = np.zeros((n, self.L), bool)
         modality = np.zeros((n, self.L), np.int32)
         seeds = np.zeros((n,), np.int32)
-        for j, (x0_r, um_r, mod_r, seed, fut) in enumerate(group):
+        steps_v = np.full((n,), self.built.steps, np.int32)
+        for j, (x0_r, um_r, mod_r, seed, stp, fut) in enumerate(group):
             slot = free[j]
             slots_v[j] = slot
             x0[j], unmask[j], modality[j], seeds[j] = x0_r, um_r, mod_r, seed
+            steps_v[j] = stp
             self._owner[slot] = fut
             self._steps[slot] = 0
+            self._done[slot] = stp + self.built.extra
         self.state = self.built.insert_many(
             self.state, jnp.asarray(slots_v), jnp.asarray(x0),
-            jnp.asarray(unmask), jnp.asarray(modality), jnp.asarray(seeds))
+            jnp.asarray(unmask), jnp.asarray(modality), jnp.asarray(seeds),
+            jnp.asarray(steps_v))
         return True
 
     def _harvest(self):
@@ -336,7 +406,7 @@ class RollingDiffusionBatcher:
         # compiled (each distinct shape is a ~1s remote compile on the
         # tunneled chip — measured dominating the first A/B run)
         done = [i for i, o in enumerate(self._owner)
-                if o is not None and self._steps[i] >= self.built.done_at]
+                if o is not None and self._steps[i] >= self._done[i]]
         if not done:
             return
         rows = np.asarray(self.state.x)
@@ -356,5 +426,5 @@ class RollingDiffusionBatcher:
             for i, o in enumerate(self._owner):
                 if o is not None:
                     self._steps[i] = min(self._steps[i] + self.built.chunk,
-                                         self.built.done_at)
+                                         self._done[i])
             self._harvest()
