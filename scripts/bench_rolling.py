@@ -50,7 +50,8 @@ def main():
     from unidisc_tpu.ops.quant import quantize_model
     from unidisc_tpu.sampling.sampler import build_sampler
     from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
-    from unidisc_tpu.serving.rolling import RollingDiffusionBatcher
+    from unidisc_tpu.serving.rolling import (RollingDiffusionBatcher,
+                                             RollingT2IBatcher)
 
     cfg = _flagship_config().override(**{
         "sampling.predictor": "maskgit", "sampling.steps": args.steps,
@@ -193,6 +194,32 @@ def main():
     all_done.wait(timeout=600)
     report("rolling", t0, done_t, arrive_t)
     batcher.shutdown()
+
+    # ---- rolling on the span-factored t2i path ----------------------------
+    t2i_b = RollingT2IBatcher(qmodel, qparams, qcfg, slots=S,
+                              chunk=args.chunk)
+    t2i_b.warmup()
+    t2i_b.submit(txts[0], seed=0).result(timeout=600)
+
+    done_t = [0.0] * N
+    arrive_t = [0.0] * N
+    all_done = threading.Event()
+    remaining = [N]
+    t0 = time.perf_counter()
+
+    def feeder_t2i():
+        for i in range(N):
+            arrive_t[i] = time.perf_counter()
+            f = t2i_b.submit(txts[i], seed=i)
+            f.add_done_callback(on_done(i))
+            time.sleep(gap)
+
+    th = threading.Thread(target=feeder_t2i)
+    th.start()
+    th.join()
+    all_done.wait(timeout=600)
+    report("rolling_t2i", t0, done_t, arrive_t)
+    t2i_b.shutdown()
 
 
 if __name__ == "__main__":

@@ -282,3 +282,83 @@ def test_batcher_per_request_steps():
             b2.submit(x0[0], unmask[0], steps=99)
     finally:
         b2.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# span-factored t2i rolling
+
+
+def t2i_setup():
+    cfg, params, fwd = tiny_setup()
+    from unidisc_tpu.models.dit import init_dit as _init
+    model, _ = _init(jax.random.PRNGKey(0), cfg.model)
+    return cfg, params, model
+
+
+def test_rolling_t2i_lockstep_parity_with_static():
+    """Rolling t2i (all admitted at once, injected noise) ==
+    build_t2i_sampler(inject_noise=True) token-for-token."""
+    from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
+    from unidisc_tpu.serving.rolling import build_rolling_t2i
+
+    cfg, params, model = t2i_setup()
+    m = cfg.model
+    B = 3
+    Vi = m.image_vocab_size
+    txt = np.random.RandomState(2).randint(
+        1, 50, (B, m.txt_length)).astype(np.int32)
+    rng = np.random.RandomState(8)
+    injected = {
+        "gumbel_tok": jnp.asarray(-np.log(rng.exponential(
+            size=(STEPS, B, m.img_length, Vi))).astype(np.float32)),
+        "gumbel_conf": jnp.asarray(-np.log(rng.exponential(
+            size=(STEPS, B, m.img_length))).astype(np.float32)),
+    }
+    static = build_t2i_sampler(model, cfg, inject_noise=True)
+    ref = static(params, jax.random.PRNGKey(0), jnp.asarray(txt),
+                 injected=injected)
+
+    built = build_rolling_t2i(model, cfg, slots=B, chunk=2,
+                              inject_noise=True)
+    st = built.init_state()
+    st = built.insert_many(st, jnp.arange(B), jnp.asarray(txt),
+                           jnp.zeros((B,), jnp.int32))
+    st = drive(built, params, st, injected=injected)
+    np.testing.assert_array_equal(np.asarray(st.x),
+                                  np.asarray(ref.tokens))
+
+
+def test_rolling_t2i_staggered_determinism_and_ragged_steps():
+    from unidisc_tpu.serving.rolling import build_rolling_t2i
+
+    cfg, params, model = t2i_setup()
+    m = cfg.model
+    txt = np.random.RandomState(4).randint(
+        1, 50, (2, m.txt_length)).astype(np.int32)
+    built = build_rolling_t2i(model, cfg, slots=4, chunk=1)
+
+    def solo(r, seed, steps):
+        st = built.init_state()
+        st = built.insert_many(st, jnp.asarray([0]),
+                               jnp.asarray(txt[r:r + 1]),
+                               jnp.asarray([seed], jnp.int32),
+                               jnp.asarray([steps], jnp.int32))
+        st = drive(built, params, st)
+        return np.asarray(st.x[0])
+
+    ref0 = solo(0, 50, 2)           # fast 2-step request
+    ref1 = solo(1, 51, STEPS)       # full-step request
+
+    st = built.init_state()
+    st = built.insert_many(st, jnp.asarray([0]), jnp.asarray(txt[:1]),
+                           jnp.asarray([50], jnp.int32),
+                           jnp.asarray([2], jnp.int32))
+    st = built.step_chunk(params, st)     # row0 mid-flight
+    st = built.insert_many(st, jnp.asarray([1]), jnp.asarray(txt[1:]),
+                           jnp.asarray([51], jnp.int32),
+                           jnp.asarray([STEPS], jnp.int32))
+    st = drive(built, params, st)
+    np.testing.assert_array_equal(np.asarray(st.x[0]), ref0)
+    np.testing.assert_array_equal(np.asarray(st.x[1]), ref1)
+    # text spans stay clamped
+    np.testing.assert_array_equal(np.asarray(st.x[:2, :m.txt_length]), txt)

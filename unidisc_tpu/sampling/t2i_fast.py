@@ -98,26 +98,22 @@ def _sigma_cond(params, sigma, time_conditioning=True,
     return jax.nn.silu(h.astype(compute_dtype))
 
 
-def build_t2i_sampler(model, config: Config,
-                      num_steps: Optional[int] = None,
-                      return_trajectory: bool = False) -> Callable:
-    """sample(params, rng, txt_tokens (B, txt_len), modality) ->
-    SampleResult over the full [txt | img] sequence.
-
-    return_trajectory=True additionally returns the (steps, B, L) token
-    state after every denoise step (for denoise-strip viz and schedule
-    tests)."""
+def img_log_weights_fn(model, config: Config) -> Callable:
+    """(params, x (B, L), t (B,), modality) -> unnormalized image-span
+    log-weights (B, Li, img_vocab) with CFG — the span-factored forward
+    shared by the static t2i sampler and the rolling t2i batcher
+    (serving/rolling.py). Per-row `t` is supported throughout
+    (guidance_weight and the sigma embedding are (B,)-wise)."""
     cfg = config
     m = cfg.model
     s = cfg.sampling
     noise = get_noise(cfg.noise)
-    steps = num_steps or s.steps
-    Lt, Li, L = m.txt_length, m.img_length, m.length
+    Lt = m.txt_length
     v0 = m.text_vocab_size
     mask_index = m.mask_index
     use_cfg = s.cfg is not None
 
-    def trunk(params, x, sigma, modality, c_needed):
+    def trunk(params, x, sigma, modality):
         logits, hidden = model.apply(
             {"params": params}, x, sigma, modality=modality,
             return_hidden=True)
@@ -125,18 +121,15 @@ def build_t2i_sampler(model, config: Config,
         return hidden
 
     def _cond_only(params, x, sigma, modality):
-        hidden = trunk(params, x, sigma, modality, True)
+        hidden = trunk(params, x, sigma, modality)
         c = _sigma_cond(params, sigma, m.time_conditioning)
         return _img_head(params, hidden[:, Lt:], c, cfg, v0)
 
     def img_log_weights(params, x, t, modality):
-        """Unnormalized image-span log-weights with CFG.
-
-        The guidance weight honors the cfg_min/max_timestep windows
+        """The guidance weight honors the cfg_min/max_timestep windows
         (guidance_weight, reference model_eval.py:1737-1759); on steps
-        where the window zeroes the whole batch's weight — including the
-        very first step of the default anneal, w(1)=0 — the unconditional
-        trunk pass is skipped via lax.cond (half the step's FLOPs)."""
+        where the window zeroes the whole batch's weight the
+        unconditional trunk pass is skipped via lax.cond."""
         sigma = noise.total(t)
         if not use_cfg:
             return _cond_only(params, x, sigma, modality
@@ -148,12 +141,10 @@ def build_t2i_sampler(model, config: Config,
             xx = jnp.concatenate([x, x_uncond], 0)
             ss = jnp.concatenate([sigma, sigma], 0)
             mm = jnp.concatenate([modality, modality], 0)
-            hidden = trunk(params, xx, ss, mm, True)
+            hidden = trunk(params, xx, ss, mm)
             c = _sigma_cond(params, ss, m.time_conditioning)
             # the head's linear is LINEAR: combine the normalized+modulated
             # halves BEFORE the matmul — one (B, Li, V) head instead of two
-            # ((1+w)·Lin(y_c) − w·Lin(y_u) = Lin((1+w)y_c − w·y_u) up to the
-            # shared bias, which the combine weights sum to 1 over)
             y = _head_pre(params, hidden[:, Lt:], c, cfg)
             yc, yu = jnp.split(y, 2, axis=0)
             w = wt[:, None, None].astype(y.dtype)
@@ -163,6 +154,35 @@ def build_t2i_sampler(model, config: Config,
             jnp.all(wt == 0.0),
             lambda x: _cond_only(params, x, sigma, modality), full, x)
         return logits.astype(jnp.float32)  # (B, Li, img_vocab)
+
+    return img_log_weights
+
+
+def build_t2i_sampler(model, config: Config,
+                      num_steps: Optional[int] = None,
+                      return_trajectory: bool = False,
+                      inject_noise: bool = False) -> Callable:
+    """sample(params, rng, txt_tokens (B, txt_len), modality) ->
+    SampleResult over the full [txt | img] sequence.
+
+    return_trajectory=True additionally returns the (steps, B, L) token
+    state after every denoise step (for denoise-strip viz and schedule
+    tests).
+
+    inject_noise=True: parity-harness mode (same contract as
+    build_sampler) — `sample` takes an extra `injected` dict:
+    "gumbel_tok" (steps, B, Li, img_vocab) token-pick Gumbel noise and
+    "gumbel_conf" (steps, B, Li) confidence noise, replacing the JAX
+    RNG draws so the rolling t2i batcher can be matched
+    token-for-token."""
+    cfg = config
+    m = cfg.model
+    s = cfg.sampling
+    steps = num_steps or s.steps
+    Lt, Li, L = m.txt_length, m.img_length, m.length
+    v0 = m.text_vocab_size
+    mask_index = m.mask_index
+    img_log_weights = img_log_weights_fn(model, config)
 
     # dilated unmasking groups (PAPERS.md "Plan for Speed"): group id per
     # image-grid position = (row % d) * d + (col % d); same-group tokens
@@ -184,7 +204,8 @@ def build_t2i_sampler(model, config: Config,
         group_of_pos = None
         n_groups = 1
 
-    def sample(params, rng, txt_tokens, modality=None):
+    def sample(params, rng, txt_tokens, modality=None, injected=None):
+        assert (injected is not None) == inject_noise
         b = txt_tokens.shape[0]
         if modality is None:
             modality = jnp.concatenate(
@@ -201,7 +222,9 @@ def build_t2i_sampler(model, config: Config,
             rng, k_tok, k_g = jax.random.split(rng, 3)
             t = jnp.full((b,), timesteps[i])
             raw = img_log_weights(params, x, t, modality)
-            g = jax.random.gumbel(k_tok, raw.shape, dtype=raw.dtype)
+            g = injected["gumbel_tok"][i].astype(raw.dtype) \
+                if inject_noise else \
+                jax.random.gumbel(k_tok, raw.shape, dtype=raw.dtype)
             pred_local = jnp.argmax(raw + g, axis=-1)          # (B, Li)
             lse = jax.nn.logsumexp(raw, axis=-1)
             conf = jnp.take_along_axis(raw, pred_local[..., None],
@@ -219,7 +242,8 @@ def build_t2i_sampler(model, config: Config,
             # confidences than the quota the threshold would be -inf and
             # -inf >= -inf unmasks everything at once (ADVICE round-1 bug)
             num = jnp.minimum(schedule[:, i], eligible.sum(-1))
-            gumbel = jax.random.gumbel(k_g, conf.shape)
+            gumbel = injected["gumbel_conf"][i] if inject_noise else \
+                jax.random.gumbel(k_g, conf.shape)
             conf = conf + s.maskgit_r_temp * gumbel * t[:, None]
             conf = jnp.where(eligible, conf, -jnp.inf)
             thresh = confidence_threshold(conf, num)

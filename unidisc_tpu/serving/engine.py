@@ -153,14 +153,17 @@ class InferenceEngine:
                 self.model, self.config, num_steps=key[1]))
         return self._samplers[key]
 
-    def _rolling_batcher(self, steps: Optional[int] = None):
-        key = steps or self.config.sampling.steps
-        if key not in self._rolling:
+    def _rolling_batcher(self):
+        """ONE batcher at the config's max step count — per-request
+        step overrides ride the ragged row_steps state, so a fast
+        8-step request and a 32-step request share the same persistent
+        batch (no per-steps batcher pool)."""
+        if "batcher" not in self._rolling:
             from unidisc_tpu.serving.rolling import RollingDiffusionBatcher
-            self._rolling[key] = RollingDiffusionBatcher(
+            self._rolling["batcher"] = RollingDiffusionBatcher(
                 self._forward, self.params, self.config,
-                slots=self._rolling_slots, num_steps=key)
-        return self._rolling[key]
+                slots=self._rolling_slots)
+        return self._rolling["batcher"]
 
     def _layout(self, batch: int):
         m = self.m
@@ -255,17 +258,38 @@ class InferenceEngine:
             return self._run_batch_locked(prepared, steps=steps, seed=seed,
                                           pad_to=pad_to)
 
+    def _rolling_t2i(self):
+        """Span-factored rolling batcher for pure t2i requests (shares
+        nothing with the generic one — each owns its persistent state)."""
+        if "t2i" not in self._rolling:
+            from unidisc_tpu.serving.rolling import RollingT2IBatcher
+            self._rolling["t2i"] = RollingT2IBatcher(
+                self.model, self.params, self.config,
+                slots=self._rolling_slots)
+        return self._rolling["t2i"]
+
     def _run_batch_rolling(self, prepared, *, steps, seed):
         m = self.m
-        batcher = self._rolling_batcher(steps)
+        fastpath = all(p["fastpath"] for p in prepared) and \
+            self.config.sampling.maskgit_dilation in (None, 0, 1)
+        batcher = self._rolling_t2i() if fastpath \
+            else self._rolling_batcher()
+        req_steps = min(steps or self.config.sampling.steps,
+                        batcher.built.steps)
         futs = []
         for i, p in enumerate(prepared):
             row_seed = (seed * 0x9E3779B1 + i) & 0x7FFFFFFF
-            futs.append(batcher.submit(p["x0"], p["unmask"],
-                                       self._layout(1)[0],
-                                       seed=row_seed))
+            if fastpath:
+                futs.append(batcher.submit(p["x0"][:m.txt_length],
+                                           seed=row_seed,
+                                           steps=req_steps))
+            else:
+                futs.append(batcher.submit(p["x0"], p["unmask"],
+                                           self._layout(1)[0],
+                                           seed=row_seed,
+                                           steps=req_steps))
         tokens = np.stack([f.result(timeout=600) for f in futs])
-        nfe = batcher.built.done_at
+        nfe = req_steps + batcher.built.extra
         return self._decode_rows(prepared, tokens, nfe)
 
     def _run_batch_locked(self, prepared, *, steps, seed, pad_to):
