@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--arrival-ms", type=float, default=150.0)
+    ap.add_argument("--mixed", action="store_true",
+                    help="add a mixed-NFE rolling cell (half the "
+                    "requests at steps/4 — ragged row_steps)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -219,6 +222,35 @@ def main():
     th.join()
     all_done.wait(timeout=600)
     report("rolling_t2i", t0, done_t, arrive_t)
+
+    if args.mixed:
+        # mixed NFE workload: half the requests are 8-step "fast" rows
+        # — they share the SAME rolling batch (ragged row_steps), which
+        # whole-batch serving cannot do at all (it would need separate
+        # per-step-count batches). Latency split reported per class.
+        fast_steps = max(1, steps // 4)
+        done_t = [0.0] * N
+        arrive_t = [0.0] * N
+        all_done = threading.Event()
+        remaining = [N]
+        t0 = time.perf_counter()
+        for i in range(N):
+            arrive_t[i] = time.perf_counter()
+            f = t2i_b.submit(txts[i], seed=i,
+                             steps=fast_steps if i % 2 else steps)
+            f.add_done_callback(on_done(i))
+            time.sleep(gap)
+        all_done.wait(timeout=600)
+        lat = [d - a for d, a in zip(done_t, arrive_t)]
+        span = max(done_t) - t0
+        print(json.dumps({
+            "mode": "rolling_t2i_mixed", "requests": N, "slots": S,
+            "full_steps": steps, "fast_steps": fast_steps,
+            "gen_tok_per_s": round(N * m.img_length / span, 1),
+            "lat_mean_full_s": round(
+                sum(lat[0::2]) / len(lat[0::2]), 3),
+            "lat_mean_fast_s": round(
+                sum(lat[1::2]) / len(lat[1::2]), 3)}), flush=True)
     t2i_b.shutdown()
 
 
