@@ -362,3 +362,69 @@ def test_rolling_t2i_staggered_determinism_and_ragged_steps():
     np.testing.assert_array_equal(np.asarray(st.x[1]), ref1)
     # text spans stay clamped
     np.testing.assert_array_equal(np.asarray(st.x[:2, :m.txt_length]), txt)
+
+
+def test_steps_one_schedule_reveals_everything():
+    """steps=1: the ragged schedule must put the whole budget on the
+    single step (the 0/0-frac guard), not NaN into a zero budget."""
+    from unidisc_tpu.serving.rolling import adaptive_schedule_ragged
+
+    sche = adaptive_schedule_ragged(
+        jnp.asarray([16, 7]), jnp.asarray([1, 1]), 4, "arccos")
+    assert np.asarray(sche)[:, 0].tolist() == [16, 7]
+    assert np.asarray(sche)[:, 1:].sum() == 0
+
+    # and end-to-end: a 1-step request completes fully unmasked
+    cfg, params, fwd = tiny_setup()
+    x0, unmask, modality = t2i_rows(cfg, 1)
+    built = build_rolling_sampler(fwd, cfg, slots=2, chunk=2)
+    st = built.init_state()
+    st = built.insert_many(
+        st, jnp.asarray([0]), jnp.asarray(x0), jnp.asarray(unmask),
+        jnp.asarray(modality), jnp.asarray([1], jnp.int32),
+        jnp.asarray([1], jnp.int32))
+    st = drive(built, params, st)
+    assert (np.asarray(st.x[0]) != cfg.model.mask_index).all()
+
+
+def test_worker_crash_fails_futures_not_hangs():
+    """A device error inside the worker must set_exception on every
+    owned/pending future (the engine would otherwise block 10 min)."""
+    cfg, params, fwd = tiny_setup()
+    x0, unmask, modality = t2i_rows(cfg, 1)
+    batcher = RollingDiffusionBatcher(fwd, params, cfg, slots=2, chunk=2)
+    try:
+        boom = RuntimeError("injected device failure")
+
+        def exploding(*a, **k):
+            raise boom
+
+        batcher.built = batcher.built._replace(step_chunk=exploding)
+        fut = batcher.submit(x0[0], unmask[0], modality[0], seed=0)
+        with pytest.raises(RuntimeError, match="injected device"):
+            fut.result(timeout=30)
+        # the worker recovered: restore the chunk fn and serve again
+        from unidisc_tpu.serving.rolling import build_rolling_sampler as b
+        batcher.built = b(fwd, cfg, slots=2, chunk=2)
+        batcher.state = batcher.built.init_state()
+        out = batcher.submit(x0[0], unmask[0], modality[0],
+                             seed=0).result(timeout=120)
+        assert out.shape == (cfg.model.length,)
+    finally:
+        batcher.shutdown()
+
+
+def test_shutdown_fails_outstanding_futures():
+    cfg, params, fwd = tiny_setup()
+    x0, unmask, modality = t2i_rows(cfg, 1)
+    batcher = RollingDiffusionBatcher(fwd, params, cfg, slots=2, chunk=1)
+    fut = batcher.submit(x0[0], unmask[0], modality[0], seed=0)
+    batcher.shutdown()
+    # either it finished before shutdown or it failed — never hangs
+    try:
+        r = fut.result(timeout=5)
+        assert r.shape == (cfg.model.length,)
+    except RuntimeError as e:
+        assert "shut down" in str(e)
+    with pytest.raises(RuntimeError, match="shut down"):
+        batcher.submit(x0[0], unmask[0], modality[0])

@@ -203,15 +203,24 @@ def _flash_block(q, k, v, qseg, kseg, scale, causal):
     lse = lse[:, :, : qt.shape[2], 0]
     if qseg is not None:
         # the kernel writes lse=0 on fully-masked rows (its own zero
-        # sentinel); for cross-block merging those must weigh NOTHING
-        ok = (qseg[:, :, None] == kseg[:, None, :]) & \
-            (qseg >= 0)[:, :, None]
+        # sentinel); for cross-block merging those must weigh NOTHING.
+        # The any-valid-key flag is computed WITHOUT materializing the
+        # (B, Lq, Lk) mask (that quadratic tile is exactly what the
+        # flash ring exists to avoid at 8k+):
         if causal:
-            lq, lk = q.shape[1], k.shape[1]
-            ok = ok & (jnp.arange(lk)[None, None, :]
-                       <= jnp.arange(lq)[None, :, None])
-        valid = ok.any(-1)[:, None, :]                    # (B, 1, Lq)
-        lse = jnp.where(valid, lse, -jnp.inf)
+            # causal only ever applies on the DIAGONAL ring block, where
+            # q and kv cover the same positions (kseg[r] == qseg[r] for
+            # packed self-attention) — row r always sees itself
+            valid = qseg >= 0
+        else:
+            # membership of qseg[row] in the block's key segments via a
+            # per-row sorted search: O(Lc log Lc) time, O(Lc) memory
+            ks = jnp.sort(kseg, axis=1)
+            pos = jax.vmap(jnp.searchsorted)(ks, qseg)
+            found = jnp.take_along_axis(
+                ks, jnp.clip(pos, 0, ks.shape[1] - 1), 1) == qseg
+            valid = found & (qseg >= 0)
+        lse = jnp.where(valid[:, None, :], lse, -jnp.inf)
     return out.astype(jnp.float32), lse
 
 

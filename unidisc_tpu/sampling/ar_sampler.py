@@ -95,6 +95,15 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
 
         kv = init_kv_cache_for(m, bb, l)
 
+        if use_cfg and not s.force_cfg_value:
+            # anneal fraction over PREDICTED tokens (reference
+            # model_eval.py:2782-2784: get_cfg_weight(1 - i/num_pred),
+            # i counting prediction steps — NOT absolute position, which
+            # would start a prompted row mid-anneal)
+            pred_rank = jnp.cumsum(~x0_unmask, axis=1)        # 1-based
+            num_pred = jnp.maximum((~x0_unmask).sum(-1), 1
+                                   ).astype(jnp.float32)      # (b,)
+
         rng_g, rng_n = jax.random.split(rng)
 
         def body(carry, i):
@@ -123,10 +132,14 @@ def build_ar_sampler(apply_token: Callable, config: Config) -> Callable:
                     w = jnp.full((b, 1), s.cfg, jnp.float32)
                 else:
                     # the reference's INTENDED time-annealed weight,
-                    # w(1 - i/N) (model_eval.py:2782), fixed to actually run
+                    # w(1 - i/num_pred) (model_eval.py:2782), fixed to
+                    # actually run; the step index is this position's rank
+                    # among the row's PREDICTED tokens
                     from unidisc_tpu.sampling.sampler import guidance_weight
-                    t_i = 1.0 - i.astype(jnp.float32) / (l - 1)
-                    w = guidance_weight(s, jnp.full((b,), t_i))[:, None]
+                    pr = jax.lax.dynamic_slice_in_dim(
+                        pred_rank, nxt, 1, axis=1)[:, 0]
+                    t_i = 1.0 - (pr - 1).astype(jnp.float32) / num_pred
+                    w = guidance_weight(s, jnp.clip(t_i, 0.0, 1.0))[:, None]
                 logits_b = (1 + w) * lc - w * lu
             else:
                 logits_b = logits

@@ -157,12 +157,17 @@ class InferenceEngine:
         """ONE batcher at the config's max step count — per-request
         step overrides ride the ragged row_steps state, so a fast
         8-step request and a 32-step request share the same persistent
-        batch (no per-steps batcher pool)."""
-        if "batcher" not in self._rolling:
-            from unidisc_tpu.serving.rolling import RollingDiffusionBatcher
-            self._rolling["batcher"] = RollingDiffusionBatcher(
-                self._forward, self.params, self.config,
-                slots=self._rolling_slots)
+        batch (no per-steps batcher pool). Creation is locked (HTTP
+        request threads race the first call) and the batcher serializes
+        its device dispatch on the engine's _device_lock."""
+        with self._device_lock:
+            if "batcher" not in self._rolling:
+                from unidisc_tpu.serving.rolling import \
+                    RollingDiffusionBatcher
+                self._rolling["batcher"] = RollingDiffusionBatcher(
+                    self._forward, self.params, self.config,
+                    slots=self._rolling_slots,
+                    dispatch_lock=self._device_lock)
         return self._rolling["batcher"]
 
     def _layout(self, batch: int):
@@ -261,11 +266,13 @@ class InferenceEngine:
     def _rolling_t2i(self):
         """Span-factored rolling batcher for pure t2i requests (shares
         nothing with the generic one — each owns its persistent state)."""
-        if "t2i" not in self._rolling:
-            from unidisc_tpu.serving.rolling import RollingT2IBatcher
-            self._rolling["t2i"] = RollingT2IBatcher(
-                self.model, self.params, self.config,
-                slots=self._rolling_slots)
+        with self._device_lock:
+            if "t2i" not in self._rolling:
+                from unidisc_tpu.serving.rolling import RollingT2IBatcher
+                self._rolling["t2i"] = RollingT2IBatcher(
+                    self.model, self.params, self.config,
+                    slots=self._rolling_slots,
+                    dispatch_lock=self._device_lock)
         return self._rolling["t2i"]
 
     def _run_batch_rolling(self, prepared, *, steps, seed):
@@ -276,6 +283,7 @@ class InferenceEngine:
             else self._rolling_batcher()
         req_steps = min(steps or self.config.sampling.steps,
                         batcher.built.steps)
+        mod_row = None if fastpath else self._layout(1)[0]
         futs = []
         for i, p in enumerate(prepared):
             row_seed = (seed * 0x9E3779B1 + i) & 0x7FFFFFFF
@@ -284,8 +292,7 @@ class InferenceEngine:
                                            seed=row_seed,
                                            steps=req_steps))
             else:
-                futs.append(batcher.submit(p["x0"], p["unmask"],
-                                           self._layout(1)[0],
+                futs.append(batcher.submit(p["x0"], p["unmask"], mod_row,
                                            seed=row_seed,
                                            steps=req_steps))
         tokens = np.stack([f.result(timeout=600) for f in futs])

@@ -92,7 +92,10 @@ def adaptive_schedule_ragged(num_masked: jax.Array, steps_v: jax.Array,
     else:
         raise ValueError(mode)
     val = jnp.where(act, val, 0.0)
-    frac = val / val.sum(-1, keepdims=True)
+    # steps_v==1 rows: every mode gives val==0 (r==1) — guard the 0/0;
+    # the sche==0 -> 1 floor plus the last-slot remainder then put the
+    # whole budget on the single step, which is the right schedule
+    frac = val / jnp.maximum(val.sum(-1, keepdims=True), 1e-9)
     nm = num_masked[:, None].astype(jnp.float32)
     sche = jnp.round(frac * nm)
     sche = jnp.where(act & (sche == 0), 1.0, sche)
@@ -435,52 +438,77 @@ def _bucket(n: int, cap: int) -> int:
 class RollingDiffusionBatcher:
     """Threaded front end: submit() returns a Future of the (L,) token
     row; a worker admits pending requests into free slots (bucketed,
-    padded with slot=-1 — ONE device dispatch per admission group) and
-    advances the whole batch `chunk` denoise steps per dispatch."""
+    padded with slot=S dropped rows — ONE device dispatch per admission
+    group) and advances the whole batch `chunk` denoise steps per
+    dispatch.
+
+    Robustness contract: a device error in the worker fails every
+    owned and queued future (set_exception) and re-initializes the
+    device state, so callers never hang on a dead worker; shutdown()
+    likewise fails outstanding futures. Optional `dispatch_lock`
+    serializes device dispatch with other engine routes (the v5e's
+    16GB HBM cannot host two large programs — CLAUDE.md)."""
 
     def __init__(self, forward_logits, params, config: Config, *,
                  slots: int = 8, chunk: int = 8,
-                 num_steps: Optional[int] = None):
+                 num_steps: Optional[int] = None, dispatch_lock=None):
         self.built = build_rolling_sampler(forward_logits, config,
                                            slots=slots, chunk=chunk,
                                            num_steps=num_steps)
         self.params = params
         self.slots = slots
         self.L = config.model.length
+        self._start(dispatch_lock)
+
+    # shared front-end machinery (also used by RollingT2IBatcher)
+    def _start(self, dispatch_lock):
         self.state = self.built.init_state()
         self._pending: "queue.Queue" = queue.Queue()
-        self._owner = [None] * slots  # slot -> Future | None
+        self._owner = [None] * self.slots  # slot -> Future | None
         # host-side mirror of state.step: the device update is
-        # deterministic (min(step + chunk, done_at) per dispatched
+        # deterministic (min(step + chunk, row done) per dispatched
         # chunk), so harvest needs NO device sync to know who finished
         # — on the tunneled chip (~130ms/RPC) per-chunk syncs dominated
         # the measured serving latency
-        self._steps = [self.built.done_at] * slots
+        self._steps = [self.built.done_at] * self.slots
         # per-slot finish line: row_steps + extra (requests may carry
         # their own step count — 8-NFE fast rows share the batch)
-        self._done = [self.built.done_at] * slots
-        self._lock = threading.Lock()
+        self._done = [self.built.done_at] * self.slots
+        self._dispatch_lock = dispatch_lock or threading.Lock()
         self._stop = False
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _check_steps(self, steps: Optional[int]) -> int:
+        steps = self.built.steps if steps is None else int(steps)
+        if not 1 <= steps <= self.built.steps:
+            raise ValueError(
+                f"steps={steps} outside [1, {self.built.steps}]")
+        return steps
+
     def warmup(self):
         """Pre-compile every admission bucket + the chunk program on a
         throwaway state (compiles are ~1s each over a tunneled chip;
-        without this they land inside the first requests' latency)."""
+        without this they land inside the first requests' latency).
+        Uses the SAME insert signature as _admit (incl. steps_v) so the
+        warmed traces are the ones live admissions hit."""
         st = self.built.init_state()
-        L = self.L
         b = 1
         while b <= self.slots:
-            pad = jnp.full((b,), self.slots, jnp.int32)  # all-dropped
-            st = self.built.insert_many(
-                st, pad, jnp.zeros((b, L), jnp.int32),
-                jnp.zeros((b, L), bool), jnp.zeros((b, L), jnp.int32),
-                jnp.zeros((b,), jnp.int32))
+            st = self._warm_insert(st, b)
             b *= 2
         st = self.built.step_chunk(self.params, st)
         np.asarray(st.x)  # also warms the harvest transfer path
+
+    def _warm_insert(self, st, b):
+        pad = jnp.full((b,), self.slots, jnp.int32)  # all-dropped
+        L = self.L
+        return self.built.insert_many(
+            st, pad, jnp.zeros((b, L), jnp.int32),
+            jnp.zeros((b, L), bool), jnp.zeros((b, L), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.full((b,), self.built.steps, jnp.int32))
 
     def submit(self, x0: np.ndarray, unmask: np.ndarray,
                modality: Optional[np.ndarray] = None,
@@ -490,21 +518,39 @@ class RollingDiffusionBatcher:
         fut: Future = Future()
         if modality is None:
             modality = np.zeros((self.L,), np.int32)
-        steps = self.built.steps if steps is None else int(steps)
-        if not 1 <= steps <= self.built.steps:
-            raise ValueError(
-                f"steps={steps} outside [1, {self.built.steps}]")
-        self._pending.put((np.asarray(x0, np.int32),
-                           np.asarray(unmask, bool),
-                           np.asarray(modality, np.int32), int(seed),
-                           steps, fut))
-        self._wake.set()
+        steps = self._check_steps(steps)
+        self._enqueue(((np.asarray(x0, np.int32),
+                        np.asarray(unmask, bool),
+                        np.asarray(modality, np.int32)), int(seed),
+                       steps, fut))
         return fut
+
+    def _enqueue(self, item):
+        if self._stop:
+            raise RuntimeError("batcher is shut down")
+        self._pending.put(item)
+        self._wake.set()
 
     def shutdown(self):
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=30)
+        self._fail_outstanding(RuntimeError("batcher shut down"))
+
+    def _fail_outstanding(self, exc):
+        for i, fut in enumerate(self._owner):
+            if fut is not None:
+                self._owner[i] = None
+                if not fut.done():
+                    fut.set_exception(exc)
+        while True:
+            try:
+                item = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            fut = item[-1]
+            if not fut.done():
+                fut.set_exception(exc)
 
     # ------------------------------------------------------------------
     def _take_group(self):
@@ -525,25 +571,37 @@ class RollingDiffusionBatcher:
             return False
         n = _bucket(len(group), self.slots)
         slots_v = np.full((n,), self.slots, np.int32)  # S = dropped pad
-        x0 = np.zeros((n, self.L), np.int32)
-        unmask = np.zeros((n, self.L), bool)
-        modality = np.zeros((n, self.L), np.int32)
+        rows = self._empty_rows(n)
         seeds = np.zeros((n,), np.int32)
         steps_v = np.full((n,), self.built.steps, np.int32)
-        for j, (x0_r, um_r, mod_r, seed, stp, fut) in enumerate(group):
+        for j, (row, seed, stp, fut) in enumerate(group):
             slot = free[j]
             slots_v[j] = slot
-            x0[j], unmask[j], modality[j], seeds[j] = x0_r, um_r, mod_r, seed
-            steps_v[j] = stp
+            self._fill_row(rows, j, row)
+            seeds[j], steps_v[j] = seed, stp
             self._owner[slot] = fut
             self._steps[slot] = 0
             self._done[slot] = stp + self.built.extra
-        self.state = self.built.insert_many(
-            self.state, jnp.asarray(slots_v), jnp.asarray(x0),
-            jnp.asarray(unmask), jnp.asarray(modality), jnp.asarray(seeds),
-            jnp.asarray(steps_v))
+        self.state = self._dispatch_insert(slots_v, rows, seeds, steps_v)
         return True
 
+    # per-mode row packing hooks -----------------------------------------
+    def _empty_rows(self, n):
+        return (np.zeros((n, self.L), np.int32),
+                np.zeros((n, self.L), bool),
+                np.zeros((n, self.L), np.int32))
+
+    def _fill_row(self, rows, j, row):
+        rows[0][j], rows[1][j], rows[2][j] = row
+
+    def _dispatch_insert(self, slots_v, rows, seeds, steps_v):
+        x0, unmask, modality = rows
+        return self.built.insert_many(
+            self.state, jnp.asarray(slots_v), jnp.asarray(x0),
+            jnp.asarray(unmask), jnp.asarray(modality),
+            jnp.asarray(seeds), jnp.asarray(steps_v))
+
+    # --------------------------------------------------------------------
     def _harvest(self):
         # the host step mirror decides who is done — no step-vector sync
         # per chunk. The transfer is the WHOLE (S, L) token array (a few
@@ -557,91 +615,83 @@ class RollingDiffusionBatcher:
         rows = np.asarray(self.state.x)
         for i in done:
             fut, self._owner[i] = self._owner[i], None
-            fut.set_result(rows[i])
+            if not fut.done():
+                fut.set_result(rows[i])
 
     def _worker(self):
         while not self._stop:
-            admitted = self._admit()
-            busy = any(o is not None for o in self._owner)
-            if not busy and not admitted:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
-            self.state = self.built.step_chunk(self.params, self.state)
-            for i, o in enumerate(self._owner):
-                if o is not None:
-                    self._steps[i] = min(self._steps[i] + self.built.chunk,
-                                         self._done[i])
-            self._harvest()
+            try:
+                with self._dispatch_lock:
+                    admitted = self._admit()
+                busy = any(o is not None for o in self._owner)
+                if not busy and not admitted:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+                    continue
+                with self._dispatch_lock:
+                    self.state = self.built.step_chunk(self.params,
+                                                       self.state)
+                for i, o in enumerate(self._owner):
+                    if o is not None:
+                        self._steps[i] = min(
+                            self._steps[i] + self.built.chunk,
+                            self._done[i])
+                with self._dispatch_lock:
+                    self._harvest()
+            except Exception as e:  # noqa: BLE001 — device/tunnel errors
+                # fail everyone loudly and reset: callers must never
+                # hang on a dead worker (tunnel stalls and HBM OOM are
+                # routine here — CLAUDE.md)
+                self._fail_outstanding(e)
+                self._steps = [self.built.done_at] * self.slots
+                self._done = [self.built.done_at] * self.slots
+                try:
+                    self.state = self.built.init_state()
+                except Exception:  # noqa: BLE001
+                    self._stop = True
+                    return
 
 
 class RollingT2IBatcher(RollingDiffusionBatcher):
-    """Rolling front end on the span-factored t2i path
+    """Rolling front end on the SPAN-FACTORED t2i path
     (build_rolling_t2i): submit() takes the text prompt row; the
     per-chunk forward computes image-span x image-vocab logits only
-    (4.4x fewer logit elements at the production layout)."""
+    (4.4x fewer logit elements at the production layout). Shares the
+    whole worker/harvest/robustness machinery with the base class —
+    only the build step and the row-packing hooks differ."""
 
     def __init__(self, model, params, config: Config, *, slots: int = 8,
-                 chunk: int = 8, num_steps: Optional[int] = None):
-        self._model_cfg = config
+                 chunk: int = 8, num_steps: Optional[int] = None,
+                 dispatch_lock=None):
         self.built = build_rolling_t2i(model, config, slots=slots,
                                        chunk=chunk, num_steps=num_steps)
         self.params = params
         self.slots = slots
         self.L = config.model.length
         self.Lt = config.model.txt_length
-        self.state = self.built.init_state()
-        self._pending = queue.Queue()
-        self._owner = [None] * slots
-        self._steps = [self.built.done_at] * slots
-        self._done = [self.built.done_at] * slots
-        self._lock = threading.Lock()
-        self._stop = False
-        self._wake = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._start(dispatch_lock)
 
-    def warmup(self):
-        st = self.built.init_state()
-        b = 1
-        while b <= self.slots:
-            pad = jnp.full((b,), self.slots, jnp.int32)
-            st = self.built.insert_many(
-                st, pad, jnp.zeros((b, self.Lt), jnp.int32),
-                jnp.zeros((b,), jnp.int32))
-            b *= 2
-        st = self.built.step_chunk(self.params, st)
-        np.asarray(st.x)
+    def _warm_insert(self, st, b):
+        pad = jnp.full((b,), self.slots, jnp.int32)
+        return self.built.insert_many(
+            st, pad, jnp.zeros((b, self.Lt), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.full((b,), self.built.steps, jnp.int32))
 
     def submit(self, txt: np.ndarray, seed: int = 0,
                steps: Optional[int] = None) -> "Future":
         fut: Future = Future()
-        steps = self.built.steps if steps is None else int(steps)
-        if not 1 <= steps <= self.built.steps:
-            raise ValueError(
-                f"steps={steps} outside [1, {self.built.steps}]")
-        self._pending.put((np.asarray(txt, np.int32), int(seed), steps,
-                           fut))
-        self._wake.set()
+        steps = self._check_steps(steps)
+        self._enqueue((np.asarray(txt, np.int32), int(seed), steps, fut))
         return fut
 
-    def _admit(self):
-        free, group = self._take_group()
-        if not group:
-            return False
-        n = _bucket(len(group), self.slots)
-        slots_v = np.full((n,), self.slots, np.int32)
-        txt = np.zeros((n, self.Lt), np.int32)
-        seeds = np.zeros((n,), np.int32)
-        steps_v = np.full((n,), self.built.steps, np.int32)
-        for j, (txt_r, seed, stp, fut) in enumerate(group):
-            slot = free[j]
-            slots_v[j] = slot
-            txt[j], seeds[j], steps_v[j] = txt_r, seed, stp
-            self._owner[slot] = fut
-            self._steps[slot] = 0
-            self._done[slot] = stp + self.built.extra
-        self.state = self.built.insert_many(
-            self.state, jnp.asarray(slots_v), jnp.asarray(txt),
+    def _empty_rows(self, n):
+        return np.zeros((n, self.Lt), np.int32)
+
+    def _fill_row(self, rows, j, row):
+        rows[j] = row
+
+    def _dispatch_insert(self, slots_v, rows, seeds, steps_v):
+        return self.built.insert_many(
+            self.state, jnp.asarray(slots_v), jnp.asarray(rows),
             jnp.asarray(seeds), jnp.asarray(steps_v))
-        return True
