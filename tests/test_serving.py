@@ -507,3 +507,80 @@ def test_experiments_survive_checkpoint_restore(tmp_path):
     assert eng.config.sampling.maskgit_dilation == 2
     # the checkpoint snapshot still supplied the trained architecture
     assert eng.config.model.hidden_size == cfg.model.hidden_size
+
+
+def _tiny_serving_cfg():
+    return Config.make("tiny").override(**{
+        "model.text_vocab_size": 261, "model.image_vocab_size": 64,
+        "model.length": 48, "model.txt_length": 16, "model.img_length": 32,
+        "model.force_argmax_valid_indices": True, "model.dropout": 0.0,
+        "sampling.steps": 4, "sampling.predictor": "maskgit"})
+
+
+def test_engine_scaffold_split_boundaries():
+    """Scaffold serving (VERDICT r2 #8 follow-through): enable_scaffold
+    rewires the engine forward into the (big, small) lax.cond dispatch
+    (sampling/scaffold.py). split=steps must reproduce big-only sampling
+    token-for-token and split=0 small-only — through the ENGINE path
+    (prepare/run/decode), not just the bare sampler."""
+    cfg = _tiny_serving_cfg()
+    model_b, params_b = init_dit(jax.random.PRNGKey(0), cfg.model)
+    s_cfg = cfg.override(**{"model.hidden_size": 64, "model.n_blocks": 1})
+    model_s, params_s = init_dit(jax.random.PRNGKey(1), s_cfg.model)
+    # break the zero-init final layers so the two trunks emit different
+    # (and non-uniform) logits — freshly-initialized DITs output exactly
+    # zero, and constant offsets stay uniform over the vocab
+    def perturb(params, seed):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+        return jax.tree_util.tree_unflatten(treedef, [
+            l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)])
+    params_b = perturb(params_b, 10)
+    params_s = perturb(params_s, 11)
+
+    # `<mask>` in the text keeps every engine off the t2i fastpath, so
+    # all four runs go through the same generic sampler
+    req = dict(text="ab<mask:3>", seed=5)
+
+    out_big = InferenceEngine(cfg, model_b, params_b).run(**req)
+    out_small = InferenceEngine(cfg, model_s, params_s).run(**req)
+    assert not np.array_equal(out_big["image_ids"], out_small["image_ids"])
+
+    def scaffold_run(split):
+        eng = InferenceEngine(cfg, model_b, params_b)
+        eng.enable_scaffold(model_s, params_s, split)
+        assert isinstance(eng.params, tuple)
+        return eng.run(**req)
+
+    all_big = scaffold_run(cfg.sampling.steps)
+    np.testing.assert_array_equal(all_big["image_ids"],
+                                  out_big["image_ids"])
+    assert all_big["text"] == out_big["text"]
+    all_small = scaffold_run(0)
+    np.testing.assert_array_equal(all_small["image_ids"],
+                                  out_small["image_ids"])
+    # interior split: big sets structure early, small refines late —
+    # still a valid sample of the task
+    mid = scaffold_run(cfg.sampling.steps // 2)
+    assert (np.asarray(mid["image_ids"]) >= 0).all()
+
+
+def test_build_engine_scaffold_route():
+    """--scaffold plumbing: build_engine forces the scaffold trunk onto
+    the main model's io contract, params become a (big, small) tuple,
+    and the t2i fastpath is disabled (scaffold rewires the generic
+    forward only)."""
+    from unidisc_tpu.serving.engine import build_engine
+
+    eng = build_engine(preset="tiny", steps=4, scaffold="tiny",
+                       scaffold_split=2)
+    assert getattr(eng, "_scaffold", False)
+    assert isinstance(eng.params, tuple)
+    out = eng.run(text="hello", seed=1)   # gen_image, fastpath suppressed
+    assert out["nfe"] >= 4
+    assert "t2i" not in {k[0] for k in eng._samplers
+                         if isinstance(k, tuple)}
+
+    with pytest.raises(ValueError, match="single-host"):
+        build_engine(preset="tiny", scaffold="tiny", mesh="fsdp=-1")

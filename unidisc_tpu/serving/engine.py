@@ -153,6 +153,26 @@ class InferenceEngine:
                 self.model, self.config, num_steps=key[1]))
         return self._samplers[key]
 
+    def enable_scaffold(self, model_small, params_small, split: int):
+        """Scaffold decoding (sampling/scaffold.py — measured 97% of
+        big-only accuracy at 26% compute, BASELINE.md): rewire the
+        forward so steps [0, split) run this engine's model and the
+        remainder run `model_small`; params become
+        (params_big, params_small). Disables the span-factored t2i
+        fastpath (it calls model.apply directly) and clears compiled
+        sampler caches. The small model must share vocab + length."""
+        from unidisc_tpu.sampling.scaffold import build_scaffold_forward
+        big_forward = self._forward
+
+        def small_forward(p, x, sigma, m):
+            return model_small.apply({"params": p}, x, sigma, modality=m)
+
+        self._forward = build_scaffold_forward(
+            big_forward, small_forward, self.config, split=split)
+        self.params = (self.params, params_small)
+        self._samplers.clear()
+        self._scaffold = True
+
     def _rolling_batcher(self):
         """ONE batcher at the config's max step count — per-request
         step overrides ride the ragged row_steps state, so a fast
@@ -278,7 +298,8 @@ class InferenceEngine:
     def _run_batch_rolling(self, prepared, *, steps, seed):
         m = self.m
         fastpath = all(p["fastpath"] for p in prepared) and \
-            self.config.sampling.maskgit_dilation in (None, 0, 1)
+            self.config.sampling.maskgit_dilation in (None, 0, 1) and \
+            not getattr(self, "_scaffold", False)
         batcher = self._rolling_t2i() if fastpath \
             else self._rolling_batcher()
         req_steps = min(steps or self.config.sampling.steps,
@@ -303,7 +324,8 @@ class InferenceEngine:
         m = self.m
         n = len(prepared)
         assert n > 0
-        fastpath = all(p["fastpath"] for p in prepared)
+        fastpath = all(p["fastpath"] for p in prepared) and \
+            not getattr(self, "_scaffold", False)
         x0 = np.stack([p["x0"] for p in prepared])
         unmask = np.stack([p["unmask"] for p in prepared])
         if pad_to and pad_to > n:
@@ -640,6 +662,8 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                  kv_cache: Optional[str] = None,
                  mesh: Optional[str] = None,
                  rolling: int = 0,
+                 scaffold: Optional[str] = None,
+                 scaffold_split: int = 8,
                  experiments=None) -> "InferenceEngine":
     """Construct an engine from a config preset and optional run dir
     (EMA params) + codec — the shared bootstrap for the server, the
@@ -650,7 +674,12 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
     data-parallel + depth-wise pipeline over the diffusion samplers);
     rolling=N serves diffusion requests through the rolling continuous
     batcher with N slots (serving/rolling.py — per-row denoise steps,
-    mid-flight admission)."""
+    mid-flight admission); scaffold="preset[=ckpt_dir]" +
+    scaffold_split=K runs denoise steps [0, K) on the main model and
+    the rest on the (smaller) scaffold model — measured 97% of big-only
+    accuracy at 26% compute at K=8/32 (sampling/scaffold.py,
+    BASELINE.md); the scaffold model is forced onto the main model's
+    vocab/length so the one-scan lax.cond sampler applies."""
     import dataclasses
     import json as _json
 
@@ -704,8 +733,41 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         live_mesh, mesh_kw = parse_mesh_spec(mesh)
         config = config.override(**{f"mesh.{k}": v
                                     for k, v in mesh_kw.items()})
-    return InferenceEngine(config, model, params, codec=codec,
-                           mesh=live_mesh, rolling=rolling)
+    engine = InferenceEngine(config, model, params, codec=codec,
+                             mesh=live_mesh, rolling=rolling)
+    if scaffold:
+        if mesh:
+            raise ValueError("scaffold decoding is single-host for now "
+                             "(params become a (big, small) tuple that "
+                             "shard_params does not know how to lay out)")
+        s_preset, _, s_ckpt = scaffold.partition("=")
+        mcfg = config.model
+        s_cfg = Config.make(s_preset).override(**{
+            # the scaffold trunk MUST share the io contract
+            "model.length": mcfg.length,
+            "model.txt_length": mcfg.txt_length,
+            "model.img_length": mcfg.img_length,
+            "model.text_vocab_size": mcfg.text_vocab_size,
+            "model.image_vocab_size": mcfg.image_vocab_size,
+            "model.force_argmax_valid_indices":
+                mcfg.force_argmax_valid_indices,
+            "model.dropout": 0.0,
+        })
+        s_model, s_params = init_dit(jax.random.PRNGKey(s_cfg.seed),
+                                     s_cfg.model)
+        if s_ckpt:
+            from unidisc_tpu.training.checkpoint import CheckpointManager
+            from unidisc_tpu.training.train_state import init_train_state
+            s_mgr = CheckpointManager(f"{s_ckpt}/checkpoints")
+            s_state, _ = s_mgr.restore(init_train_state(s_cfg, s_params))
+            s_params = s_state.ema_params
+        if quantize:
+            # the late (small-trunk) steps are the bulk of the NFEs —
+            # serve them int8 too
+            from unidisc_tpu.ops.quant import quantize_model
+            _, s_model, s_params = quantize_model(s_cfg, s_params)
+        engine.enable_scaffold(s_model, s_params, scaffold_split)
+    return engine
 
 
 def downscale_bool_mask(mask: np.ndarray, d: int) -> np.ndarray:

@@ -378,6 +378,15 @@ def main(argv: Optional[list] = None):
                         "rolling continuous batcher with N slots "
                         "(per-row denoise steps, mid-flight admission; "
                         "serving/rolling.py)")
+    parser.add_argument("--scaffold", default=None,
+                        help="scaffold decoding: 'preset[=ckpt_dir]' of "
+                        "a SMALLER trunk that runs the late denoise "
+                        "steps (97%% of big-only accuracy at 26%% "
+                        "compute measured at split 8/32 — "
+                        "sampling/scaffold.py)")
+    parser.add_argument("--scaffold-split", type=int, default=8,
+                        help="denoise steps run on the MAIN model "
+                        "before handing off to the scaffold trunk")
     args = parser.parse_args(argv)
 
     from unidisc_tpu.serving.engine import build_engine
@@ -386,6 +395,8 @@ def main(argv: Optional[list] = None):
                           codec_name=args.codec, steps=args.steps,
                           quantize=args.quantize, kv_cache=args.kv_cache,
                           mesh=args.mesh, rolling=args.rolling,
+                          scaffold=args.scaffold,
+                          scaffold_split=args.scaffold_split,
                           experiments=(args.experiments.split(",")
                                        if args.experiments else None))
     server = make_server(engine, args.port, args.host)
