@@ -1,0 +1,303 @@
+"""Speculative decoding for the AR serving path (draft-verify).
+
+AR decode is weight-bandwidth-bound (BASELINE.md: int8 weights alone gave
+1.65x because each emitted token costs one full read of the model), so
+the next lever is emitting MULTIPLE tokens per target-model read: a small
+draft model proposes `gamma` tokens autoregressively, the target scores
+all of them in ONE chunked cached forward, and the longest valid prefix
+is accepted (Leviathan et al. 2023 rejection-sampling scheme — lossless:
+the output distribution equals target-only decoding).
+
+No reference counterpart (the reference decodes token-by-token,
+model_eval.py:2736-2822). TPU-native design:
+
+- The whole decode — prefill of both models, every draft/verify round,
+  acceptance, EOS bookkeeping — is ONE jitted program (`lax.while_loop`
+  over spec rounds, `lax.scan` over draft steps inside); zero host
+  round-trips until the final buffer transfer.
+- Per-row positions ride the (B,) `cache_index` vector path that the
+  DIT/ELM cached forwards already support for continuous batching, so
+  rows accept different counts per round without rebatching.
+- NO cache rollback: rejected-position K/V slots are stale but every
+  subsequent chunk write starts at the row's committed position and
+  covers them before any query can read them (queries attend only to
+  slots <= their own position, and a slot equal to the query's position
+  is written in the same forward, before attention).
+- Randomness is a pure function of (row seed, absolute position), so
+  results are independent of batch co-tenancy and, at temperature 0,
+  bit-equal to plain greedy target decoding.
+
+apply_fn contract (same as serving/continuous.py):
+    apply_fn(params, tok (B, l), kv, cache_index (B,)) ->
+        (logits (B, l, V) fp32, new_kv)
+cache_factory(batch, length) -> fresh KV pytree.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SpecResult(NamedTuple):
+    tokens: jax.Array       # (B, L) full buffer: prompt + generated
+    emitted: jax.Array      # (B,) generated-token counts (incl. EOS)
+    rounds: jax.Array       # () spec rounds executed
+    accepted: jax.Array     # () total accepted DRAFT tokens (stats)
+    drafted: jax.Array      # () total drafted tokens offered (stats)
+
+
+def _fold2(seed, a, b):
+    k = jax.random.fold_in(jax.random.PRNGKey(0), a)
+    k = jax.random.fold_in(k, b)
+    return jax.random.fold_in(k, seed)
+
+
+def _gumbel(seed, pos, tag, shape):
+    """Per-(row-seed, absolute-position) Gumbel noise — a pure function
+    of its arguments so acceptance patterns cannot change what any row
+    samples (same contract as serving/rolling.py)."""
+    return jax.random.gumbel(_fold2(seed, pos, tag), shape, jnp.float32)
+
+
+def _uniform(seed, pos, tag):
+    return jax.random.uniform(_fold2(seed, pos, tag), (), jnp.float32,
+                              minval=1e-20)
+
+
+def build_spec_decoder(apply_target: Callable, cache_factory_t: Callable,
+                       apply_draft: Callable, cache_factory_d: Callable,
+                       *, gamma: int = 4, temperature: float = 0.0,
+                       eos_id: int = -1) -> Callable:
+    """Build the jitted-able speculative decoder.
+
+    Returns decode(params_t, params_d, prompts (B, Lp) int32,
+                   plen (B,) int32, seeds (B,) int32, max_new: static)
+    -> SpecResult. Prompts are right-padded; pad slots poison only cache
+    positions that are rewritten before first read (see module note).
+    """
+    assert gamma >= 1
+    greedy = temperature <= 0.0
+    inv_t = 0.0 if greedy else 1.0 / temperature
+
+    def sample_from(logits, seed, pos, tag):
+        """One token from logits (V,) at absolute position pos."""
+        if greedy:
+            return jnp.argmax(logits, -1).astype(jnp.int32)
+        g = _gumbel(seed, pos, tag, logits.shape)
+        return jnp.argmax(logits * inv_t + g, -1).astype(jnp.int32)
+
+    v_sample = jax.vmap(sample_from, in_axes=(0, 0, 0, None))
+
+    def decode(params_t, params_d, prompts, plen, seeds,
+               max_new: int) -> SpecResult:
+        B, Lp = prompts.shape
+        L = Lp + max_new + gamma + 1
+        x = jnp.zeros((B, L), jnp.int32).at[:, :Lp].set(prompts)
+        kv_t = cache_factory_t(B, L)
+        kv_d = cache_factory_d(B, L)
+
+        # prefill BOTH models on the whole padded prompt chunk; per-row
+        # valid length rides the causal mask + stale-slot overwrites
+        zero = jnp.zeros((B,), jnp.int32)
+        _, kv_t = apply_target(params_t, prompts, kv_t, zero)
+        _, kv_d = apply_draft(params_d, prompts, kv_d, zero)
+
+        pos0 = plen - 1          # index of the next input token
+        state = (x, pos0, jnp.zeros((B,), jnp.int32),        # emitted
+                 jnp.zeros((B,), bool),                      # finished
+                 kv_t, kv_d,
+                 jnp.zeros((), jnp.int32),                   # rounds
+                 jnp.zeros((), jnp.int32),                   # accepted
+                 jnp.zeros((), jnp.int32))                   # drafted
+
+        def cond(state):
+            _, _, emitted, finished = state[:4]
+            return ~jnp.all(finished | (emitted >= max_new))
+
+        def body(state):
+            x, pos, emitted, finished, kv_t, kv_d, rounds, acc_n, dr_n = \
+                state
+
+            cur = jnp.take_along_axis(x, pos[:, None], 1)[:, 0]
+
+            # ---- draft phase: gamma+1 cached single-token steps ------
+            # (the +1 feeds d_gamma so the draft cache has no hole at
+            # the bonus position when every draft is accepted; the extra
+            # proposal itself is discarded)
+            def draft_step(carry, i):
+                kv_d, tok = carry
+                logits, kv_d = apply_draft(params_d, tok[:, None], kv_d,
+                                           pos + i)
+                lg = logits[:, 0].astype(jnp.float32)
+                nxt = v_sample(lg, seeds, pos + i + 1, 1)
+                lp = jax.nn.log_softmax(lg * (1.0 if greedy else inv_t),
+                                        -1)
+                return (kv_d, nxt), (nxt, lp)
+
+            (kv_d, _), (drafted, lp_d) = jax.lax.scan(
+                draft_step, (kv_d, cur), jnp.arange(gamma + 1))
+            drafted = drafted.T[:, :gamma]            # (B, gamma)
+            lp_d = jnp.swapaxes(lp_d, 0, 1)[:, :gamma]  # (B, gamma, V)
+
+            # ---- verify: ONE target forward over gamma+1 tokens ------
+            chunk = jnp.concatenate([cur[:, None], drafted], 1)
+            logits_t, kv_t = apply_target(params_t, chunk, kv_t, pos)
+            lg_t = logits_t.astype(jnp.float32)       # (B, gamma+1, V)
+            lp_t = jax.nn.log_softmax(
+                lg_t * (1.0 if greedy else inv_t), -1)
+
+            if greedy:
+                targets = jnp.argmax(lg_t, -1).astype(jnp.int32)
+                match = drafted == targets[:, :gamma]
+                out_win = targets                     # (B, gamma+1)
+            else:
+                # rejection sampling: accept d_i w.p. min(1, p_t/p_d)
+                take = lambda lp, d: jnp.take_along_axis(
+                    lp, d[..., None], -1)[..., 0]
+                lpt_d = take(lp_t[:, :gamma], drafted)
+                lpd_d = take(lp_d, drafted)
+                u = jax.vmap(jax.vmap(
+                    _uniform, in_axes=(None, 0, None)),
+                    in_axes=(0, 0, None))(
+                        seeds, pos[:, None] + jnp.arange(gamma)[None, :]
+                        + 1, 2)
+                match = jnp.log(u) < (lpt_d - lpd_d)  # (B, gamma)
+                # residual distribution at each position:
+                # normalize(max(p_t - p_d, 0)); at the bonus slot the
+                # draft offered nothing -> plain p_t
+                p_res = jnp.maximum(
+                    jnp.exp(lp_t[:, :gamma]) - jnp.exp(lp_d), 0.0)
+                log_res = jnp.log(jnp.maximum(p_res, 1e-38))
+                corr = jax.vmap(jax.vmap(
+                    lambda lr, s, p: jnp.argmax(
+                        lr + _gumbel(s, p, 3, lr.shape), -1),
+                    in_axes=(0, None, 0)), in_axes=(0, 0, 0))(
+                        log_res, seeds,
+                        pos[:, None] + jnp.arange(gamma)[None, :] + 1
+                ).astype(jnp.int32)
+                bonus = v_sample(lg_t[:, gamma], seeds,
+                                 pos + gamma + 1, 4)
+                out_win = jnp.concatenate([corr, bonus[:, None]], 1)
+
+            # n = leading accepted drafts; emit drafts[:n] then the
+            # target's token at slot n (correction or bonus)
+            led = jnp.cumprod(match.astype(jnp.int32), -1)
+            n = led.sum(-1)                           # (B,) in [0, gamma]
+            idx = jnp.arange(gamma + 1)[None, :]
+            win = jnp.where(idx < n[:, None],
+                            jnp.pad(drafted, ((0, 0), (0, 1))),
+                            out_win)
+            # only slots <= n are real this round
+            real = idx <= n[:, None]
+
+            # EOS + budget: cut the advance at the first EOS and at the
+            # per-row remaining budget
+            remaining = jnp.maximum(max_new - emitted, 0)
+            adv = jnp.minimum(n + 1, remaining)
+            if eos_id >= 0:
+                is_eos = (win == eos_id) & real
+                any_eos = is_eos.any(-1)
+                first_eos = jnp.argmax(is_eos, -1)
+                adv = jnp.where(any_eos,
+                                jnp.minimum(adv, first_eos + 1), adv)
+            adv = jnp.where(finished, 0, adv)
+
+            # write the whole window at pos+1; junk beyond the advance
+            # sits at positions the next rounds rewrite first. Buffer
+            # sizing guarantees unfinished rows fit; finished rows (whose
+            # start may clamp) write their existing contents back.
+            start = jnp.minimum(pos + 1, L - (gamma + 1))
+            cur_win = jax.vmap(
+                lambda row, p: jax.lax.dynamic_slice(row, (p,),
+                                                     (gamma + 1,)))(
+                x, start)
+            keep = jnp.where(finished[:, None], cur_win, win)
+            x = jax.vmap(lambda row, w, p: jax.lax.dynamic_update_slice(
+                row, w, (p,)))(x, keep, start)
+
+            emitted = emitted + adv
+            new_fin = finished | (emitted >= max_new)
+            if eos_id >= 0:
+                hit = (jnp.take_along_axis(
+                    win, jnp.clip(adv - 1, 0, gamma)[:, None], 1)[:, 0]
+                    == eos_id) & (adv > 0)
+                new_fin = new_fin | hit
+            pos = pos + adv
+            return (x, pos, emitted, new_fin, kv_t, kv_d, rounds + 1,
+                    acc_n + jnp.where(finished, 0,
+                                      jnp.minimum(n, adv)).sum(),
+                    dr_n + jnp.where(finished, 0, gamma).sum())
+
+        x, pos, emitted, finished, kv_t, kv_d, rounds, acc_n, dr_n = \
+            jax.lax.while_loop(cond, body, state)
+        return SpecResult(tokens=x, emitted=emitted, rounds=rounds,
+                          accepted=acc_n, drafted=dr_n)
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
+# ELM convenience wiring
+# ---------------------------------------------------------------------------
+
+def elm_spec_decoder(target_model, target_cfg, draft_model, draft_cfg,
+                     *, gamma: int = 4, temperature: float = 0.0,
+                     eos_id: int = -1,
+                     kv_dtype=jnp.bfloat16) -> Callable:
+    """Speculative decoder over two OpenELM models (models/elm.py). The
+    draft must share the target's vocabulary. Returns
+    decode(params_t, params_d, prompts, plen, seeds, max_new)."""
+    from unidisc_tpu.models.elm import init_elm_cache
+
+    def apply_of(model):
+        def apply_fn(params, tok, kv, cache_index):
+            logits, kv = model.apply({"params": params}, tok,
+                                     kv_cache=kv, cache_index=cache_index)
+            return logits, kv
+        return apply_fn
+
+    total_v = target_cfg.vocab_size + target_cfg.extra_tokens
+    assert draft_cfg.vocab_size + draft_cfg.extra_tokens == total_v, \
+        "draft and target must share the vocabulary"
+
+    def factory_of(cfg):
+        quant = getattr(cfg, "kv_cache_dtype", None) == "int8"
+        return lambda b, L: init_elm_cache(cfg, b, L, dtype=kv_dtype,
+                                           quant=quant)
+
+    return build_spec_decoder(
+        apply_of(target_model), factory_of(target_cfg),
+        apply_of(draft_model), factory_of(draft_cfg),
+        gamma=gamma, temperature=temperature, eos_id=eos_id)
+
+
+def speculative_decode(target_model, target_cfg, target_params,
+                       draft_model, draft_cfg, draft_params,
+                       prompts, *, max_new_tokens: int = 64,
+                       gamma: int = 4, temperature: float = 0.0,
+                       eos_id: int = -1, seed: int = 0):
+    """One-call batch API: right-pads `prompts` (list of id lists),
+    jits the decoder, returns (list of generated-token lists,
+    SpecResult)."""
+    plen = np.asarray([len(p) for p in prompts], np.int32)
+    Lp = max(int(plen.max()), 1)
+    buf = np.zeros((len(prompts), Lp), np.int32)
+    for i, p in enumerate(prompts):
+        buf[i, :len(p)] = p
+    decode = elm_spec_decoder(target_model, target_cfg, draft_model,
+                              draft_cfg, gamma=gamma,
+                              temperature=temperature, eos_id=eos_id)
+    fn = jax.jit(partial(decode, max_new=max_new_tokens))
+    seeds = np.arange(seed, seed + len(prompts), dtype=np.int32)
+    res = fn(target_params, draft_params, jnp.asarray(buf),
+             jnp.asarray(plen), jnp.asarray(seeds))
+    toks = np.asarray(res.tokens)
+    em = np.asarray(res.emitted)
+    outs = [toks[i, plen[i]:plen[i] + em[i]].tolist()
+            for i in range(len(prompts))]
+    return outs, res
