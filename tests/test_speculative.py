@@ -171,3 +171,26 @@ def test_per_row_prompt_lengths_and_padding():
         assert got == solo[0]
         assert got == _greedy_oracle(target_model, target_cfg,
                                      target_params, p, 8)
+
+
+def test_elm_engine_speculative_route():
+    """--speculative plumbing: build_elm_engine serves completions
+    through the draft-verify decoder (deterministic, stats exposed)."""
+    from unidisc_tpu.serving.engine import build_elm_engine
+
+    eng = build_elm_engine(preset="tiny", speculative="tiny", gamma=3)
+    res = eng.complete_text("\x01\x02\x03",
+                            max_new_tokens=6).result(timeout=600)
+    assert isinstance(res["text"], str)
+    assert len(res["tokens"]) <= 6
+    assert res["drafted"] >= res["accepted"] >= 0
+    res2 = eng.complete_text("\x01\x02\x03",
+                             max_new_tokens=6).result(timeout=600)
+    assert res2["tokens"] == res["tokens"]
+
+    # streaming callback gets the final tokens (burst emission)
+    got = []
+    eng.complete_text("\x01\x02", max_new_tokens=4,
+                      stream_cb=got.append).result(timeout=600)
+    assert got and got[0] == eng.complete_text(
+        "\x01\x02", max_new_tokens=4).result(timeout=600)["tokens"]

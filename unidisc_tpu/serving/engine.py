@@ -550,7 +550,7 @@ class ElmEngine:
 
     def __init__(self, elm_cfg, model, params, *, tokenizer=None,
                  kv_cache: Optional[str] = None, slots: int = 8,
-                 chunk: int = 8):
+                 chunk: int = 8, draft=None, gamma: int = 4):
         import threading
         import types as _types
 
@@ -558,6 +558,12 @@ class ElmEngine:
         self.model = model
         self.params = params
         self.codec = None
+        # draft = (draft_model, draft_cfg, draft_params): serve through
+        # the speculative decoder (serving/speculative.py) instead of the
+        # continuous batcher — one target read per gamma draft proposals
+        self._draft = draft
+        self._gamma = gamma
+        self._spec = {}
         # minimal config shim for the server's routing checks
         self.config = _types.SimpleNamespace(
             trainer=_types.SimpleNamespace(parameterization="ar"),
@@ -589,12 +595,68 @@ class ElmEngine:
                         device_lock=self._device_lock)
         return self._continuous
 
+    def _spec_decoder(self, max_new: int, temperature: float):
+        """Jitted speculative decoder per (max_new bucket, temperature).
+        Per-request B=1 decode for now — folding spec rounds into the
+        continuous batcher's admission loop is the scale-out follow-up."""
+        from functools import partial
+
+        import jax as _jax
+
+        from unidisc_tpu.serving.speculative import elm_spec_decoder
+        bucket = max(8, 1 << (max_new - 1).bit_length())
+        key = (bucket, float(temperature))
+        if key not in self._spec:
+            d_model, d_cfg, _ = self._draft
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            dec = elm_spec_decoder(
+                self.model, self.elm_cfg, d_model, d_cfg,
+                gamma=self._gamma, temperature=temperature,
+                eos_id=eos if eos is not None else -1)
+            self._spec[key] = _jax.jit(partial(dec, max_new=bucket))
+        return self._spec[key], bucket
+
+    def _complete_speculative(self, prompt, *, max_new_tokens,
+                              temperature, seed, stream_cb):
+        import numpy as _np
+
+        from concurrent.futures import Future
+        decode, bucket = self._spec_decoder(max_new_tokens, temperature)
+        _, _, d_params = self._draft
+        # pad the prompt to a power-of-two bucket so only a few shapes
+        # ever compile (pad slots are stale-by-position, see speculative.py)
+        pbucket = max(8, 1 << (max(len(prompt), 1) - 1).bit_length())
+        padded = _np.zeros(pbucket, _np.int32)
+        padded[:len(prompt)] = prompt
+        with self._device_lock:
+            res = decode(self.params, d_params,
+                         jnp.asarray(padded[None]),
+                         jnp.asarray([len(prompt)], jnp.int32),
+                         jnp.asarray([seed if seed is not None else 0],
+                                     jnp.int32))
+            toks = _np.asarray(res.tokens)[0]
+        n = min(int(_np.asarray(res.emitted)[0]), max_new_tokens)
+        tokens = toks[len(prompt):len(prompt) + n].tolist()
+        out = {"tokens": tokens, "prompt_len": len(prompt),
+               "text": self.tokenizer.decode(tokens),
+               "accepted": int(res.accepted),
+               "drafted": int(res.drafted)}
+        if stream_cb is not None:
+            stream_cb(list(tokens))
+        fut: Future = Future()
+        fut.set_result(out)
+        return fut
+
     def complete_text(self, text: str, *, max_new_tokens: int = 64,
                       temperature: float = 0.0, seed: Optional[int] = None,
                       stream_cb=None):
         prompt = self.tokenizer.encode(
             text or "", add_bos=True,
             add_eos=False)[:self.elm_cfg.max_length - 2]
+        if self._draft is not None:
+            return self._complete_speculative(
+                prompt, max_new_tokens=max_new_tokens,
+                temperature=temperature, seed=seed, stream_cb=stream_cb)
         fut = self.continuous.submit(
             prompt, max_new_tokens=max_new_tokens,
             temperature=temperature, seed=seed, stream_cb=stream_cb)
@@ -616,10 +678,16 @@ class ElmEngine:
 def build_elm_engine(*, preset: str = "270m",
                      quantize: Optional[str] = None,
                      kv_cache: Optional[str] = None,
+                     speculative: Optional[str] = None,
+                     gamma: int = 4,
                      tokenizer=None) -> "ElmEngine":
     """Build the OpenELM serving engine: `--model elm` (default 270m) or
     `--model elm:tiny|270m|450m|1.1b`; quantize='int8' serves int8 W8A8
-    weights, kv_cache='int8' the int8 KV cache."""
+    weights, kv_cache='int8' the int8 KV cache; speculative='<preset>'
+    serves through the draft-verify speculative decoder with that
+    (smaller, same-vocab) draft preset proposing `gamma` tokens per
+    target read (serving/speculative.py — greedy decoding stays lossless
+    vs the plain path)."""
     import dataclasses
 
     import jax
@@ -634,8 +702,20 @@ def build_elm_engine(*, preset: str = "270m",
         params = quantize_elm_params(params, cfg)
         cfg = dataclasses.replace(cfg, quant="int8")
         model = OpenELM(cfg)
+    draft = None
+    if speculative:
+        d_cfg = ELM_PRESETS[speculative]
+        if (d_cfg.vocab_size + d_cfg.extra_tokens
+                != cfg.vocab_size + cfg.extra_tokens):
+            # same-vocab requirement: align the draft's extra tokens
+            d_cfg = dataclasses.replace(
+                d_cfg, vocab_size=cfg.vocab_size,
+                extra_tokens=cfg.extra_tokens)
+        d_cfg = dataclasses.replace(d_cfg, max_length=cfg.max_length)
+        d_model, d_params = init_elm(jax.random.PRNGKey(1), d_cfg)
+        draft = (d_model, d_cfg, d_params)
     return ElmEngine(cfg, model, params, tokenizer=tokenizer,
-                     kv_cache=kv_cache)
+                     kv_cache=kv_cache, draft=draft, gamma=gamma)
 
 
 def parse_mesh_spec(spec: str):
@@ -664,6 +744,8 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                  rolling: int = 0,
                  scaffold: Optional[str] = None,
                  scaffold_split: int = 8,
+                 speculative: Optional[str] = None,
+                 spec_gamma: int = 4,
                  experiments=None) -> "InferenceEngine":
     """Construct an engine from a config preset and optional run dir
     (EMA params) + codec — the shared bootstrap for the server, the
@@ -694,7 +776,8 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
             "the DIT-AR route for checkpointed AR serving)"
         return build_elm_engine(
             preset=preset.split(":", 1)[1] if ":" in preset else "270m",
-            quantize=quantize, kv_cache=kv_cache)
+            quantize=quantize, kv_cache=kv_cache,
+            speculative=speculative, gamma=spec_gamma)
 
     over = {"sampling.steps": steps} if steps else {}
     if kv_cache:

@@ -387,6 +387,13 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--scaffold-split", type=int, default=8,
                         help="denoise steps run on the MAIN model "
                         "before handing off to the scaffold trunk")
+    parser.add_argument("--speculative", default=None,
+                        help="AR (--model elm*) only: draft ELM preset "
+                        "for speculative decoding — the draft proposes "
+                        "--gamma tokens per target forward; greedy "
+                        "output is lossless (serving/speculative.py)")
+    parser.add_argument("--gamma", type=int, default=4,
+                        help="speculative draft length per round")
     args = parser.parse_args(argv)
 
     from unidisc_tpu.serving.engine import build_engine
@@ -397,6 +404,8 @@ def main(argv: Optional[list] = None):
                           mesh=args.mesh, rolling=args.rolling,
                           scaffold=args.scaffold,
                           scaffold_split=args.scaffold_split,
+                          speculative=args.speculative,
+                          spec_gamma=args.gamma,
                           experiments=(args.experiments.split(",")
                                        if args.experiments else None))
     server = make_server(engine, args.port, args.host)
