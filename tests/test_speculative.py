@@ -175,22 +175,142 @@ def test_per_row_prompt_lengths_and_padding():
 
 def test_elm_engine_speculative_route():
     """--speculative plumbing: build_elm_engine serves completions
-    through the draft-verify decoder (deterministic, stats exposed)."""
+    through the continuous batcher in draft-verify spec rounds
+    (deterministic for greedy; streaming works)."""
     from unidisc_tpu.serving.engine import build_elm_engine
 
     eng = build_elm_engine(preset="tiny", speculative="tiny", gamma=3)
-    res = eng.complete_text("\x01\x02\x03",
-                            max_new_tokens=6).result(timeout=600)
-    assert isinstance(res["text"], str)
-    assert len(res["tokens"]) <= 6
-    assert res["drafted"] >= res["accepted"] >= 0
-    res2 = eng.complete_text("\x01\x02\x03",
-                             max_new_tokens=6).result(timeout=600)
-    assert res2["tokens"] == res["tokens"]
+    try:
+        res = eng.complete_text("\x01\x02\x03", max_new_tokens=6,
+                                seed=5).result(timeout=600)
+        assert isinstance(res["text"], str)
+        assert len(res["tokens"]) <= 6
+        res2 = eng.complete_text("\x01\x02\x03", max_new_tokens=6,
+                                 seed=5).result(timeout=600)
+        assert res2["tokens"] == res["tokens"]
 
-    # streaming callback gets the final tokens (burst emission)
-    got = []
-    eng.complete_text("\x01\x02", max_new_tokens=4,
-                      stream_cb=got.append).result(timeout=600)
-    assert got and got[0] == eng.complete_text(
-        "\x01\x02", max_new_tokens=4).result(timeout=600)["tokens"]
+        # greedy spec-continuous serving is LOSSLESS vs the plain route
+        plain = build_elm_engine(preset="tiny")
+        try:
+            want = plain.complete_text("\x01\x02\x03", max_new_tokens=6,
+                                       seed=5).result(timeout=600)
+            assert res["tokens"] == want["tokens"]
+        finally:
+            if plain._continuous is not None:
+                plain._continuous.shutdown()
+
+        # incremental streaming arrives and concatenates to the result
+        got = []
+        r3 = eng.complete_text("\x01\x02", max_new_tokens=4, seed=9,
+                               stream_cb=got.append).result(timeout=600)
+        streamed = [t for c in got for t in c]
+        assert streamed[:len(r3["tokens"])] == r3["tokens"]
+    finally:
+        if eng._continuous is not None:
+            eng._continuous.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# speculative rounds inside the continuous batcher
+# ---------------------------------------------------------------------------
+
+def _batcher(model, cfg, params, draft=None, gamma=3, slots=4,
+             eos_id=-1):
+    from unidisc_tpu.serving.continuous import elm_continuous_batcher
+    return elm_continuous_batcher(model, params, cfg, slots=slots,
+                                  chunk=8, eos_id=eos_id, draft=draft,
+                                  gamma=gamma)
+
+
+def test_continuous_speculative_greedy_lossless():
+    """Continuous batching with speculative rounds: greedy results are
+    token-for-token identical to the plain single-token continuous
+    batcher, including under slot reuse (more requests than slots)."""
+    target_model, target_cfg, target_params = _elm(seed=0, perturb=0.05)
+    draft_model, draft_cfg, draft_params = _elm(
+        num_layers=1, model_dim=32, seed=7, perturb=0.05)
+
+    prompts = [[1, 2, 3], [4, 5], [9, 8, 7, 6], [2, 2], [5, 1, 4],
+               [3, 3, 3, 3]]
+
+    plain = _batcher(target_model, target_cfg, target_params, slots=2)
+    spec = _batcher(target_model, target_cfg, target_params,
+                    draft=(draft_model, draft_cfg, draft_params),
+                    gamma=3, slots=2)
+    try:
+        want = [plain.submit(p, max_new_tokens=11, seed=100 + i)
+                for i, p in enumerate(prompts)]
+        got = [spec.submit(p, max_new_tokens=11, seed=100 + i)
+               for i, p in enumerate(prompts)]
+        for i, (w, g) in enumerate(zip(want, got)):
+            wt = w.result(timeout=600)["tokens"]
+            gt = g.result(timeout=600)["tokens"]
+            assert gt == wt, (i, gt, wt)
+    finally:
+        plain.shutdown()
+        spec.shutdown()
+
+
+def test_continuous_speculative_eos_and_stream():
+    """EOS inside an accepted window retires the row mid-round; stream
+    callbacks still deliver every token exactly once."""
+    target_model, target_cfg, target_params = _elm(seed=0, perturb=0.05)
+    draft_model, draft_cfg, draft_params = _elm(
+        num_layers=1, model_dim=32, seed=7, perturb=0.05)
+    # oracle to find a token that will appear early in row 0's stream
+    first = _greedy_oracle(target_model, target_cfg, target_params,
+                           [1, 2, 3], 3)
+    eos = first[2]
+
+    spec = _batcher(target_model, target_cfg, target_params,
+                    draft=(draft_model, draft_cfg, draft_params),
+                    gamma=3, slots=2, eos_id=eos)
+    try:
+        chunks = []
+        f0 = spec.submit([1, 2, 3], max_new_tokens=12,
+                         stream_cb=chunks.append)
+        f1 = spec.submit([4, 5, 6], max_new_tokens=12)
+        r0 = f0.result(timeout=600)
+        r1 = f1.result(timeout=600)
+        want0 = _greedy_oracle(target_model, target_cfg, target_params,
+                               [1, 2, 3], 12, eos_id=eos)
+        if want0 and want0[-1] == eos:
+            want0 = want0[:-1]
+        assert r0["tokens"] == want0
+        streamed = [t for c in chunks for t in c]
+        # the stream carries the tokens (possibly incl. the trailing EOS)
+        assert streamed[:len(r0["tokens"])] == r0["tokens"]
+        want1 = _greedy_oracle(target_model, target_cfg, target_params,
+                               [4, 5, 6], 12, eos_id=eos)
+        if want1 and want1[-1] == eos:
+            want1 = want1[:-1]
+        assert r1["tokens"] == want1
+    finally:
+        spec.shutdown()
+
+
+def test_continuous_speculative_stochastic_seeded():
+    """temperature>0 rows in spec mode: per-seed deterministic, seeds
+    differ, and tokens are independent of co-tenancy (resubmitting the
+    same seeded request alone gives the same stream)."""
+    target_model, target_cfg, target_params = _elm(seed=0, perturb=0.05)
+    draft_model, draft_cfg, draft_params = _elm(
+        num_layers=1, model_dim=32, seed=7, perturb=0.05)
+    spec = _batcher(target_model, target_cfg, target_params,
+                    draft=(draft_model, draft_cfg, draft_params),
+                    gamma=2, slots=3)
+    try:
+        a = spec.submit([1, 2, 3], max_new_tokens=10, temperature=0.9,
+                        seed=42)
+        b = spec.submit([6, 5], max_new_tokens=10, temperature=0.9,
+                        seed=43)
+        ra = a.result(timeout=600)["tokens"]
+        rb = b.result(timeout=600)["tokens"]
+        assert ra != rb
+        # same seed, solo tenancy -> identical stream
+        a2 = spec.submit([1, 2, 3], max_new_tokens=10, temperature=0.9,
+                         seed=42).result(timeout=600)["tokens"]
+        assert a2 == ra
+        assert all(0 <= t < VOCAB for t in ra + rb)
+    finally:
+        spec.shutdown()

@@ -61,6 +61,9 @@ class DecodeState(NamedTuple):
     #                      pure function of (seed, p), so a seeded request
     #                      reproduces exactly regardless of what else
     #                      shares the batch or when it was admitted
+    dkv: tuple = ()     # draft model's KV cache when speculative rounds
+    #                      are enabled (build_continuous_decoder draft=);
+    #                      () otherwise
 
 
 def _sample_row(logits, temp, g):
@@ -85,7 +88,8 @@ def build_continuous_decoder(model, config: Optional[Config], *,
                              eos_id: int = -1, apply_fn=None,
                              cache_factory=None, restrict_fn=None,
                              length: Optional[int] = None,
-                             cache_batch_axis: int = 1):
+                             cache_batch_axis: int = 1,
+                             draft=None, gamma: int = 4):
     """Build the jitted state machine for continuous AR decoding.
 
     Returns (init_state, make_insert, decode_chunk, make_insert_many):
@@ -101,7 +105,18 @@ def build_continuous_decoder(model, config: Optional[Config], *,
     apply_fn(params, tok, mod_tok, kv, cache_index) -> (logits, kv),
     cache_factory(batch, L) -> kv pytree, restrict_fn(logits, mod_next)
     -> logits, and an explicit `length` (see elm_continuous_batcher).
-    """
+
+    draft=(draft_apply_fn, draft_cache_factory): SPECULATIVE rounds —
+    each decode advance runs draft-verify rounds (serving/speculative.py
+    semantics) instead of single-token steps: the draft proposes `gamma`
+    tokens per round, the target verifies them in one chunked forward,
+    and each row advances by its own accepted count. Params for every
+    jitted call become the tuple (target_params, draft_params). Greedy
+    rows (temp<=0) stay LOSSLESS vs plain decoding; stochastic rows use
+    rejection sampling with the residual correction (noise is a pure
+    function of (seed, position, stream-tag), so results remain
+    independent of co-tenancy, but differ from the non-speculative
+    noise law)."""
     if config is not None:
         m = config.model
         L = length or m.length
@@ -123,6 +138,18 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         def cache_factory(batch, L):
             return init_kv_cache_for(m, batch, L)
 
+    if draft is not None:
+        draft_apply, draft_cache_factory = draft
+        tparams = lambda params: params[0]
+        dparams = lambda params: params[1]
+        # spec rounds write a (gamma+1) window at pos+1: cap stop so an
+        # ACTIVE row's window always fits the buffer without shifting
+        stop_cap = L - (gamma + 1)
+    else:
+        tparams = lambda params: params
+        dparams = None
+        stop_cap = L
+
     def init_state() -> DecodeState:
         kv = cache_factory(slots, L)
         return DecodeState(
@@ -133,7 +160,9 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             active=jnp.zeros((slots,), bool),
             stop=jnp.zeros((slots,), jnp.int32),
             temp=jnp.ones((slots,), jnp.float32),
-            seed=jnp.zeros((slots,), jnp.int32))
+            seed=jnp.zeros((slots,), jnp.int32),
+            dkv=(draft_cache_factory(slots, L)
+                 if draft is not None else ()))
 
     if restrict_fn is not None:
         _restrict = restrict_fn
@@ -156,7 +185,7 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         # row decodes forward
         kv1 = cache_factory(1, L)
         mod_prompt = jax.lax.dynamic_slice_in_dim(mod_row, 0, bucket)
-        logits, kv1_new = apply_fn(params, prompt[None],
+        logits, kv1_new = apply_fn(tparams(params), prompt[None],
                                    mod_prompt[None], kv1, 0)
         last = logits[0, prompt_len - 1].astype(jnp.float32)
         write0 = jnp.minimum(prompt_len, L - 1)
@@ -183,6 +212,12 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             return jax.lax.dynamic_update_slice(
                 cache, row.astype(cache.dtype), tuple(starts))
         kv = jax.tree_util.tree_map(splice, state.kv, kv1_new)
+        dkv = state.dkv
+        if draft is not None:
+            _, dkv1_new = draft_apply(dparams(params), prompt[None],
+                                      mod_prompt[None],
+                                      draft_cache_factory(1, L), 0)
+            dkv = jax.tree_util.tree_map(splice, state.dkv, dkv1_new)
         started_done = (tok0 == eos_id) | (max_new <= 1)
         return DecodeState(
             x=upd(state.x, x_row),
@@ -191,9 +226,10 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             pos=state.pos.at[slot].set(prompt_len),
             active=state.active.at[slot].set(~started_done),
             stop=state.stop.at[slot].set(
-                jnp.minimum(prompt_len + max_new, L)),
+                jnp.minimum(prompt_len + max_new, stop_cap)),
             temp=state.temp.at[slot].set(temperature),
-            seed=state.seed.at[slot].set(seed))
+            seed=state.seed.at[slot].set(seed),
+            dkv=dkv)
 
     def _insert_many(params, state: DecodeState, slots_v, prompts,
                      mod_rows, plens, max_news, temps, seeds
@@ -208,7 +244,7 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         """
         k, bucket = prompts.shape
         kvk = cache_factory(k, L)
-        logits, kv_new = apply_fn(params, prompts,
+        logits, kv_new = apply_fn(tparams(params), prompts,
                                   mod_rows[:, :bucket], kvk, 0)
         last = jnp.take_along_axis(
             logits, (plens - 1)[:, None, None], axis=1)[:, 0]
@@ -225,6 +261,12 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             idx = (slice(None),) * cache_batch_axis + (slots_v,)
             return cache.at[idx].set(rows.astype(cache.dtype))
         kv = jax.tree_util.tree_map(scatter, state.kv, kv_new)
+        dkv = state.dkv
+        if draft is not None:
+            _, dkv_new = draft_apply(dparams(params), prompts,
+                                     mod_rows[:, :bucket],
+                                     draft_cache_factory(k, L), 0)
+            dkv = jax.tree_util.tree_map(scatter, state.dkv, dkv_new)
         started_done = (tok0 == eos_id) | (max_news <= 1)
         return DecodeState(
             x=state.x.at[slots_v].set(x_rows),
@@ -233,9 +275,10 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             pos=state.pos.at[slots_v].set(plens),
             active=state.active.at[slots_v].set(~started_done),
             stop=state.stop.at[slots_v].set(
-                jnp.minimum(plens + max_news, L)),
+                jnp.minimum(plens + max_news, stop_cap)),
             temp=state.temp.at[slots_v].set(temps),
-            seed=state.seed.at[slots_v].set(seeds))
+            seed=state.seed.at[slots_v].set(seeds),
+            dkv=dkv)
 
     _insert_cache = {}
 
@@ -256,7 +299,7 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         x, mod, pos, active = state.x, state.mod, state.pos, state.active
         tok = jnp.take_along_axis(x, pos[:, None], axis=1)       # (S, 1)
         mod_tok = jnp.take_along_axis(mod, pos[:, None], axis=1)
-        logits, kv = apply_fn(params, tok, mod_tok, state.kv, pos)
+        logits, kv = apply_fn(tparams(params), tok, mod_tok, state.kv, pos)
         logits = logits[:, 0].astype(jnp.float32)                # (S, V)
 
         nxt = jnp.minimum(pos + 1, L - 1)
@@ -275,15 +318,149 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         hit_eos = active & (tok_new == eos_id)
         exhausted = nxt + 1 >= state.stop
         active = active & ~hit_eos & ~exhausted
-        return DecodeState(x=x, mod=mod, kv=kv, pos=pos,
-                           active=active, stop=state.stop, temp=state.temp,
-                           seed=state.seed)
+        return state._replace(x=x, kv=kv, pos=pos, active=active)
 
-    def _decode_chunk(params, state: DecodeState) -> DecodeState:
-        def body(s, _):
-            return _step(params, s), None
-        state, _ = jax.lax.scan(body, state, None, length=chunk)
-        return state
+    # -- speculative round (draft-verify; serving/speculative.py math) --
+
+    def _row_key(seed, p, tag):
+        k = jax.random.fold_in(jax.random.PRNGKey(0), p)
+        k = jax.random.fold_in(k, tag)
+        return jax.random.fold_in(k, seed)
+
+    def _spec_round(params, state: DecodeState) -> DecodeState:
+        x, mod, pos, active = state.x, state.mod, state.pos, state.active
+        S = x.shape[0]
+        V = None  # set below from logits
+        cur = jnp.take_along_axis(x, pos[:, None], 1)[:, 0]
+        inv_t = 1.0 / jnp.maximum(state.temp, 1e-6)
+
+        def sample_rows(logits, positions, tag):
+            """Per-row temp Gumbel-argmax with (seed, position, tag)
+            noise; greedy rows (temp<=0) take the plain argmax."""
+            def one(lg, seed, p, t):
+                g = jax.random.gumbel(_row_key(seed, p, tag),
+                                      lg.shape, jnp.float32)
+                noisy = jnp.argmax(lg / jnp.maximum(t, 1e-6) + g, -1)
+                return jnp.where(t > 0, noisy, jnp.argmax(lg, -1))
+            return jax.vmap(one)(logits, state.seed, positions,
+                                 state.temp).astype(jnp.int32)
+
+        # draft phase: gamma+1 single-token steps (the +1 keeps the
+        # draft cache hole-free at the bonus position)
+        def dstep(carry, i):
+            dkv, tok = carry
+            p_i = jnp.minimum(pos + i, L - 1)
+            mod_tok = jnp.take_along_axis(mod, p_i[:, None], 1)
+            lg, dkv = draft_apply(dparams(params), tok[:, None],
+                                  mod_tok, dkv, p_i)
+            lg = lg[:, 0].astype(jnp.float32)
+            nx = jnp.minimum(pos + i + 1, L - 1)
+            mod_nx = jnp.take_along_axis(mod, nx[:, None], 1)[:, 0]
+            lg = _restrict(lg, mod_nx)
+            nxt_tok = sample_rows(lg, nx, 1)
+            lp = jax.nn.log_softmax(lg * inv_t[:, None], -1)
+            return (dkv, nxt_tok), (nxt_tok, lp)
+
+        (dkv, _), (drafted, lp_d) = jax.lax.scan(
+            dstep, (state.dkv, cur), jnp.arange(gamma + 1))
+        drafted = drafted.T[:, :gamma]               # (S, gamma)
+        lp_d = jnp.swapaxes(lp_d, 0, 1)[:, :gamma]   # (S, gamma, V)
+
+        # verify: one target forward over [cur, d_1..d_gamma]
+        chunk_tok = jnp.concatenate([cur[:, None], drafted], 1)
+        p_mat = jnp.minimum(pos[:, None] + jnp.arange(gamma + 1)[None, :],
+                            L - 1)
+        mod_chunk = jnp.take_along_axis(mod, p_mat, 1)
+        lg_t, kv = apply_fn(tparams(params), chunk_tok, mod_chunk,
+                            state.kv, pos)
+        lg_t = lg_t.astype(jnp.float32)              # (S, gamma+1, V)
+        V = lg_t.shape[-1]
+        nxt_mat = jnp.minimum(p_mat + 1, L - 1)
+        mod_nxt = jnp.take_along_axis(mod, nxt_mat, 1)
+        lg_t = _restrict(lg_t.reshape(-1, V),
+                         mod_nxt.reshape(-1)).reshape(S, gamma + 1, V)
+        lp_t = jax.nn.log_softmax(lg_t * inv_t[:, None, None], -1)
+        targets = jnp.argmax(lg_t, -1).astype(jnp.int32)
+
+        # acceptance: greedy rows match argmax; stochastic rows use the
+        # rejection rule log u < log p_t(d) - log p_d(d)
+        take = lambda lp, d: jnp.take_along_axis(lp, d[..., None],
+                                                 -1)[..., 0]
+        lpt_d = take(lp_t[:, :gamma], drafted)
+        lpd_d = take(lp_d, drafted)
+        u = jax.vmap(jax.vmap(
+            lambda seed, p: jax.random.uniform(
+                _row_key(seed, p, 2), (), jnp.float32, minval=1e-20),
+            in_axes=(None, 0)), in_axes=(0, 0))(state.seed,
+                                                nxt_mat[:, :gamma])
+        match_stoch = jnp.log(u) < (lpt_d - lpd_d)
+        match_greedy = drafted == targets[:, :gamma]
+        match = jnp.where((state.temp > 0)[:, None], match_stoch,
+                          match_greedy)
+
+        # correction token at the rejection slot / bonus at the end
+        p_res = jnp.maximum(jnp.exp(lp_t[:, :gamma]) - jnp.exp(lp_d), 0.0)
+        log_res = jnp.log(jnp.maximum(p_res, 1e-38))
+        corr = jax.vmap(jax.vmap(
+            lambda lr, seed, p: jnp.argmax(lr + jax.random.gumbel(
+                _row_key(seed, p, 3), lr.shape, jnp.float32), -1),
+            in_axes=(0, None, 0)), in_axes=(0, 0, 0))(
+                log_res, state.seed,
+                nxt_mat[:, :gamma]).astype(jnp.int32)
+        bonus = sample_rows(lg_t[:, gamma], nxt_mat[:, gamma], 4)
+        out_stoch = jnp.concatenate([corr, bonus[:, None]], 1)
+        out_win = jnp.where((state.temp > 0)[:, None], out_stoch, targets)
+
+        led = jnp.cumprod(match.astype(jnp.int32), -1)
+        n = led.sum(-1)                               # (S,) accepted
+        idx = jnp.arange(gamma + 1)[None, :]
+        win = jnp.where(idx < n[:, None],
+                        jnp.pad(drafted, ((0, 0), (0, 1))), out_win)
+
+        # advance: accepted+1, cut by the stop bound and the first EOS
+        adv = jnp.minimum(n + 1, jnp.maximum(state.stop - 1 - pos, 0))
+        if eos_id >= 0:
+            real = idx <= n[:, None]
+            is_eos = (win == eos_id) & real
+            any_eos = is_eos.any(-1)
+            adv = jnp.where(any_eos,
+                            jnp.minimum(adv, jnp.argmax(is_eos, -1) + 1),
+                            adv)
+        adv = jnp.where(active, adv, 0)
+
+        # write the window at pos+1 (junk beyond adv is rewritten before
+        # any read — see serving/speculative.py); inactive rows keep x
+        start = jnp.minimum(pos + 1, L - (gamma + 1))
+        cur_win = jax.vmap(lambda row, p: jax.lax.dynamic_slice(
+            row, (p,), (gamma + 1,)))(x, start)
+        keep = jnp.where(active[:, None], win, cur_win)
+        x = jax.vmap(lambda row, w, p: jax.lax.dynamic_update_slice(
+            row, w, (p,)))(x, keep, start)
+
+        new_pos = pos + adv
+        last = jnp.take_along_axis(
+            win, jnp.clip(adv - 1, 0, gamma)[:, None], 1)[:, 0]
+        hit_eos = active & (adv > 0) & (last == eos_id) \
+            if eos_id >= 0 else jnp.zeros_like(active)
+        exhausted = new_pos + 1 >= state.stop
+        new_active = active & ~hit_eos & ~exhausted
+        return state._replace(x=x, kv=kv, dkv=dkv, pos=new_pos,
+                              active=new_active)
+
+    if draft is not None:
+        rounds = max(1, -(-chunk // (gamma + 1)))
+
+        def _decode_chunk(params, state: DecodeState) -> DecodeState:
+            def body(s, _):
+                return _spec_round(params, s), None
+            state, _ = jax.lax.scan(body, state, None, length=rounds)
+            return state
+    else:
+        def _decode_chunk(params, state: DecodeState) -> DecodeState:
+            def body(s, _):
+                return _step(params, s), None
+            state, _ = jax.lax.scan(body, state, None, length=chunk)
+            return state
 
     decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1,))
     return init_state, make_insert, decode_chunk, make_insert_many
@@ -314,6 +491,15 @@ class ContinuousBatcher:
         self.slots = slots
         self.chunk = chunk
         self.eos_id = eos_id
+        # max tokens one decode dispatch can advance a row: `chunk`
+        # single-token steps, or ceil(chunk/(gamma+1)) spec rounds of up
+        # to gamma+1 tokens each (the host pos estimate must be an UPPER
+        # bound for finish detection)
+        if decoder_kwargs.get("draft") is not None:
+            g = decoder_kwargs.get("gamma", 4)
+            self._max_advance = -(-chunk // (g + 1)) * (g + 1)
+        else:
+            self._max_advance = chunk
         self.length = decoder_kwargs.get("length") or config.model.length
         self.drain_deadline_s = drain_deadline_s
         self._chunk_s = None      # EMA of one decode chunk's wall time
@@ -471,8 +657,9 @@ class ContinuousBatcher:
                                          else 0.7 * self._chunk_s
                                          + 0.3 * chunk_s)
                         for r in live:
-                            r["pos_est"] = min(r["pos_est"] + self.chunk,
-                                               r["stop_est"])
+                            r["pos_est"] = min(
+                                r["pos_est"] + self._max_advance,
+                                r["stop_est"])
                         # drain (a full host round trip) only when it can
                         # matter: a stream is waiting, a row may have hit
                         # its stop bound, or — with EOS able to fire
@@ -518,12 +705,18 @@ def elm_continuous_batcher(elm_model, params, elm_cfg, *, slots: int = 8,
                            chunk: int = 8, eos_id: int = -1,
                            length: Optional[int] = None,
                            quant_cache: bool = False,
+                           draft=None, gamma: int = 4,
                            device_lock: Optional[threading.Lock] = None
                            ) -> "ContinuousBatcher":
     """Continuous batching for the OpenELM AR baseline (models/elm.py):
     the same persistent device batch, per-row positions, batched
     admission and drain-skipping, over ELM's per-layer GQA caches.
-    quant_cache=True uses the int8 KV cache."""
+    quant_cache=True uses the int8 KV cache.
+
+    draft=(draft_model, draft_cfg, draft_params): continuous SPECULATIVE
+    serving — decode advances by draft-verify rounds of `gamma`
+    proposals while admission/streaming/retirement work unchanged
+    (greedy rows stay lossless; see build_continuous_decoder)."""
     from unidisc_tpu.models.elm import init_elm_cache
 
     L = length or elm_cfg.max_length
@@ -535,8 +728,26 @@ def elm_continuous_batcher(elm_model, params, elm_cfg, *, slots: int = 8,
     def cache_factory(batch, length_):
         return init_elm_cache(elm_cfg, batch, length_, quant=quant_cache)
 
+    draft_kw = {}
+    if draft is not None:
+        d_model, d_cfg, d_params = draft
+        assert (d_cfg.vocab_size + d_cfg.extra_tokens
+                == elm_cfg.vocab_size + elm_cfg.extra_tokens), \
+            "speculative draft must share the target's vocabulary"
+
+        def draft_apply(p, tok, mod_tok, kv, cache_index):
+            return d_model.apply({"params": p}, tok, kv_cache=kv,
+                                 cache_index=cache_index)
+
+        def draft_cache_factory(batch, length_):
+            return init_elm_cache(d_cfg, batch, length_)
+
+        draft_kw = dict(draft=(draft_apply, draft_cache_factory),
+                        gamma=gamma)
+        params = (params, d_params)
+
     return ContinuousBatcher(
         None, params, None, slots=slots, chunk=chunk, eos_id=eos_id,
         device_lock=device_lock, apply_fn=apply_fn,
         cache_factory=cache_factory, restrict_fn=lambda lg, mod: lg,
-        length=L, cache_batch_axis=0)
+        length=L, cache_batch_axis=0, **draft_kw)

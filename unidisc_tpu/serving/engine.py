@@ -558,12 +558,11 @@ class ElmEngine:
         self.model = model
         self.params = params
         self.codec = None
-        # draft = (draft_model, draft_cfg, draft_params): serve through
-        # the speculative decoder (serving/speculative.py) instead of the
-        # continuous batcher — one target read per gamma draft proposals
+        # draft = (draft_model, draft_cfg, draft_params): the continuous
+        # batcher decodes in speculative draft-verify rounds — one target
+        # read per `gamma` draft proposals (serving/continuous.py draft=)
         self._draft = draft
         self._gamma = gamma
-        self._spec = {}
         # minimal config shim for the server's routing checks
         self.config = _types.SimpleNamespace(
             trainer=_types.SimpleNamespace(parameterization="ar"),
@@ -592,60 +591,9 @@ class ElmEngine:
                         slots=self._slots, chunk=self._chunk,
                         eos_id=eos if eos is not None else -1,
                         quant_cache=self._kv_cache == "int8",
+                        draft=self._draft, gamma=self._gamma,
                         device_lock=self._device_lock)
         return self._continuous
-
-    def _spec_decoder(self, max_new: int, temperature: float):
-        """Jitted speculative decoder per (max_new bucket, temperature).
-        Per-request B=1 decode for now — folding spec rounds into the
-        continuous batcher's admission loop is the scale-out follow-up."""
-        from functools import partial
-
-        import jax as _jax
-
-        from unidisc_tpu.serving.speculative import elm_spec_decoder
-        bucket = max(8, 1 << (max_new - 1).bit_length())
-        key = (bucket, float(temperature))
-        if key not in self._spec:
-            d_model, d_cfg, _ = self._draft
-            eos = getattr(self.tokenizer, "eos_token_id", None)
-            dec = elm_spec_decoder(
-                self.model, self.elm_cfg, d_model, d_cfg,
-                gamma=self._gamma, temperature=temperature,
-                eos_id=eos if eos is not None else -1)
-            self._spec[key] = _jax.jit(partial(dec, max_new=bucket))
-        return self._spec[key], bucket
-
-    def _complete_speculative(self, prompt, *, max_new_tokens,
-                              temperature, seed, stream_cb):
-        import numpy as _np
-
-        from concurrent.futures import Future
-        decode, bucket = self._spec_decoder(max_new_tokens, temperature)
-        _, _, d_params = self._draft
-        # pad the prompt to a power-of-two bucket so only a few shapes
-        # ever compile (pad slots are stale-by-position, see speculative.py)
-        pbucket = max(8, 1 << (max(len(prompt), 1) - 1).bit_length())
-        padded = _np.zeros(pbucket, _np.int32)
-        padded[:len(prompt)] = prompt
-        with self._device_lock:
-            res = decode(self.params, d_params,
-                         jnp.asarray(padded[None]),
-                         jnp.asarray([len(prompt)], jnp.int32),
-                         jnp.asarray([seed if seed is not None else 0],
-                                     jnp.int32))
-            toks = _np.asarray(res.tokens)[0]
-        n = min(int(_np.asarray(res.emitted)[0]), max_new_tokens)
-        tokens = toks[len(prompt):len(prompt) + n].tolist()
-        out = {"tokens": tokens, "prompt_len": len(prompt),
-               "text": self.tokenizer.decode(tokens),
-               "accepted": int(res.accepted),
-               "drafted": int(res.drafted)}
-        if stream_cb is not None:
-            stream_cb(list(tokens))
-        fut: Future = Future()
-        fut.set_result(out)
-        return fut
 
     def complete_text(self, text: str, *, max_new_tokens: int = 64,
                       temperature: float = 0.0, seed: Optional[int] = None,
@@ -653,10 +601,6 @@ class ElmEngine:
         prompt = self.tokenizer.encode(
             text or "", add_bos=True,
             add_eos=False)[:self.elm_cfg.max_length - 2]
-        if self._draft is not None:
-            return self._complete_speculative(
-                prompt, max_new_tokens=max_new_tokens,
-                temperature=temperature, seed=seed, stream_cb=stream_cb)
         fut = self.continuous.submit(
             prompt, max_new_tokens=max_new_tokens,
             temperature=temperature, seed=seed, stream_cb=stream_cb)
