@@ -314,3 +314,28 @@ def test_continuous_speculative_stochastic_seeded():
         assert all(0 <= t < VOCAB for t in ra + rb)
     finally:
         spec.shutdown()
+
+
+def test_dit_ar_engine_speculative_route():
+    """DIT-AR counterpart: build_engine(--speculative) serves the causal
+    DIT through continuous spec rounds, greedy lossless vs plain."""
+    from unidisc_tpu.serving.engine import build_engine
+
+    eng = build_engine(preset="tiny", speculative="tiny", spec_gamma=2,
+                       experiments=["ar_baseline"])
+    plain = build_engine(preset="tiny", experiments=["ar_baseline"])
+    try:
+        kw = dict(max_new_tokens=6, seed=3)
+        got = eng.complete_text("\x01\x02\x03", **kw).result(timeout=600)
+        want = plain.complete_text("\x01\x02\x03",
+                                   **kw).result(timeout=600)
+        assert got["tokens"] == want["tokens"]
+        assert isinstance(got["text"], str)
+    finally:
+        for e in (eng, plain):
+            if getattr(e, "_continuous", None) is not None:
+                e._continuous.shutdown()
+
+    # diffusion models reject --speculative with a pointer to --scaffold
+    with pytest.raises(ValueError, match="scaffold"):
+        build_engine(preset="tiny", speculative="tiny")

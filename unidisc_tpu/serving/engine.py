@@ -34,10 +34,17 @@ def expand_mask_tokens(text: str) -> str:
 
 class InferenceEngine:
     def __init__(self, config: Config, model, params, *, tokenizer=None,
-                 codec=None, mesh=None, rolling: int = 0):
+                 codec=None, mesh=None, rolling: int = 0,
+                 ar_draft=None, gamma: int = 4):
         self.config = config
         self.model = model
         self.mesh = mesh
+        # ar_draft = (draft_model, draft_model_cfg, draft_params): the AR
+        # continuous batcher decodes in speculative draft-verify rounds
+        # (serving/continuous.py draft=) — DIT-AR counterpart of the ELM
+        # engine's --speculative route
+        self._ar_draft = ar_draft
+        self._gamma = gamma
         # rolling > 0: serve diffusion requests through the rolling
         # continuous batcher (serving/rolling.py) with that many slots —
         # requests admit into finished rows mid-flight instead of
@@ -96,11 +103,32 @@ class InferenceEngine:
                     from unidisc_tpu.serving.continuous import \
                         ContinuousBatcher
                     eos = getattr(self.tokenizer, "eos_token_id", None)
+                    params = self.params
+                    kw = {}
+                    if self._ar_draft is not None:
+                        from unidisc_tpu.sampling.ar_sampler import \
+                            init_kv_cache_for
+                        d_model, d_mcfg, d_params = self._ar_draft
+
+                        def draft_apply(p, tok, mod_tok, kv, ci):
+                            sigma = jnp.zeros((tok.shape[0],),
+                                              jnp.float32)
+                            return d_model.apply(
+                                {"params": p}, tok, sigma,
+                                modality=mod_tok, kv_cache=kv,
+                                cache_index=ci)
+
+                        kw = dict(
+                            draft=(draft_apply,
+                                   lambda b, L: init_kv_cache_for(
+                                       d_mcfg, b, L)),
+                            gamma=self._gamma)
+                        params = (params, d_params)
                     self._continuous = ContinuousBatcher(
-                        self.model, self.params, self.config,
+                        self.model, params, self.config,
                         slots=8, chunk=8,
                         eos_id=eos if eos is not None else -1,
-                        device_lock=self._device_lock)
+                        device_lock=self._device_lock, **kw)
         return self._continuous
 
     def complete_text(self, text: str, *, max_new_tokens: int = 64,
@@ -760,8 +788,30 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         live_mesh, mesh_kw = parse_mesh_spec(mesh)
         config = config.override(**{f"mesh.{k}": v
                                     for k, v in mesh_kw.items()})
+    ar_draft = None
+    if speculative:
+        if config.trainer.parameterization != "ar":
+            raise ValueError("--speculative needs an AR model "
+                             "(trainer.parameterization=ar, or the "
+                             "elm route); use --scaffold for diffusion "
+                             "model-size scheduling")
+        mcfg = config.model
+        d_cfg = Config.make(speculative).override(**{
+            "model.length": mcfg.length,
+            "model.txt_length": mcfg.txt_length,
+            "model.img_length": mcfg.img_length,
+            "model.text_vocab_size": mcfg.text_vocab_size,
+            "model.image_vocab_size": mcfg.image_vocab_size,
+            "model.full_attention": False,
+            "model.time_conditioning": False,
+            "model.dropout": 0.0,
+        })
+        d_model, d_params = init_dit(jax.random.PRNGKey(d_cfg.seed + 1),
+                                     d_cfg.model)
+        ar_draft = (d_model, d_cfg.model, d_params)
     engine = InferenceEngine(config, model, params, codec=codec,
-                             mesh=live_mesh, rolling=rolling)
+                             mesh=live_mesh, rolling=rolling,
+                             ar_draft=ar_draft, gamma=spec_gamma)
     if scaffold:
         if mesh:
             raise ValueError("scaffold decoding is single-host for now "
