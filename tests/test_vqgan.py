@@ -269,3 +269,248 @@ def test_torch_port_parity():
         t_rec = tmodel.decoder(tmodel.post_quant_conv(zq))
         t_rec = t_rec.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(f_rec, t_rec, atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# KL-VAE (continuous sd-vae backend)
+# ---------------------------------------------------------------------------
+
+KL_TINY = dict(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+               embed_dim=4)
+
+
+def test_klvae_roundtrip_and_sampling():
+    from unidisc_tpu.tokenizers.vqgan import KLVAE, KLVAEConfig
+    cfg = KLVAEConfig(**KL_TINY)
+    assert cfg.downsample == 2
+    model = KLVAE(cfg)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3),
+                              minval=-1, maxval=1)
+    params = model.init(jax.random.PRNGKey(0), imgs)["params"]
+
+    z = model.apply({"params": params}, imgs, method=KLVAE.encode)
+    assert z.shape == (2, 64, 4)  # (16/2)^2 latents, embed_dim 4
+    # deterministic (mean) encode is reproducible; sampled encode differs
+    z2 = model.apply({"params": params}, imgs, method=KLVAE.encode)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+    zs = model.apply({"params": params}, imgs, jax.random.PRNGKey(3),
+                     method=KLVAE.encode)
+    assert not np.allclose(np.asarray(z), np.asarray(zs))
+
+    recon = model.apply({"params": params}, z, 8, method=KLVAE.decode)
+    assert recon.shape == (2, 16, 16, 3)
+
+    recon2, mean, logvar = model.apply({"params": params}, imgs)
+    assert recon2.shape == (2, 16, 16, 3)
+    assert mean.shape == logvar.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(logvar)).all()
+
+
+def test_continuous_codec_factory():
+    from unidisc_tpu.tokenizers.image_codecs import get_continuous_codec
+    codec = get_continuous_codec("sd-vae", image_size=16, **KL_TINY)
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3),
+                              minval=-1, maxval=1)
+    z = codec.encode(codec.params, imgs)
+    assert z.shape == (2, 64, codec.latent_dim)
+    out = codec.decode(codec.params, z)
+    assert out.shape == (2, 16, 16, 3)
+    # the discrete factory points continuous users at this one
+    with pytest.raises(ValueError, match="continuous"):
+        get_codec("sd-vae")
+
+
+def build_torch_klvae(cfg):
+    """Taming/CompVis-layout torch mirror (the published SD
+    first_stage_model naming: encoder.down.{i}.block.{j},
+    encoder.mid.block_1/attn_1/block_2, decoder.up.{i})."""
+    import torch
+    import torch.nn as tnn
+
+    class ResnetBlock(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm1 = tnn.GroupNorm(32, cin, eps=1e-6)
+            self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+            self.norm2 = tnn.GroupNorm(32, cout, eps=1e-6)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+            if cin != cout:
+                self.nin_shortcut = tnn.Conv2d(cin, cout, 1)
+
+        def forward(self, x):
+            h = torch.nn.functional.silu(self.norm1(x))
+            h = self.conv1(h)
+            h = torch.nn.functional.silu(self.norm2(h))
+            h = self.conv2(h)
+            if hasattr(self, "nin_shortcut"):
+                x = self.nin_shortcut(x)
+            return x + h
+
+    class AttnBlock(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.norm = tnn.GroupNorm(32, c, eps=1e-6)
+            self.q = tnn.Conv2d(c, c, 1)
+            self.k = tnn.Conv2d(c, c, 1)
+            self.v = tnn.Conv2d(c, c, 1)
+            self.proj_out = tnn.Conv2d(c, c, 1)
+
+        def forward(self, x):
+            y = self.norm(x)
+            q, k, v = self.q(y), self.k(y), self.v(y)
+            b, c, h, w = q.shape
+            q = q.reshape(b, c, h * w).permute(0, 2, 1)
+            k = k.reshape(b, c, h * w)
+            attn = torch.softmax(torch.bmm(q, k) * (c ** -0.5), dim=-1)
+            v = v.reshape(b, c, h * w).permute(0, 2, 1)
+            out = torch.bmm(attn, v).permute(0, 2, 1).reshape(b, c, h, w)
+            return x + self.proj_out(out)
+
+    class Down(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = tnn.Conv2d(c, c, 3, stride=2, padding=0)
+
+        def forward(self, x):
+            return self.conv(torch.nn.functional.pad(x, (0, 1, 0, 1)))
+
+    class Up(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = tnn.Conv2d(c, c, 3, padding=1)
+
+        def forward(self, x):
+            return self.conv(torch.nn.functional.interpolate(
+                x, scale_factor=2, mode="nearest"))
+
+    class Level(tnn.Module):
+        def __init__(self, blocks, resize=None, down=True):
+            super().__init__()
+            self.block = tnn.ModuleList(blocks)
+            if resize is not None:
+                setattr(self, "downsample" if down else "upsample", resize)
+
+        def forward(self, x):
+            for r in self.block:
+                x = r(x)
+            if hasattr(self, "downsample"):
+                x = self.downsample(x)
+            if hasattr(self, "upsample"):
+                x = self.upsample(x)
+            return x
+
+    class Mid(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.block_1 = ResnetBlock(c, c)
+            self.attn_1 = AttnBlock(c)
+            self.block_2 = ResnetBlock(c, c)
+
+        def forward(self, x):
+            return self.block_2(self.attn_1(self.block_1(x)))
+
+    class Encoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = tnn.Conv2d(3, cfg.ch, 3, padding=1)
+            levels, cin = [], cfg.ch
+            for i, mult in enumerate(cfg.ch_mult):
+                cout = cfg.ch * mult
+                blocks = []
+                for _ in range(cfg.num_res_blocks):
+                    blocks.append(ResnetBlock(cin, cout))
+                    cin = cout
+                resize = Down(cout) if i != len(cfg.ch_mult) - 1 else None
+                levels.append(Level(blocks, resize))
+            self.down = tnn.ModuleList(levels)
+            self.mid = Mid(cin)
+            self.norm_out = tnn.GroupNorm(32, cin, eps=1e-6)
+            self.conv_out = tnn.Conv2d(cin, 2 * cfg.z_channels, 3,
+                                       padding=1)
+
+        def forward(self, x):
+            h = self.conv_in(x)
+            for lvl in self.down:
+                h = lvl(h)
+            h = self.mid(h)
+            h = torch.nn.functional.silu(self.norm_out(h))
+            return self.conv_out(h)
+
+    class Decoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            cin = cfg.ch * cfg.ch_mult[-1]
+            self.conv_in = tnn.Conv2d(cfg.z_channels, cin, 3, padding=1)
+            self.mid = Mid(cin)
+            levels = [None] * len(cfg.ch_mult)
+            for i in reversed(range(len(cfg.ch_mult))):
+                cout = cfg.ch * cfg.ch_mult[i]
+                blocks = []
+                for _ in range(cfg.num_res_blocks + 1):
+                    blocks.append(ResnetBlock(cin, cout))
+                    cin = cout
+                resize = Up(cout) if i != 0 else None
+                levels[i] = Level(blocks, resize, down=False)
+            self.up = tnn.ModuleList(levels)
+            self.norm_out = tnn.GroupNorm(32, cin, eps=1e-6)
+            self.conv_out = tnn.Conv2d(cin, 3, 3, padding=1)
+
+        def forward(self, z):
+            h = self.mid(self.conv_in(z))
+            for lvl in reversed(self.up):
+                h = lvl(h)
+            h = torch.nn.functional.silu(self.norm_out(h))
+            return self.conv_out(h)
+
+    class AutoencoderKL(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Encoder()
+            self.decoder = Decoder()
+            self.quant_conv = tnn.Conv2d(2 * cfg.z_channels,
+                                         2 * cfg.embed_dim, 1)
+            self.post_quant_conv = tnn.Conv2d(cfg.embed_dim,
+                                              cfg.z_channels, 1)
+
+    return AutoencoderKL()
+
+
+def test_klvae_torch_port_parity():
+    import torch
+
+    from unidisc_tpu.tokenizers.vqgan import (KLVAE, KLVAEConfig,
+                                              load_klvae_torch_state_dict)
+    torch.manual_seed(0)
+    cfg = KLVAEConfig(**KL_TINY)
+    tmodel = build_torch_klvae(cfg)
+    tmodel.eval()
+
+    model = KLVAE(cfg)
+    imgs_np = np.random.RandomState(0).uniform(
+        -1, 1, (2, 16, 16, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(imgs_np))["params"]
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = load_klvae_torch_state_dict(params, sd)
+
+    # posterior-mean latents parity
+    with torch.no_grad():
+        t_in = torch.from_numpy(imgs_np).permute(0, 3, 1, 2)
+        t_m = tmodel.quant_conv(tmodel.encoder(t_in))
+        t_mean = t_m[:, :cfg.embed_dim].permute(0, 2, 3, 1).numpy()
+    f_mean = np.asarray(model.apply({"params": params},
+                                    jnp.asarray(imgs_np),
+                                    method=KLVAE.moments)[0])
+    np.testing.assert_allclose(f_mean, t_mean, atol=1e-4, rtol=1e-3)
+
+    # decoder parity from the same scaled latents
+    z = model.apply({"params": params}, jnp.asarray(imgs_np),
+                    method=KLVAE.encode)
+    f_rec = np.asarray(model.apply({"params": params}, z, 8,
+                                   method=KLVAE.decode))
+    with torch.no_grad():
+        zt = torch.from_numpy(np.asarray(z)).reshape(2, 8, 8, 4)
+        zt = (zt / cfg.scale_factor).permute(0, 3, 1, 2)
+        t_rec = tmodel.decoder(tmodel.post_quant_conv(zt))
+        t_rec = t_rec.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(f_rec, t_rec, atol=1e-4, rtol=1e-3)

@@ -35,6 +35,18 @@ class ImageCodec(NamedTuple):
     downsample: int   # tokens per side = H // downsample
 
 
+class ContinuousCodec(NamedTuple):
+    """Continuous-latent codec (the reference's SD-VAE backend) for the
+    transfusion/continuous branch (models/continuous.py): encode returns
+    float latents (B, T, latent_dim) instead of token ids."""
+    name: str
+    params: Any
+    encode: Callable  # (params, images, rng=None) -> latents (B, T, C)
+    decode: Callable  # (params, latents (B, T, C)) -> images
+    latent_dim: int
+    downsample: int
+
+
 # ---------------------------------------------------------------------------
 # LlamaGen VQGAN
 # ---------------------------------------------------------------------------
@@ -213,8 +225,37 @@ def _make_titok(name: str, rng, image_size: int, **kw) -> ImageCodec:
                       downsample=eq_down)
 
 
-_TORCH_ONLY = {"cosmos", "chameleon", "anole", "showo", "sd-vae",
+_TORCH_ONLY = {"cosmos", "chameleon", "anole", "showo",
                "maskgit-vqgan", "taming", "video-vqvae", "bsq", "lumina"}
+
+
+def get_continuous_codec(name: str = "sd-vae", *, rng=None,
+                         image_size: int = 256, **kw) -> ContinuousCodec:
+    """Continuous (KL-VAE) codec factory — the reference's SD-VAE backend
+    (image_tokenizers.py "stable_diffusion"), native Flax
+    (tokenizers/vqgan.py KLVAE). Published SD first_stage checkpoints
+    load via load_klvae_torch_state_dict (taming naming)."""
+    from unidisc_tpu.tokenizers.vqgan import KLVAE, KLVAEConfig
+    if name not in ("sd-vae", "klvae"):
+        raise ValueError(f"unknown continuous codec {name!r}")
+    cfg = KLVAEConfig(**kw)
+    model = KLVAE(cfg)
+    grid = image_size // cfg.downsample
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    params = model.init(rng, dummy)["params"]
+
+    def encode(params, images, rng=None):
+        return model.apply({"params": params}, images, rng,
+                           method=KLVAE.encode)
+
+    def decode(params, latents):
+        return model.apply({"params": params}, latents, grid,
+                           method=KLVAE.decode)
+
+    return ContinuousCodec(name="sd-vae", params=params, encode=encode,
+                           decode=decode, latent_dim=cfg.embed_dim,
+                           downsample=cfg.downsample)
 
 
 def get_codec(name: str, *, rng=None, image_size: int = 256,
@@ -235,6 +276,11 @@ def get_codec(name: str, *, rng=None, image_size: int = 256,
         return _make_pixels(image_size, **kw)
     if name == "dummy":
         return _make_dummy(image_size, **kw)
+    if name in ("sd-vae", "klvae"):
+        raise ValueError(
+            "sd-vae is a CONTINUOUS codec (float latents, no token ids) — "
+            "use get_continuous_codec('sd-vae') with the "
+            "transfusion/continuous branch (models/continuous.py)")
     if name in _TORCH_ONLY:
         raise NotImplementedError(
             f"codec '{name}' is a torch-ecosystem offline preprocessor in "

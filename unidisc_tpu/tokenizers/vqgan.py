@@ -336,3 +336,184 @@ def load_torch_state_dict(params: dict, state_dict: dict) -> dict:
         put(f"{n}/bias", state_dict[f"{n}.bias"], False)
 
     return flax.traverse_util.unflatten_dict(out, sep="/")
+
+
+# ---------------------------------------------------------------------------
+# KL-VAE (continuous latents; the reference's Stable-Diffusion VAE backend,
+# image_tokenizers.py "sd-vae" — used by its continuous/transfusion branch)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class KLVAEConfig:
+    """SD-VAE-class autoencoder (taming `double_z` layout): encoder emits
+    2*z_channels moments (mean, logvar), latents are sampled/meaned and
+    multiplied by scale_factor (SD convention 0.18215)."""
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)  # f=8
+    num_res_blocks: int = 2
+    z_channels: int = 4
+    embed_dim: int = 4
+    scale_factor: float = 0.18215
+    dropout: float = 0.0
+
+    @property
+    def downsample(self) -> int:
+        return 2 ** (len(self.ch_mult) - 1)
+
+
+class KLVAE(nn.Module):
+    """Continuous VAE codec for the transfusion/continuous-latent branch
+    (models/continuous.py): encode images -> (B, h*w, embed_dim) scaled
+    latents; decode latents -> images. Reuses the taming Encoder/Decoder
+    stacks (same conv trunk as the VQGAN above)."""
+
+    cfg: KLVAEConfig
+
+    def setup(self):
+        c = self.cfg
+        enc_cfg = VQConfig(ch=c.ch, ch_mult=c.ch_mult,
+                           num_res_blocks=c.num_res_blocks,
+                           z_channels=2 * c.z_channels, dropout=c.dropout)
+        dec_cfg = VQConfig(ch=c.ch, ch_mult=c.ch_mult,
+                           num_res_blocks=c.num_res_blocks,
+                           z_channels=c.z_channels, dropout=c.dropout)
+        self.encoder = Encoder(enc_cfg, name="encoder")
+        self.decoder = Decoder(dec_cfg, name="decoder")
+        self.quant_conv = nn.Conv(2 * c.embed_dim, (1, 1),
+                                  name="quant_conv")
+        self.post_quant_conv = nn.Conv(c.z_channels, (1, 1),
+                                       name="post_quant_conv")
+
+    def moments(self, images: jax.Array):
+        """(mean, logvar), each (B, h, w, embed_dim)."""
+        h = self.quant_conv(self.encoder(images))
+        mean, logvar = jnp.split(h, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode(self, images: jax.Array, rng=None) -> jax.Array:
+        """Scaled latents (B, h*w, embed_dim); rng=None takes the
+        posterior mean (deterministic), else one reparameterized
+        sample."""
+        mean, logvar = self.moments(images)
+        z = mean
+        if rng is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape, mean.dtype)
+        z = z * self.cfg.scale_factor
+        b, hh, ww, c = z.shape
+        return z.reshape(b, hh * ww, c)
+
+    def decode(self, latents: jax.Array, grid: int) -> jax.Array:
+        b = latents.shape[0]
+        z = latents.reshape(b, grid, grid, -1) / self.cfg.scale_factor
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, images: jax.Array, rng=None):
+        """Autoencode roundtrip; returns (recon, mean, logvar) — the KL
+        term for codec training is standard normal vs (mean, logvar)."""
+        mean, logvar = self.moments(images)
+        z = mean
+        if rng is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape, mean.dtype)
+        recon = self.decoder(self.post_quant_conv(z))
+        return recon, mean, logvar
+
+
+def load_klvae_torch_state_dict(params: dict, state_dict: dict) -> dict:
+    """Map a taming/CompVis-layout KL-VAE torch state_dict (the published
+    SD `first_stage_model` naming: encoder.down.{i}.block.{j}.*,
+    encoder.mid.block_1/attn_1/block_2, decoder.up.{i}.*, quant_conv,
+    post_quant_conv) onto KLVAE params."""
+    import flax
+    flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
+    out = dict(flat)
+
+    def put(fkey, val, conv):
+        assert fkey in flat, f"unknown flax key {fkey}"
+        arr = np.asarray(val)
+        if conv and arr.ndim == 4:
+            arr = _convert_conv(arr)
+        assert arr.shape == flat[fkey].shape, \
+            f"{fkey}: {arr.shape} vs {flat[fkey].shape}"
+        out[fkey] = jnp.asarray(arr)
+
+    def map_resblock(tprefix, fprefix):
+        for tn in ["norm1", "norm2"]:
+            put(f"{fprefix}/{tn}/scale", state_dict[f"{tprefix}.{tn}.weight"],
+                False)
+            put(f"{fprefix}/{tn}/bias", state_dict[f"{tprefix}.{tn}.bias"],
+                False)
+        for tn in ["conv1", "conv2"]:
+            put(f"{fprefix}/{tn}/kernel", state_dict[f"{tprefix}.{tn}.weight"],
+                True)
+            put(f"{fprefix}/{tn}/bias", state_dict[f"{tprefix}.{tn}.bias"],
+                False)
+        if f"{tprefix}.nin_shortcut.weight" in state_dict:
+            put(f"{fprefix}/nin_shortcut/kernel",
+                state_dict[f"{tprefix}.nin_shortcut.weight"], True)
+            put(f"{fprefix}/nin_shortcut/bias",
+                state_dict[f"{tprefix}.nin_shortcut.bias"], False)
+
+    def map_attn(tprefix, fprefix):
+        put(f"{fprefix}/norm/scale", state_dict[f"{tprefix}.norm.weight"],
+            False)
+        put(f"{fprefix}/norm/bias", state_dict[f"{tprefix}.norm.bias"],
+            False)
+        for n in ["q", "k", "v", "proj_out"]:
+            put(f"{fprefix}/{n}/kernel", state_dict[f"{tprefix}.{n}.weight"],
+                True)
+            put(f"{fprefix}/{n}/bias", state_dict[f"{tprefix}.{n}.bias"],
+                False)
+
+    levels = 0
+    while any(k.startswith(f"encoder.down.{levels}.") for k in state_dict):
+        levels += 1
+    n_res = 0
+    while f"encoder.down.0.block.{n_res}.conv1.weight" in state_dict:
+        n_res += 1
+
+    for side in ["encoder", "decoder"]:
+        put(f"{side}/conv_in/kernel", state_dict[f"{side}.conv_in.weight"],
+            True)
+        put(f"{side}/conv_in/bias", state_dict[f"{side}.conv_in.bias"],
+            False)
+        put(f"{side}/conv_out/kernel", state_dict[f"{side}.conv_out.weight"],
+            True)
+        put(f"{side}/conv_out/bias", state_dict[f"{side}.conv_out.bias"],
+            False)
+        put(f"{side}/norm_out/scale", state_dict[f"{side}.norm_out.weight"],
+            False)
+        put(f"{side}/norm_out/bias", state_dict[f"{side}.norm_out.bias"],
+            False)
+        map_resblock(f"{side}.mid.block_1", f"{side}/mid_block_1")
+        map_attn(f"{side}.mid.attn_1", f"{side}/mid_attn_1")
+        map_resblock(f"{side}.mid.block_2", f"{side}/mid_block_2")
+
+    for i in range(levels):
+        for j in range(n_res):
+            map_resblock(f"encoder.down.{i}.block.{j}",
+                         f"encoder/down_{i}_block_{j}")
+        if f"encoder.down.{i}.downsample.conv.weight" in state_dict:
+            put(f"encoder/down_{i}_downsample/conv/kernel",
+                state_dict[f"encoder.down.{i}.downsample.conv.weight"],
+                True)
+            put(f"encoder/down_{i}_downsample/conv/bias",
+                state_dict[f"encoder.down.{i}.downsample.conv.bias"], False)
+    # taming decoder: up.{i} indexed by RESOLUTION level (0 = highest),
+    # same as our flax naming — no order flip needed
+    for i in range(levels):
+        for j in range(n_res + 1):
+            map_resblock(f"decoder.up.{i}.block.{j}",
+                         f"decoder/up_{i}_block_{j}")
+        if f"decoder.up.{i}.upsample.conv.weight" in state_dict:
+            put(f"decoder/up_{i}_upsample/conv/kernel",
+                state_dict[f"decoder.up.{i}.upsample.conv.weight"], True)
+            put(f"decoder/up_{i}_upsample/conv/bias",
+                state_dict[f"decoder.up.{i}.upsample.conv.bias"], False)
+
+    for n in ["quant_conv", "post_quant_conv"]:
+        put(f"{n}/kernel", state_dict[f"{n}.weight"], True)
+        put(f"{n}/bias", state_dict[f"{n}.bias"], False)
+
+    return flax.traverse_util.unflatten_dict(out, sep="/")
