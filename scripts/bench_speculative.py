@@ -194,6 +194,36 @@ def main():
                           "speedup": round(rate / base_rate, 2)}),
               flush=True)
 
+    # ---- serving path: continuous batcher with/without spec rounds ---
+    from unidisc_tpu.serving.continuous import elm_continuous_batcher
+
+    def serve_cell(tag, draft_arg, gamma):
+        bat = elm_continuous_batcher(
+            t_model, t_params, t_cfg, slots=B, chunk=8,
+            draft=draft_arg, gamma=gamma)
+        try:
+            # warmup (compiles insert + decode)
+            bat.submit(prompts[0].tolist(),
+                       max_new_tokens=8).result(timeout=1200)
+            t0 = time.perf_counter()
+            futs = [bat.submit(prompts[i].tolist(),
+                               max_new_tokens=args.max_new)
+                    for i in range(B)]
+            tok_counts = [len(f.result(timeout=1200)["tokens"])
+                          for f in futs]
+            dt = time.perf_counter() - t0
+            rate = sum(tok_counts) / dt
+            print(json.dumps({"variant": tag, "gamma": gamma,
+                              "tok_per_s": round(rate, 1),
+                              "sec": round(dt, 3)}), flush=True)
+        finally:
+            bat.shutdown()
+
+    serve_cell("continuous_plain", None, 0)
+    for gamma in (int(g) for g in args.gammas.split(",")):
+        serve_cell("continuous_speculative",
+                   (d_model, d_cfg, d_params), gamma)
+
 
 if __name__ == "__main__":
     main()
