@@ -54,7 +54,6 @@ def main():
     import optax
 
     from unidisc_tpu.config import Config
-    from unidisc_tpu.diffusion.noise import get_noise
     from unidisc_tpu.eval.harness import sequence_nll
     from unidisc_tpu.eval.scoring import _render_scene_pos
     from unidisc_tpu.models.dit import init_dit
@@ -195,23 +194,13 @@ def main():
     fwd_s, fwd_b = fwd(model_s), fwd(model_b)
     big_apply = lambda p, x, s, m: model_b.apply({"params": p}, x, s,
                                                  modality=m)
-    noise = get_noise(cfg_big.noise)
-    timesteps = np.linspace(1.0, cfg_big.sampling.sampling_eps,
-                            args.steps + 1)
 
     def scaffold_forward(split):
-        """big-early / small-late (the measured-good ordering)."""
-        t_boundary = timesteps[split] if split < args.steps else -1.0
-        sig_b = float(np.asarray(noise.total(jnp.asarray(
-            max(t_boundary, 1e-6)))))
-
-        def forward(params, x, sigma, mod):
-            pb, ps = params
-            return jax.lax.cond(
-                sigma[0] > sig_b + 1e-8,
-                lambda _: fwd_b(pb, x, sigma, mod),
-                lambda _: fwd_s(ps, x, sigma, mod), None)
-        return forward
+        """big-early / small-late (the measured-good ordering) — the
+        PRODUCTION dispatch, imported so the A/B can't drift from it."""
+        from unidisc_tpu.sampling.scaffold import build_scaffold_forward
+        return build_scaffold_forward(fwd_b, fwd_s, cfg_big, split=split,
+                                      num_steps=args.steps)
 
     def score(tag, forward, params, n_small):
         sample = jax.jit(build_sampler(forward, cfg_big))

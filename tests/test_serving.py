@@ -6,6 +6,7 @@ import threading
 import urllib.request
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -550,7 +551,10 @@ def test_engine_scaffold_split_boundaries():
     def scaffold_run(split):
         eng = InferenceEngine(cfg, model_b, params_b)
         eng.enable_scaffold(model_s, params_s, split)
-        assert isinstance(eng.params, tuple)
+        # self.params stays the BASE model's tree (apply_fn consumers —
+        # scoring/eval — keep working); only the samplers see the tuple
+        assert not isinstance(eng.params, tuple)
+        assert isinstance(eng._sampler_params, tuple)
         return eng.run(**req)
 
     all_big = scaffold_run(cfg.sampling.steps)
@@ -568,15 +572,16 @@ def test_engine_scaffold_split_boundaries():
 
 def test_build_engine_scaffold_route():
     """--scaffold plumbing: build_engine forces the scaffold trunk onto
-    the main model's io contract, params become a (big, small) tuple,
-    and the t2i fastpath is disabled (scaffold rewires the generic
-    forward only)."""
+    the main model's io contract, the samplers receive the (big, small)
+    tuple while self.params stays the base tree, and the t2i fastpath is
+    disabled (scaffold rewires the generic forward only)."""
     from unidisc_tpu.serving.engine import build_engine
 
     eng = build_engine(preset="tiny", steps=4, scaffold="tiny",
                        scaffold_split=2)
     assert getattr(eng, "_scaffold", False)
-    assert isinstance(eng.params, tuple)
+    assert not isinstance(eng.params, tuple)
+    assert isinstance(eng._sampler_params, tuple)
     out = eng.run(text="hello", seed=1)   # gen_image, fastpath suppressed
     assert out["nfe"] >= 4
     assert "t2i" not in {k[0] for k in eng._samplers
@@ -584,3 +589,37 @@ def test_build_engine_scaffold_route():
 
     with pytest.raises(ValueError, match="single-host"):
         build_engine(preset="tiny", scaffold="tiny", mesh="fsdp=-1")
+
+
+def test_scaffold_engine_interleaved_and_eval_paths_still_work():
+    """Regression (r3 review findings 3/5): enable_scaffold must not
+    break routes that call model.apply with self.params directly — the
+    interleaved sampler and the eval/scoring apply_fn contract both use
+    the BASE model; only the generic samplers see the (big, small)
+    tuple."""
+    from unidisc_tpu.serving.engine import build_engine
+
+    eng = build_engine(preset="tiny", steps=4, scaffold="tiny",
+                       scaffold_split=2)
+    # eval/scoring contract: apply_fn(params=eng.params) on the base tree
+    x = jnp.zeros((1, eng.m.length), jnp.int32)
+    sig = jnp.ones((1,), jnp.float32)
+    logits = eng.apply_fn(eng.params, x, sig,
+                          jnp.asarray(eng._layout(1)))
+    assert logits.shape[:2] == (1, eng.m.length)
+    # interleaved generation end-to-end on a scaffold-enabled engine
+    doc = [{"kind": "text", "text": "a b"},
+           {"kind": "image", "generate": True, "grid": 4}]
+    out = eng.run_interleaved(doc, seed=3)
+    assert any(s["kind"] == "image" for s in out["segments"])
+
+
+def test_scaffold_rejects_ar_models():
+    """Regression (r3 review finding 4): scaffold decoding schedules
+    diffusion denoise steps — building it over an AR parameterization
+    must fail loudly instead of crashing on the first request."""
+    from unidisc_tpu.serving.engine import build_engine
+
+    with pytest.raises(ValueError, match="[aA][rR]"):
+        build_engine(preset="tiny", scaffold="tiny",
+                     experiments=["ar_baseline"])

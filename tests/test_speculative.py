@@ -316,6 +316,51 @@ def test_continuous_speculative_stochastic_seeded():
         spec.shutdown()
 
 
+def test_continuous_speculative_prompt_near_buffer_end():
+    """Regression (r3 review finding 2): a prompt admitted with
+    prompt_len at/past the spec-mode stop cap L-(gamma+1) must NOT let
+    the verify-window write clamp below pos+1 and clobber committed
+    tokens — the row retires gracefully (truncated like plain mode
+    truncates at L) and co-tenant rows are unaffected."""
+    from unidisc_tpu.serving.continuous import elm_continuous_batcher
+
+    target_model, target_cfg, target_params = _elm(seed=0, perturb=0.05)
+    draft_model, draft_cfg, draft_params = _elm(
+        num_layers=1, model_dim=32, seed=7, perturb=0.05)
+    gamma, L = 3, 24  # stop cap = L - (gamma+1) = 20
+    spec = elm_continuous_batcher(
+        target_model, target_params, target_cfg, slots=2, chunk=8,
+        length=L, draft=(draft_model, draft_cfg, draft_params),
+        gamma=gamma)
+    try:
+        long_prompt = list(range(1, 22))  # plen=21 > stop cap 20
+        short_prompt = [4, 5, 6]
+        f_long = spec.submit(long_prompt, max_new_tokens=8)
+        f_short = spec.submit(short_prompt, max_new_tokens=8)
+        r_long = f_long.result(timeout=600)
+        r_short = f_short.result(timeout=600)
+        # the near-end row emits its first sampled token (tok0) and
+        # truncates; whatever it returns must be a PREFIX of the oracle
+        # stream, never window junk
+        want_long = _greedy_oracle(target_model, target_cfg,
+                                   target_params, long_prompt, 8)
+        assert 1 <= len(r_long["tokens"]) <= 8
+        assert r_long["tokens"] == want_long[:len(r_long["tokens"])]
+        # the co-tenant row is untouched and completes in full
+        want_short = _greedy_oracle(target_model, target_cfg,
+                                    target_params, short_prompt, 8)
+        assert r_short["tokens"] == want_short
+        # a prompt just UNDER the cap still decodes correctly up to it
+        edge = list(range(1, 18))  # plen=17, stop=min(17+8,20)=20
+        r_edge = spec.submit(edge, max_new_tokens=8).result(timeout=600)
+        want_edge = _greedy_oracle(target_model, target_cfg,
+                                   target_params, edge, 8)
+        assert r_edge["tokens"] == want_edge[:len(r_edge["tokens"])]
+        assert len(r_edge["tokens"]) >= 3  # 20 - 17 = 3 positions
+    finally:
+        spec.shutdown()
+
+
 def test_dit_ar_engine_speculative_route():
     """DIT-AR counterpart: build_engine(--speculative) serves the causal
     DIT through continuous spec rounds, greedy lossless vs plain."""

@@ -47,7 +47,15 @@ def build_scaffold_forward(forward_big: Callable, forward_small: Callable,
 
     forward_*: (params, x, sigma, modality) -> logits with IDENTICAL
     output shape (shared vocab + length). The returned closure takes
-    params = (params_big, params_small)."""
+    params = (params_big, params_small).
+
+    CONTRACT: sigma must be batch-UNIFORM (lockstep samplers — every
+    row at the same denoise step); the dispatch is one lax.cond on
+    sigma[0] for the whole batch. Per-row ragged sigmas (the rolling
+    batcher) are NOT supported: a per-row model choice would have to
+    run BOTH trunks every step, erasing the compute saving — the
+    engine routes scaffold requests to the whole-batch path instead
+    (serving/engine.py run_batch)."""
     sig_b = sigma_boundary(config, split, num_steps)
 
     def forward(params: Tuple, x, sigma, modality):

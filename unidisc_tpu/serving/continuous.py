@@ -218,15 +218,20 @@ def build_continuous_decoder(model, config: Optional[Config], *,
                                       mod_prompt[None],
                                       draft_cache_factory(1, L), 0)
             dkv = jax.tree_util.tree_map(splice, state.dkv, dkv1_new)
-        started_done = (tok0 == eos_id) | (max_new <= 1)
+        # a row is born done when tok0 is EOS or it cannot advance past
+        # tok0 (covers max_new<=1 AND prompts at/past the spec-mode
+        # stop_cap, whose stop lands at or below pos — such a row must
+        # never be active or the spec window write would clamp below
+        # pos+1 and clobber committed tokens)
+        stop_v = jnp.minimum(prompt_len + max_new, stop_cap)
+        started_done = (tok0 == eos_id) | (prompt_len + 1 >= stop_v)
         return DecodeState(
             x=upd(state.x, x_row),
             mod=upd(state.mod, mod_row),
             kv=kv,
             pos=state.pos.at[slot].set(prompt_len),
             active=state.active.at[slot].set(~started_done),
-            stop=state.stop.at[slot].set(
-                jnp.minimum(prompt_len + max_new, stop_cap)),
+            stop=state.stop.at[slot].set(stop_v),
             temp=state.temp.at[slot].set(temperature),
             seed=state.seed.at[slot].set(seed),
             dkv=dkv)
@@ -267,15 +272,17 @@ def build_continuous_decoder(model, config: Optional[Config], *,
                                      mod_rows[:, :bucket],
                                      draft_cache_factory(k, L), 0)
             dkv = jax.tree_util.tree_map(scatter, state.dkv, dkv_new)
-        started_done = (tok0 == eos_id) | (max_news <= 1)
+        # same born-done rule as _insert (EOS, max_new<=1, or a stop_cap
+        # clamp leaving no headroom beyond tok0)
+        stop_v = jnp.minimum(plens + max_news, stop_cap)
+        started_done = (tok0 == eos_id) | (plens + 1 >= stop_v)
         return DecodeState(
             x=state.x.at[slots_v].set(x_rows),
             mod=state.mod.at[slots_v].set(mod_rows),
             kv=kv,
             pos=state.pos.at[slots_v].set(plens),
             active=state.active.at[slots_v].set(~started_done),
-            stop=state.stop.at[slots_v].set(
-                jnp.minimum(plens + max_news, stop_cap)),
+            stop=state.stop.at[slots_v].set(stop_v),
             temp=state.temp.at[slots_v].set(temps),
             seed=state.seed.at[slots_v].set(seeds),
             dkv=dkv)
@@ -320,17 +327,17 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         active = active & ~hit_eos & ~exhausted
         return state._replace(x=x, kv=kv, pos=pos, active=active)
 
-    # -- speculative round (draft-verify; serving/speculative.py math) --
+    # -- speculative round (draft-verify) -------------------------------
+    # The accept/correct math and the RNG law are IMPORTED from
+    # serving/speculative.py (spec_key / accept_window) — single source
+    # of the losslessness guarantee; this wrapper only adds per-row
+    # temperatures, modality restriction, and the batcher's stop bounds.
 
-    def _row_key(seed, p, tag):
-        k = jax.random.fold_in(jax.random.PRNGKey(0), p)
-        k = jax.random.fold_in(k, tag)
-        return jax.random.fold_in(k, seed)
+    from unidisc_tpu.serving.speculative import accept_window, spec_key
 
     def _spec_round(params, state: DecodeState) -> DecodeState:
         x, mod, pos, active = state.x, state.mod, state.pos, state.active
         S = x.shape[0]
-        V = None  # set below from logits
         cur = jnp.take_along_axis(x, pos[:, None], 1)[:, 0]
         inv_t = 1.0 / jnp.maximum(state.temp, 1e-6)
 
@@ -338,7 +345,7 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             """Per-row temp Gumbel-argmax with (seed, position, tag)
             noise; greedy rows (temp<=0) take the plain argmax."""
             def one(lg, seed, p, t):
-                g = jax.random.gumbel(_row_key(seed, p, tag),
+                g = jax.random.gumbel(spec_key(seed, p, tag),
                                       lg.shape, jnp.float32)
                 noisy = jnp.argmax(lg / jnp.maximum(t, 1e-6) + g, -1)
                 return jnp.where(t > 0, noisy, jnp.argmax(lg, -1))
@@ -380,42 +387,24 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         lg_t = _restrict(lg_t.reshape(-1, V),
                          mod_nxt.reshape(-1)).reshape(S, gamma + 1, V)
         lp_t = jax.nn.log_softmax(lg_t * inv_t[:, None, None], -1)
-        targets = jnp.argmax(lg_t, -1).astype(jnp.int32)
 
-        # acceptance: greedy rows match argmax; stochastic rows use the
-        # rejection rule log u < log p_t(d) - log p_d(d)
-        take = lambda lp, d: jnp.take_along_axis(lp, d[..., None],
-                                                 -1)[..., 0]
-        lpt_d = take(lp_t[:, :gamma], drafted)
-        lpd_d = take(lp_d, drafted)
+        # accept/correct via the shared Leviathan core: per-row stoch
+        # flag (temp>0); noise tags 2/3/4 match speculative.py's law
         u = jax.vmap(jax.vmap(
             lambda seed, p: jax.random.uniform(
-                _row_key(seed, p, 2), (), jnp.float32, minval=1e-20),
+                spec_key(seed, p, 2), (), jnp.float32, minval=1e-20),
             in_axes=(None, 0)), in_axes=(0, 0))(state.seed,
                                                 nxt_mat[:, :gamma])
-        match_stoch = jnp.log(u) < (lpt_d - lpd_d)
-        match_greedy = drafted == targets[:, :gamma]
-        match = jnp.where((state.temp > 0)[:, None], match_stoch,
-                          match_greedy)
-
-        # correction token at the rejection slot / bonus at the end
-        p_res = jnp.maximum(jnp.exp(lp_t[:, :gamma]) - jnp.exp(lp_d), 0.0)
-        log_res = jnp.log(jnp.maximum(p_res, 1e-38))
-        corr = jax.vmap(jax.vmap(
-            lambda lr, seed, p: jnp.argmax(lr + jax.random.gumbel(
-                _row_key(seed, p, 3), lr.shape, jnp.float32), -1),
-            in_axes=(0, None, 0)), in_axes=(0, 0, 0))(
-                log_res, state.seed,
-                nxt_mat[:, :gamma]).astype(jnp.int32)
+        g_corr = jax.vmap(jax.vmap(
+            lambda seed, p: jax.random.gumbel(
+                spec_key(seed, p, 3), (lp_t.shape[-1],), jnp.float32),
+            in_axes=(None, 0)), in_axes=(0, 0))(state.seed,
+                                                nxt_mat[:, :gamma])
         bonus = sample_rows(lg_t[:, gamma], nxt_mat[:, gamma], 4)
-        out_stoch = jnp.concatenate([corr, bonus[:, None]], 1)
-        out_win = jnp.where((state.temp > 0)[:, None], out_stoch, targets)
-
-        led = jnp.cumprod(match.astype(jnp.int32), -1)
-        n = led.sum(-1)                               # (S,) accepted
+        win, n = accept_window(drafted, lp_d, lg_t, lp_t,
+                               stoch=state.temp > 0, u=u, g_corr=g_corr,
+                               bonus=bonus)
         idx = jnp.arange(gamma + 1)[None, :]
-        win = jnp.where(idx < n[:, None],
-                        jnp.pad(drafted, ((0, 0), (0, 1))), out_win)
 
         # advance: accepted+1, cut by the stop bound and the first EOS
         adv = jnp.minimum(n + 1, jnp.maximum(state.stop - 1 - pos, 0))
@@ -429,11 +418,14 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         adv = jnp.where(active, adv, 0)
 
         # write the window at pos+1 (junk beyond adv is rewritten before
-        # any read — see serving/speculative.py); inactive rows keep x
+        # any read — see serving/speculative.py); inactive rows AND rows
+        # that cannot advance keep x — an adv==0 row's start would clamp
+        # below pos+1 and clobber committed tokens (insert also
+        # deactivates such rows; this gate keeps the invariant local)
         start = jnp.minimum(pos + 1, L - (gamma + 1))
         cur_win = jax.vmap(lambda row, p: jax.lax.dynamic_slice(
             row, (p,), (gamma + 1,)))(x, start)
-        keep = jnp.where(active[:, None], win, cur_win)
+        keep = jnp.where((active & (adv > 0))[:, None], win, cur_win)
         x = jax.vmap(lambda row, w, p: jax.lax.dynamic_update_slice(
             row, w, (p,)))(x, keep, start)
 
@@ -495,12 +487,19 @@ class ContinuousBatcher:
         # single-token steps, or ceil(chunk/(gamma+1)) spec rounds of up
         # to gamma+1 tokens each (the host pos estimate must be an UPPER
         # bound for finish detection)
+        self.length = decoder_kwargs.get("length") or config.model.length
         if decoder_kwargs.get("draft") is not None:
             g = decoder_kwargs.get("gamma", 4)
             self._max_advance = -(-chunk // (g + 1)) * (g + 1)
+            # the device caps stop at L-(gamma+1) so an active row's
+            # verify window always fits the buffer; the host estimate
+            # must use the SAME bound or rows that finish at the cap
+            # keep dispatching dead decode chunks (and their retiring
+            # drain is delayed)
+            self._stop_cap = self.length - (g + 1)
         else:
             self._max_advance = chunk
-        self.length = decoder_kwargs.get("length") or config.model.length
+            self._stop_cap = self.length
         self.drain_deadline_s = drain_deadline_s
         self._chunk_s = None      # EMA of one decode chunk's wall time
         self._last_drain = _time.monotonic()
@@ -593,7 +592,10 @@ class ContinuousBatcher:
             # while no row can have hit its stop bound (each drain is a
             # full host round trip — ~100ms on a tunneled chip)
             req["pos_est"] = plen
-            req["stop_est"] = min(plen + req["max_new"], L)
+            # mirror the device stop bound (incl. the spec-mode cap):
+            # requests near the buffer end are truncated to the cap,
+            # exactly as plain mode truncates at L
+            req["stop_est"] = min(plen + req["max_new"], self._stop_cap)
             self._slot_req[slot] = req
 
     def _drain(self):

@@ -166,8 +166,13 @@ class InferenceEngine:
     def _sampler(self, steps: Optional[int] = None):
         key = steps or self.config.sampling.steps
         if key not in self._samplers:
+            # under scaffold decoding the generic sampler runs the
+            # (big, small) dispatch forward; its params are the tuple
+            # from _sampler_params
+            fwd = self._scaffold_forward if getattr(self, "_scaffold",
+                                                    False) else self._forward
             self._samplers[key] = self._jit(build_sampler(
-                self._forward, self.config, num_steps=key))
+                fwd, self.config, num_steps=key))
         return self._samplers[key]
 
     def _t2i_sampler(self, steps: Optional[int] = None):
@@ -185,21 +190,41 @@ class InferenceEngine:
         """Scaffold decoding (sampling/scaffold.py — measured 97% of
         big-only accuracy at 26% compute, BASELINE.md): rewire the
         forward so steps [0, split) run this engine's model and the
-        remainder run `model_small`; params become
-        (params_big, params_small). Disables the span-factored t2i
-        fastpath (it calls model.apply directly) and clears compiled
-        sampler caches. The small model must share vocab + length."""
+        remainder run `model_small`.
+
+        `self.params` STAYS the big model's params (so `apply_fn`, the
+        interleaved route, and the eval/reward stack keep working on the
+        base model); the scaffold samplers receive the tuple
+        `(params_big, params_small)` via `_sampler_params`. Disables the
+        span-factored t2i fastpath and rolling admission (both are
+        incompatible: the fastpath calls model.apply directly; rolling
+        rows sit at DIFFERENT denoise steps while the scaffold dispatch
+        is lockstep — per-row model choice would cost big+small every
+        step, erasing the saving) and clears compiled sampler caches.
+        The small model must share vocab + length."""
+        if self.config.trainer.parameterization == "ar":
+            raise ValueError("scaffold decoding schedules DIFFUSION "
+                             "denoise steps; it does not apply to AR "
+                             "models (use --speculative for AR)")
         from unidisc_tpu.sampling.scaffold import build_scaffold_forward
         big_forward = self._forward
 
         def small_forward(p, x, sigma, m):
             return model_small.apply({"params": p}, x, sigma, modality=m)
 
-        self._forward = build_scaffold_forward(
+        self._scaffold_forward = build_scaffold_forward(
             big_forward, small_forward, self.config, split=split)
-        self.params = (self.params, params_small)
+        self._scaffold_small = params_small
         self._samplers.clear()
         self._scaffold = True
+
+    @property
+    def _sampler_params(self):
+        """Params pytree the generic samplers take: the base params, or
+        (big, small) once scaffold decoding is enabled."""
+        if getattr(self, "_scaffold", False):
+            return (self.params, self._scaffold_small)
+        return self.params
 
     def _rolling_batcher(self):
         """ONE batcher at the config's max step count — per-request
@@ -302,9 +327,12 @@ class InferenceEngine:
         All rows must agree on `fastpath`. pad_to rounds the batch up with
         duplicate rows so only a few batch shapes ever compile (the
         batcher passes powers of two up to the per-chip optimum)."""
-        if self._rolling_slots:
+        if self._rolling_slots and not getattr(self, "_scaffold", False):
             # rolling mode: the batcher's worker owns device dispatch;
-            # per-row seeds keep results independent of co-tenancy
+            # per-row seeds keep results independent of co-tenancy.
+            # Scaffold decoding bypasses rolling: its big/small dispatch
+            # is lockstep (one model per denoise step) while rolling rows
+            # sit at different steps — see enable_scaffold.
             return self._run_batch_rolling(prepared, steps=steps,
                                            seed=seed)
         with self._device_lock:
@@ -375,7 +403,7 @@ class InferenceEngine:
                          jnp.asarray(x0[:, :m.txt_length]))
         else:
             sample = self._sampler(steps)
-            out = sample(self.params, jax.random.PRNGKey(seed),
+            out = sample(self._sampler_params, jax.random.PRNGKey(seed),
                          jnp.asarray(x0), jnp.asarray(unmask),
                          jnp.asarray(self._layout(b)))
         tokens = np.asarray(out.tokens)[:n]
@@ -795,8 +823,16 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                              "(trainer.parameterization=ar, or the "
                              "elm route); use --scaffold for diffusion "
                              "model-size scheduling")
+        d_preset, _, d_ckpt = speculative.partition("=")
+        if checkpoint and not d_ckpt:
+            # a randomly-initialized draft accepts ~1/V of a trained
+            # target's tokens: every round then costs gamma+1 draft
+            # forwards plus a verify to advance ~1 token — a silent
+            # multi-x slowdown with bit-identical (greedy) output
+            raise ValueError("--speculative with --ckpt needs a trained "
+                             "draft: use --speculative preset=ckpt_dir")
         mcfg = config.model
-        d_cfg = Config.make(speculative).override(**{
+        d_cfg = Config.make(d_preset).override(**{
             "model.length": mcfg.length,
             "model.txt_length": mcfg.txt_length,
             "model.img_length": mcfg.img_length,
@@ -808,6 +844,12 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         })
         d_model, d_params = init_dit(jax.random.PRNGKey(d_cfg.seed + 1),
                                      d_cfg.model)
+        if d_ckpt:
+            from unidisc_tpu.training.checkpoint import CheckpointManager
+            from unidisc_tpu.training.train_state import init_train_state
+            d_mgr = CheckpointManager(f"{d_ckpt}/checkpoints")
+            d_state, _ = d_mgr.restore(init_train_state(d_cfg, d_params))
+            d_params = d_state.ema_params
         ar_draft = (d_model, d_cfg.model, d_params)
     engine = InferenceEngine(config, model, params, codec=codec,
                              mesh=live_mesh, rolling=rolling,

@@ -51,9 +51,13 @@ class SpecResult(NamedTuple):
     drafted: jax.Array      # () total drafted tokens offered (stats)
 
 
-def _fold2(seed, a, b):
-    k = jax.random.fold_in(jax.random.PRNGKey(0), a)
-    k = jax.random.fold_in(k, b)
+def spec_key(seed, pos, tag):
+    """The speculative-path RNG law: fold (position, stream-tag, row
+    seed) into PRNGKey(0). Shared with the continuous batcher's spec
+    rounds so both paths draw identical noise for the same (seed,
+    position) — the determinism contract."""
+    k = jax.random.fold_in(jax.random.PRNGKey(0), pos)
+    k = jax.random.fold_in(k, tag)
     return jax.random.fold_in(k, seed)
 
 
@@ -61,24 +65,81 @@ def _gumbel(seed, pos, tag, shape):
     """Per-(row-seed, absolute-position) Gumbel noise — a pure function
     of its arguments so acceptance patterns cannot change what any row
     samples (same contract as serving/rolling.py)."""
-    return jax.random.gumbel(_fold2(seed, pos, tag), shape, jnp.float32)
+    return jax.random.gumbel(spec_key(seed, pos, tag), shape, jnp.float32)
 
 
 def _uniform(seed, pos, tag):
-    return jax.random.uniform(_fold2(seed, pos, tag), (), jnp.float32,
+    return jax.random.uniform(spec_key(seed, pos, tag), (), jnp.float32,
                               minval=1e-20)
+
+
+def accept_window(drafted, lp_d, lg_t, lp_t, *, stoch, u=None,
+                  g_corr=None, bonus=None):
+    """The Leviathan accept/correct core, shared by build_spec_decoder
+    and the continuous batcher's _spec_round (the SINGLE source of the
+    losslessness guarantee — edit here, both paths follow).
+
+    drafted (B, gamma) proposals; lp_d (B, gamma, V) draft log-probs;
+    lg_t (B, gamma+1, V) target logits; lp_t matching log-probs (both
+    already temperature-scaled and vocabulary-restricted). stoch selects
+    the rejection-sampling rule: statically (Python bool — the greedy
+    branch compiles away) or per-row ((B,) bool). Stochastic use needs
+    u (B, gamma) uniforms for the accept rule, g_corr (B, gamma, V)
+    Gumbel noise for the residual draw, and bonus (B,) a pre-sampled
+    token for the all-accepted slot.
+
+    Returns (win (B, gamma+1), n (B,)): win[:, :n] are accepted drafts,
+    win[:, n] is the target's correction/bonus; n = accepted count."""
+    gamma = drafted.shape[1]
+    targets = jnp.argmax(lg_t, -1).astype(jnp.int32)   # (B, gamma+1)
+
+    def stochastic_parts():
+        take = lambda lp, d: jnp.take_along_axis(lp, d[..., None],
+                                                 -1)[..., 0]
+        # accept d_i with prob min(1, p_t(d_i)/p_d(d_i))
+        match = jnp.log(u) < (take(lp_t[:, :gamma], drafted)
+                              - take(lp_d, drafted))
+        # residual distribution normalize(max(p_t - p_d, 0)) at each
+        # rejection slot; plain p_t at the bonus slot
+        p_res = jnp.maximum(jnp.exp(lp_t[:, :gamma]) - jnp.exp(lp_d), 0.0)
+        log_res = jnp.log(jnp.maximum(p_res, 1e-38))
+        corr = jnp.argmax(log_res + g_corr, -1).astype(jnp.int32)
+        out = jnp.concatenate([corr, bonus[:, None]], 1)
+        return match, out
+
+    if stoch is False:
+        match = drafted == targets[:, :gamma]
+        out_win = targets
+    elif stoch is True:
+        match, out_win = stochastic_parts()
+    else:
+        match_s, out_s = stochastic_parts()
+        match = jnp.where(stoch[:, None], match_s,
+                          drafted == targets[:, :gamma])
+        out_win = jnp.where(stoch[:, None], out_s, targets)
+
+    led = jnp.cumprod(match.astype(jnp.int32), -1)
+    n = led.sum(-1)                                    # (B,) in [0, gamma]
+    idx = jnp.arange(gamma + 1)[None, :]
+    win = jnp.where(idx < n[:, None],
+                    jnp.pad(drafted, ((0, 0), (0, 1))), out_win)
+    return win, n
 
 
 def build_spec_decoder(apply_target: Callable, cache_factory_t: Callable,
                        apply_draft: Callable, cache_factory_d: Callable,
                        *, gamma: int = 4, temperature: float = 0.0,
-                       eos_id: int = -1) -> Callable:
+                       eos_id: int = -1,
+                       max_length: Optional[int] = None) -> Callable:
     """Build the jitted-able speculative decoder.
 
     Returns decode(params_t, params_d, prompts (B, Lp) int32,
                    plen (B,) int32, seeds (B,) int32, max_new: static)
     -> SpecResult. Prompts are right-padded; pad slots poison only cache
     positions that are rewritten before first read (see module note).
+    max_length: the models' position-table bound — decode refuses
+    buffers longer than it (positions past the RoPE table would silently
+    clamp to the last rotary angle and degrade instead of erroring).
     """
     assert gamma >= 1
     greedy = temperature <= 0.0
@@ -97,6 +158,11 @@ def build_spec_decoder(apply_target: Callable, cache_factory_t: Callable,
                max_new: int) -> SpecResult:
         B, Lp = prompts.shape
         L = Lp + max_new + gamma + 1
+        if max_length is not None and L > max_length:
+            raise ValueError(
+                f"prompt {Lp} + max_new {max_new} + gamma+1 {gamma + 1} "
+                f"= {L} exceeds the models' max_length {max_length}: "
+                "RoPE positions past the table would clamp silently")
         x = jnp.zeros((B, L), jnp.int32).at[:, :Lp].set(prompts)
         kv_t = cache_factory_t(B, L)
         kv_d = cache_factory_d(B, L)
@@ -152,47 +218,24 @@ def build_spec_decoder(apply_target: Callable, cache_factory_t: Callable,
                 lg_t * (1.0 if greedy else inv_t), -1)
 
             if greedy:
-                targets = jnp.argmax(lg_t, -1).astype(jnp.int32)
-                match = drafted == targets[:, :gamma]
-                out_win = targets                     # (B, gamma+1)
+                win, n = accept_window(drafted, lp_d, lg_t, lp_t,
+                                       stoch=False)
             else:
-                # rejection sampling: accept d_i w.p. min(1, p_t/p_d)
-                take = lambda lp, d: jnp.take_along_axis(
-                    lp, d[..., None], -1)[..., 0]
-                lpt_d = take(lp_t[:, :gamma], drafted)
-                lpd_d = take(lp_d, drafted)
+                nxt = pos[:, None] + jnp.arange(gamma)[None, :] + 1
                 u = jax.vmap(jax.vmap(
                     _uniform, in_axes=(None, 0, None)),
-                    in_axes=(0, 0, None))(
-                        seeds, pos[:, None] + jnp.arange(gamma)[None, :]
-                        + 1, 2)
-                match = jnp.log(u) < (lpt_d - lpd_d)  # (B, gamma)
-                # residual distribution at each position:
-                # normalize(max(p_t - p_d, 0)); at the bonus slot the
-                # draft offered nothing -> plain p_t
-                p_res = jnp.maximum(
-                    jnp.exp(lp_t[:, :gamma]) - jnp.exp(lp_d), 0.0)
-                log_res = jnp.log(jnp.maximum(p_res, 1e-38))
-                corr = jax.vmap(jax.vmap(
-                    lambda lr, s, p: jnp.argmax(
-                        lr + _gumbel(s, p, 3, lr.shape), -1),
-                    in_axes=(0, None, 0)), in_axes=(0, 0, 0))(
-                        log_res, seeds,
-                        pos[:, None] + jnp.arange(gamma)[None, :] + 1
-                ).astype(jnp.int32)
+                    in_axes=(0, 0, None))(seeds, nxt, 2)
+                g_corr = jax.vmap(jax.vmap(
+                    lambda s, p: _gumbel(s, p, 3, (lp_t.shape[-1],)),
+                    in_axes=(None, 0)), in_axes=(0, 0))(seeds, nxt)
                 bonus = v_sample(lg_t[:, gamma], seeds,
                                  pos + gamma + 1, 4)
-                out_win = jnp.concatenate([corr, bonus[:, None]], 1)
-
-            # n = leading accepted drafts; emit drafts[:n] then the
-            # target's token at slot n (correction or bonus)
-            led = jnp.cumprod(match.astype(jnp.int32), -1)
-            n = led.sum(-1)                           # (B,) in [0, gamma]
+                win, n = accept_window(drafted, lp_d, lg_t, lp_t,
+                                       stoch=True, u=u, g_corr=g_corr,
+                                       bonus=bonus)
+            # win[:, :n] = accepted drafts, win[:, n] = the target's
+            # correction/bonus; only slots <= n are real this round
             idx = jnp.arange(gamma + 1)[None, :]
-            win = jnp.where(idx < n[:, None],
-                            jnp.pad(drafted, ((0, 0), (0, 1))),
-                            out_win)
-            # only slots <= n are real this round
             real = idx <= n[:, None]
 
             # EOS + budget: cut the advance at the first EOS and at the
@@ -273,7 +316,10 @@ def elm_spec_decoder(target_model, target_cfg, draft_model, draft_cfg,
     return build_spec_decoder(
         apply_of(target_model), factory_of(target_cfg),
         apply_of(draft_model), factory_of(draft_cfg),
-        gamma=gamma, temperature=temperature, eos_id=eos_id)
+        gamma=gamma, temperature=temperature, eos_id=eos_id,
+        # RoPE tables end at max_length — refuse buffers past the
+        # shorter of the two models' tables instead of clamping angles
+        max_length=min(target_cfg.max_length, draft_cfg.max_length))
 
 
 def speculative_decode(target_model, target_cfg, target_params,
