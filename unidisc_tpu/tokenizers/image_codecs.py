@@ -7,10 +7,13 @@ ids->images) plus a param tree, so codecs compose with pjit/scan like any
 other JAX computation.
 
 Implemented natively: LlamaGen VQ-16/VQ-8 (production codec, Flax convs),
-Open-MAGVIT2-style LFQ (lookup-free quantization), raw pixels, and a
-deterministic dummy codec for tests. Torch-ecosystem-only backends
-(Cosmos, TiTok, Chameleon/Anole, Show-o, SD-VAE) raise with guidance —
-their role is offline preprocessing, not TPU-path compute.
+Open-MAGVIT2-style LFQ, BSQ-18 (binary spherical quantization),
+Cosmos-style FSQ (finite scalar quantization, mixed-radix ids),
+MAGVITv2, TiTok-1D, raw pixels, a deterministic dummy codec for tests,
+and the SD KL-VAE continuous codec (get_continuous_codec). Remaining
+torch-ecosystem-only backends (Taming, Chameleon/Anole full weights,
+video VQVAE) raise with guidance — their role in the reference is
+offline preprocessing, not TPU-path compute.
 """
 
 from __future__ import annotations
@@ -23,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unidisc_tpu.tokenizers.vqgan import VQConfig, VQGAN, vq8_config
+from unidisc_tpu.tokenizers.vqgan import (VQConfig, VQGAN, taming_config,
+                                          vq8_config)
 
 
 class ImageCodec(NamedTuple):
@@ -72,13 +76,13 @@ def _make_vqgan(cfg: VQConfig, rng, image_size: int, name: str) -> ImageCodec:
 # LFQ (Open-MAGVIT2-style lookup-free quantization)
 # ---------------------------------------------------------------------------
 
-def _make_lfq(rng, image_size: int, bits: int = 14, ch: int = 64) -> ImageCodec:
-    """Lookup-free quantization: the latent's sign pattern IS the token id
-    (reference capability: Open-MAGVIT2 LFQ backend, image_tokenizers.py).
-    Lightweight conv encoder/decoder; codebook size = 2^bits."""
+def _conv_trunk(latent_dim: int, ch: int = 64):
+    """Shared lightweight 16x conv encoder/decoder pair used by the
+    sign/level-quantizer codecs (LFQ / BSQ / FSQ): the codecs differ only
+    in how the (B, g, g, latent_dim) latent is quantized into ids."""
     import flax.linen as nn
 
-    class LFQEncoder(nn.Module):
+    class TrunkEncoder(nn.Module):
         @nn.compact
         def __call__(self, x):
             h = x
@@ -86,9 +90,9 @@ def _make_lfq(rng, image_size: int, bits: int = 14, ch: int = 64) -> ImageCodec:
                 h = nn.Conv(ch * mult, (4, 4), strides=2, padding=1,
                             name=f"down_{i}")(h)
                 h = nn.gelu(h)
-            return nn.Conv(bits, (1, 1), name="to_bits")(h)
+            return nn.Conv(latent_dim, (1, 1), name="to_bits")(h)
 
-    class LFQDecoder(nn.Module):
+    class TrunkDecoder(nn.Module):
         @nn.compact
         def __call__(self, z):
             h = nn.Conv(ch * 4, (1, 1), name="from_bits")(z)
@@ -99,12 +103,23 @@ def _make_lfq(rng, image_size: int, bits: int = 14, ch: int = 64) -> ImageCodec:
                 h = nn.gelu(h)
             return nn.Conv(3, (3, 3), padding=1, name="to_rgb")(h)
 
-    enc, dec = LFQEncoder(), LFQDecoder()
+    return TrunkEncoder(), TrunkDecoder()
+
+
+def _init_trunk(enc, dec, rng, image_size: int, latent_dim: int):
     grid = image_size // 16
     k1, k2 = jax.random.split(rng)
     p_enc = enc.init(k1, jnp.zeros((1, image_size, image_size, 3)))["params"]
-    p_dec = dec.init(k2, jnp.zeros((1, grid, grid, bits)))["params"]
-    params = {"enc": p_enc, "dec": p_dec}
+    p_dec = dec.init(k2, jnp.zeros((1, grid, grid, latent_dim)))["params"]
+    return {"enc": p_enc, "dec": p_dec}
+
+
+def _make_lfq(rng, image_size: int, bits: int = 14, ch: int = 64) -> ImageCodec:
+    """Lookup-free quantization: the latent's sign pattern IS the token id
+    (reference capability: Open-MAGVIT2 LFQ backend, image_tokenizers.py).
+    Lightweight conv encoder/decoder; codebook size = 2^bits."""
+    enc, dec = _conv_trunk(bits, ch)
+    params = _init_trunk(enc, dec, rng, image_size, bits)
     weights = 2 ** jnp.arange(bits)
 
     def encode(params, images):
@@ -120,6 +135,78 @@ def _make_lfq(rng, image_size: int, bits: int = 14, ch: int = 64) -> ImageCodec:
 
     return ImageCodec(name="lfq", params=params, encode=encode, decode=decode,
                       vocab_size=2 ** bits, downsample=16)
+
+
+def _make_bsq(rng, image_size: int, bits: int = 18, ch: int = 64) -> ImageCodec:
+    """Binary spherical quantization (reference capability: the BSQ-18
+    backend, image_tokenizers.py — BSQ-ViT, arXiv 2406.07548): the latent
+    is L2-normalized onto the unit sphere and quantized to the nearest of
+    the 2^bits corners +/- 1/sqrt(bits), so the code vector also lies on
+    the sphere. The sign pattern is the token id (for unit-norm z, the
+    nearest corner IS sign(z)/sqrt(bits)); the decoder reads the corner
+    vector, keeping the quantization error bounded by the sphere geometry
+    rather than the latent scale."""
+    enc, dec = _conv_trunk(bits, ch)
+    params = _init_trunk(enc, dec, rng, image_size, bits)
+    weights = 2 ** jnp.arange(bits)
+    inv_sqrt_d = 1.0 / math.sqrt(bits)
+
+    def encode(params, images):
+        z = enc.apply({"params": params["enc"]}, images)
+        # normalization does not move signs, so the id needs only them
+        ids = jnp.sum((z > 0).astype(jnp.int32) * weights, axis=-1)
+        return ids.reshape(ids.shape[0], -1)
+
+    def decode(params, ids):
+        g = int(math.isqrt(ids.shape[-1]))
+        bitsarr = ((ids[..., None] // weights) % 2).astype(jnp.float32)
+        corner = (2.0 * bitsarr - 1.0) * inv_sqrt_d  # unit-norm corner
+        z = corner.reshape(ids.shape[0], g, g, bits)
+        return dec.apply({"params": params["dec"]}, z)
+
+    return ImageCodec(name="bsq", params=params, encode=encode,
+                      decode=decode, vocab_size=2 ** bits, downsample=16)
+
+
+def _make_fsq(rng, image_size: int, levels: tuple = (8, 8, 8, 5, 5, 5),
+              ch: int = 64) -> ImageCodec:
+    """Finite scalar quantization (reference capability: the NVIDIA Cosmos
+    DI backend, image_tokenizers.py — Cosmos tokenizers quantize with FSQ,
+    arXiv 2309.15505): each latent channel is bounded with tanh to
+    [-(L-1)/2, (L-1)/2], rounded to integer levels, and the per-channel
+    digits form one mixed-radix token id. Default levels (8,8,8,5,5,5)
+    match Cosmos-DI's 64000-way vocabulary."""
+    levels = tuple(int(l) for l in levels)
+    dim = len(levels)
+    enc, dec = _conv_trunk(dim, ch)
+    params = _init_trunk(enc, dec, rng, image_size, dim)
+    lv = jnp.asarray(levels, jnp.float32)
+    half = (lv - 1.0) / 2.0
+    # mixed-radix place values: id = sum_i digit_i * prod_{j<i} L_j
+    place = jnp.asarray(np.concatenate([[1], np.cumprod(levels[:-1])]),
+                        jnp.int32)
+    vocab = int(np.prod(levels))
+
+    def _bound(z):
+        return jnp.tanh(z) * half  # (..., dim) in [-half, half]
+
+    def encode(params, images):
+        z = enc.apply({"params": params["enc"]}, images)
+        digits = jnp.round(_bound(z) + half).astype(jnp.int32)
+        digits = jnp.clip(digits, 0, (lv - 1).astype(jnp.int32))
+        ids = jnp.sum(digits * place, axis=-1)
+        return ids.reshape(ids.shape[0], -1)
+
+    def decode(params, ids):
+        g = int(math.isqrt(ids.shape[-1]))
+        digits = (ids[..., None] // place) % lv.astype(jnp.int32)
+        # normalize each channel back to [-1, 1] for the decoder
+        z = (digits.astype(jnp.float32) - half) / half
+        z = z.reshape(ids.shape[0], g, g, dim)
+        return dec.apply({"params": params["dec"]}, z)
+
+    return ImageCodec(name="cosmos-fsq", params=params, encode=encode,
+                      decode=decode, vocab_size=vocab, downsample=16)
 
 
 # ---------------------------------------------------------------------------
@@ -225,8 +312,48 @@ def _make_titok(name: str, rng, image_size: int, **kw) -> ImageCodec:
                       downsample=eq_down)
 
 
-_TORCH_ONLY = {"cosmos", "chameleon", "anole", "showo",
-               "maskgit-vqgan", "taming", "video-vqvae", "bsq", "lumina"}
+class VideoCodec(NamedTuple):
+    """Video codec (the reference's video-VQVAE backend): encode takes
+    clips (B, T, H, W, 3) in [-1, 1] and returns time-major ids."""
+    name: str
+    params: Any
+    encode: Callable  # (params, clips (B,T,H,W,3)) -> ids (B, T'*H'*W')
+    decode: Callable  # (params, ids) -> clips (B,T,H,W,3)
+    vocab_size: int
+    downsample: int   # spatial AND temporal factor
+
+
+def get_video_codec(name: str = "video-vqvae", *, rng=None,
+                    frames: int = 16, image_size: int = 64,
+                    **kw) -> VideoCodec:
+    """Video codec factory — VideoGPT/Open-Sora-Plan-style 3D-conv VQVAE
+    (reference: image_tokenizers.py video branch), native Flax
+    (tokenizers/video.py)."""
+    from unidisc_tpu.tokenizers.video import VideoVQConfig, VideoVQVAE
+    if name not in ("video-vqvae", "video"):
+        raise ValueError(f"unknown video codec {name!r}")
+    cfg = VideoVQConfig(**kw)
+    model = VideoVQVAE(cfg)
+    d = cfg.downsample
+    t_grid, s_grid = frames // d, image_size // d
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, frames, image_size, image_size, 3), jnp.float32)
+    params = model.init(rng, dummy)["params"]
+
+    def encode(params, clips):
+        return model.apply({"params": params}, clips,
+                           method=VideoVQVAE.encode)
+
+    def decode(params, ids):
+        return model.apply({"params": params}, ids, t_grid, s_grid,
+                           method=VideoVQVAE.decode)
+
+    return VideoCodec(name="video-vqvae", params=params, encode=encode,
+                      decode=decode, vocab_size=cfg.codebook_size,
+                      downsample=d)
+
+
+_TORCH_ONLY = {"chameleon", "anole", "showo", "maskgit-vqgan", "lumina"}
 
 
 def get_continuous_codec(name: str = "sd-vae", *, rng=None,
@@ -266,8 +393,16 @@ def get_codec(name: str, *, rng=None, image_size: int = 256,
         return _make_vqgan(VQConfig(**kw), rng, image_size, "llamagen-vq16")
     if name in ("llamagen-vq8", "vq8"):
         return _make_vqgan(vq8_config(**kw), rng, image_size, "llamagen-vq8")
+    if name == "taming":
+        # published taming checkpoints load via
+        # vqgan.load_taming_torch_state_dict (CompVis naming)
+        return _make_vqgan(taming_config(**kw), rng, image_size, "taming")
     if name == "lfq":
         return _make_lfq(rng, image_size, **kw)
+    if name in ("bsq", "bsq18"):
+        return _make_bsq(rng, image_size, **kw)
+    if name in ("cosmos", "cosmos-fsq", "fsq"):
+        return _make_fsq(rng, image_size, **kw)
     if name in ("magvit", "magvitv2"):
         return _make_magvit(rng, image_size, **kw)
     if name.startswith("titok"):
@@ -281,6 +416,10 @@ def get_codec(name: str, *, rng=None, image_size: int = 256,
             "sd-vae is a CONTINUOUS codec (float latents, no token ids) — "
             "use get_continuous_codec('sd-vae') with the "
             "transfusion/continuous branch (models/continuous.py)")
+    if name in ("video-vqvae", "video"):
+        raise ValueError(
+            "video-vqvae takes clips (B, T, H, W, 3), not images — use "
+            "get_video_codec('video-vqvae')")
     if name in _TORCH_ONLY:
         raise NotImplementedError(
             f"codec '{name}' is a torch-ecosystem offline preprocessor in "

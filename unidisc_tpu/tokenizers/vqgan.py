@@ -36,6 +36,10 @@ class VQConfig:
     z_channels: int = 256
     dropout: float = 0.0
     l2_norm_codes: bool = True
+    # levels (indices into ch_mult) with per-block spatial attention —
+    # taming-layout VQGANs attend at low resolutions (attn_resolutions);
+    # LlamaGen dropped intra-level attention so the default is none
+    attn_levels: Tuple[int, ...] = ()
 
     @property
     def downsample(self) -> int:
@@ -44,6 +48,17 @@ class VQConfig:
 
 def vq8_config(**over) -> VQConfig:
     return VQConfig(ch_mult=(1, 2, 2, 4), **over)
+
+
+def taming_config(**over) -> VQConfig:
+    """Published taming-transformers VQGAN f16 layout
+    (vqgan_imagenet_f16_16384: ch_mult [1,1,2,2,4], attn at the
+    16px bottleneck level, raw — not L2-normalized — codes)."""
+    base = dict(ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2,
+                z_channels=256, codebook_size=16384, codebook_dim=256,
+                l2_norm_codes=False, attn_levels=(4,))
+    base.update(over)
+    return VQConfig(**base)
 
 
 def swish(x):
@@ -120,6 +135,8 @@ class Encoder(nn.Module):
             for j in range(cfg.num_res_blocks):
                 h = ResnetBlock(cfg.ch * mult, cfg.dropout,
                                 name=f"down_{i}_block_{j}")(h, deterministic)
+                if i in cfg.attn_levels:
+                    h = AttnBlock(name=f"down_{i}_attn_{j}")(h)
             if i != len(cfg.ch_mult) - 1:
                 h = Downsample(name=f"down_{i}_downsample")(h)
         h = ResnetBlock(h.shape[-1], cfg.dropout, name="mid_block_1")(
@@ -149,6 +166,8 @@ class Decoder(nn.Module):
             for j in range(cfg.num_res_blocks + 1):
                 h = ResnetBlock(cfg.ch * mult, cfg.dropout,
                                 name=f"up_{i}_block_{j}")(h, deterministic)
+                if i in cfg.attn_levels:
+                    h = AttnBlock(name=f"up_{i}_attn_{j}")(h)
             if i != 0:
                 h = Upsample(name=f"up_{i}_upsample")(h)
         h = group_norm("norm_out")(h)
@@ -420,14 +439,14 @@ class KLVAE(nn.Module):
         return recon, mean, logvar
 
 
-def load_klvae_torch_state_dict(params: dict, state_dict: dict) -> dict:
-    """Map a taming/CompVis-layout KL-VAE torch state_dict (the published
-    SD `first_stage_model` naming: encoder.down.{i}.block.{j}.*,
+def _map_compvis_autoencoder(flat: dict, out: dict,
+                             state_dict: dict) -> None:
+    """Map a CompVis/taming-naming conv autoencoder (the published
+    taming VQModel AND SD `first_stage_model` share it:
+    encoder.down.{i}.block.{j}.*, optional encoder.down.{i}.attn.{j}.*,
     encoder.mid.block_1/attn_1/block_2, decoder.up.{i}.*, quant_conv,
-    post_quant_conv) onto KLVAE params."""
-    import flax
-    flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
-    out = dict(flat)
+    post_quant_conv) onto the shared flax Encoder/Decoder naming,
+    writing into `out` (a flat params dict keyed with '/')."""
 
     def put(fkey, val, conv):
         assert fkey in flat, f"unknown flax key {fkey}"
@@ -494,6 +513,9 @@ def load_klvae_torch_state_dict(params: dict, state_dict: dict) -> dict:
         for j in range(n_res):
             map_resblock(f"encoder.down.{i}.block.{j}",
                          f"encoder/down_{i}_block_{j}")
+            if f"encoder.down.{i}.attn.{j}.norm.weight" in state_dict:
+                map_attn(f"encoder.down.{i}.attn.{j}",
+                         f"encoder/down_{i}_attn_{j}")
         if f"encoder.down.{i}.downsample.conv.weight" in state_dict:
             put(f"encoder/down_{i}_downsample/conv/kernel",
                 state_dict[f"encoder.down.{i}.downsample.conv.weight"],
@@ -506,6 +528,9 @@ def load_klvae_torch_state_dict(params: dict, state_dict: dict) -> dict:
         for j in range(n_res + 1):
             map_resblock(f"decoder.up.{i}.block.{j}",
                          f"decoder/up_{i}_block_{j}")
+            if f"decoder.up.{i}.attn.{j}.norm.weight" in state_dict:
+                map_attn(f"decoder.up.{i}.attn.{j}",
+                         f"decoder/up_{i}_attn_{j}")
         if f"decoder.up.{i}.upsample.conv.weight" in state_dict:
             put(f"decoder/up_{i}_upsample/conv/kernel",
                 state_dict[f"decoder.up.{i}.upsample.conv.weight"], True)
@@ -516,4 +541,28 @@ def load_klvae_torch_state_dict(params: dict, state_dict: dict) -> dict:
         put(f"{n}/kernel", state_dict[f"{n}.weight"], True)
         put(f"{n}/bias", state_dict[f"{n}.bias"], False)
 
+
+def load_klvae_torch_state_dict(params: dict, state_dict: dict) -> dict:
+    """Map a taming/CompVis-layout KL-VAE torch state_dict (the published
+    SD `first_stage_model` naming) onto KLVAE params."""
+    import flax
+    flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
+    out = dict(flat)
+    _map_compvis_autoencoder(flat, out, state_dict)
+    return flax.traverse_util.unflatten_dict(out, sep="/")
+
+
+def load_taming_torch_state_dict(params: dict, state_dict: dict) -> dict:
+    """Map a taming-transformers VQModel torch state_dict (the published
+    vqgan_imagenet_f16_* naming: CompVis encoder/decoder with
+    intra-level attn + quantize.embedding.weight) onto VQGAN params
+    built from taming_config()."""
+    import flax
+    flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
+    out = dict(flat)
+    _map_compvis_autoencoder(flat, out, state_dict)
+    cb = np.asarray(state_dict["quantize.embedding.weight"])
+    assert cb.shape == flat["codebook"].shape, \
+        f"codebook: {cb.shape} vs {flat['codebook'].shape}"
+    out["codebook"] = jnp.asarray(cb)
     return flax.traverse_util.unflatten_dict(out, sep="/")
