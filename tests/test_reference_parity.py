@@ -986,3 +986,165 @@ def test_analytic_sedd_token_parity_vs_reference_code():
                  jnp.zeros((SB, SL), jnp.int32), jnp.zeros((SB, SL), bool),
                  None, injected={"exp": jnp.asarray(exp)})
     np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+# ---------------------------------------------------------------------------
+# 6. Published-checkpoint DROP protocol (round-3): a model.safetensors in
+#    the PyTorchModelHubMixin layout dropped on disk must serve through
+#    build_engine(reference_ckpt=...) with the architecture inferred from
+#    the weights — no hand-matched flags (models/port.py
+#    infer_dit_overrides / read_reference_state_dict).
+# ---------------------------------------------------------------------------
+
+def test_infer_overrides_joint_vocab_and_flags():
+    """Shape-only inference on a production-style (joint-table)
+    state_dict: hidden/blocks/heads/cond, rms-vs-layernorm, sandwich,
+    modality, and the 16384-way VQ vocab-split heuristic."""
+    from unidisc_tpu.models.port import infer_dit_overrides
+    H, COND = 768, 16  # 768 -> 12 heads in the reference zoo
+    z = np.zeros
+    sd = {
+        "vocab_embed.embedding": z((48385, H)),
+        "sigma_map.mlp.0.weight": z((COND, 256)),
+        "sigma_map.mlp.0.bias": z((COND,)),
+        "sigma_map.mlp.2.weight": z((COND, COND)),
+        "modality_embed.embedding": z((2, H)),
+        # production naming nests attention.* — inference must normalize
+        "blocks.0.attention.attn_qkv.weight": z((3 * H, H)),
+        "blocks.0.attention.q_norm.weight": z((H,)),  # FULL hidden
+        "blocks.0.mlp.0.weight": z((4 * H, H)),
+        "blocks.0.norm1.weight": z((H,)),
+        "blocks.0.pre_residual_norm.weight": z((H,)),
+        "blocks.1.attention.attn_qkv.weight": z((3 * H, H)),
+        "output_layer.linear.weight": z((48385, H)),
+    }
+    over = infer_dit_overrides(sd)
+    assert over["model.hidden_size"] == H
+    assert over["model.n_blocks"] == 2
+    assert over["model.n_heads"] == 12         # reference zoo: 768 -> 12
+    assert over["model.cond_dim"] == COND
+    assert over["model.mlp_ratio"] == 4
+    # rms vs bias-less layernorm: production markers present -> rms
+    assert over["model.norm_type"] == "rms"
+    assert over["model.qk_norm"] and over["model.sandwich_normalization"]
+    assert over["model.modality_embed"] and over["model.time_conditioning"]
+    assert not over["model.split_embed"]
+    assert over["model.text_vocab_size"] == 32001   # 48385 - 16384
+    assert over["model.image_vocab_size"] == 16384
+    assert not over["model.cond_label"]
+    # default-config family (no markers, bias-less LN): layernorm + no
+    # head override for a non-zoo, non-64-divisible width
+    sd2 = {k: v for k, v in sd.items()
+           if "q_norm" not in k and "pre_residual" not in k
+           and "modality" not in k}
+    sd2 = {k: z(tuple(24 if d == H else d for d in v.shape))
+           for k, v in sd2.items()}
+    over2 = infer_dit_overrides(sd2)
+    assert over2["model.norm_type"] == "layernorm"
+    assert not over2["model.qk_norm"]
+    assert "model.n_heads" not in over2        # preset keeps its heads
+
+
+def test_reference_checkpoint_drop_serves(tmp_path):
+    """End-to-end drop: save the ACTUAL production models/dit.py
+    state_dict (split-embed variant — the default-config published
+    layout) as model.safetensors, then build_engine(reference_ckpt=...)
+    must (a) infer the architecture exactly, (b) logits-match the
+    reference through the ported engine, (c) run the jitted sampler."""
+    install_torch_stubs()
+    import sys as _sys
+
+    from safetensors.numpy import save_file
+
+    IMG_EMB_DIM = 8
+    fake_model = types.ModuleType("model")
+
+    def get_vae(config, device, use_cond=False):
+        vae = types.SimpleNamespace()
+        vae.quantize = types.SimpleNamespace(
+            embedding=torch.nn.Embedding(PV - PTVS, IMG_EMB_DIM))
+        return vae
+
+    fake_model.get_vae = get_vae
+    old = _sys.modules.get("model")
+    _sys.modules["model"] = fake_model
+    try:
+        import models.dit as ref_dit
+
+        T, I = 8, 16
+        L = T + I
+        MASK = PTVS - 1
+        torch.manual_seed(0)
+        # head count is not weight-inferable; at hidden 64 the drop
+        # protocol falls back to the head_dim-64 convention -> 1 head
+        drop_cfg = _prod_ref_config(length=L, txt_length=T, img_length=I,
+                                    production=False,
+                                    use_pretrained_img_emb=True,
+                                    multimodal_batches=False)
+        drop_cfg.model.n_heads = 1
+        ref = _randomize(ref_dit.DIT(
+            drop_cfg, vocab_size=PV, text_vocab_size=PTVS,
+            mask_index=MASK))
+        path = str(tmp_path / "model.safetensors")
+        save_file({k: v.numpy() for k, v in ref.state_dict().items()
+                   if "rotary" not in k}, path)
+    finally:
+        if old is None:
+            _sys.modules.pop("model", None)
+        else:
+            _sys.modules["model"] = old
+
+    from unidisc_tpu.models.port import (infer_dit_overrides,
+                                         read_reference_state_dict)
+    over = infer_dit_overrides(read_reference_state_dict(path))
+    assert over["model.hidden_size"] == PHID
+    assert over["model.n_blocks"] == PBLOCKS
+    assert over["model.split_embed"]
+    assert over["model.text_vocab_size"] == PTVS
+    assert over["model.image_vocab_size"] == PV - PTVS
+    assert over["model.img_embed_dim"] == IMG_EMB_DIM
+    assert over["model.time_conditioning"]
+
+    from unidisc_tpu.serving.engine import build_engine
+    eng = build_engine(preset="tiny", reference_ckpt=path, steps=4)
+    m = eng.config.model
+    assert m.hidden_size == PHID and m.split_embed
+
+    # (b) logits parity through the DROPPED-and-PORTED engine params —
+    # compared at fp32 on the engine's inferred config (the engine
+    # itself serves in bf16, which is a dtype choice, not a drift)
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, PV, (2, L)).astype(np.int64)
+    idx[:, ::5] = MASK
+    sigma = rng.rand(2).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(idx), torch.tensor(sigma)).numpy()
+    # same calling convention as the passing split-embed parity test:
+    # modality omitted on both sides (each model then applies its own
+    # default layout; passing an explicit all-text modality here would
+    # diverge from the reference's txt|img default)
+    f32 = DIT(eng.config.model, compute_dtype=jnp.float32)
+    ours = np.asarray(f32.apply(
+        {"params": eng.params}, jnp.asarray(idx.astype(np.int32)),
+        jnp.asarray(sigma)))
+    np.testing.assert_allclose(ours, ref_logits, atol=5e-4, rtol=1e-3)
+    # the serving (bf16) forward agrees to bf16 tolerance
+    bf = np.asarray(eng.apply_fn(
+        eng.params, jnp.asarray(idx.astype(np.int32)),
+        jnp.asarray(sigma), None))
+    assert np.max(np.abs(bf - ref_logits)) < 0.15
+
+    # (c) the jitted sampler runs on the dropped weights at the
+    # engine's serving layout
+    Le = m.length
+    x0 = np.full((1, Le), MASK, np.int32)
+    out = eng._sampler(4)(eng._sampler_params, jax.random.PRNGKey(0),
+                          jnp.asarray(x0),
+                          jnp.zeros((1, Le), bool),
+                          jnp.asarray(eng._layout(1)))
+    toks = np.asarray(out.tokens)
+    assert toks.shape == (1, Le) and (toks >= 0).all() and (toks < PV).all()
+
+    # --reference-ckpt and --ckpt are mutually exclusive
+    with pytest.raises(AssertionError, match="pass one"):
+        build_engine(preset="tiny", reference_ckpt=path, checkpoint="x")

@@ -145,16 +145,105 @@ def port_dit_state_dict(params: Dict, state_dict: Dict,
     return flax.traverse_util.unflatten_dict(out, sep="/")
 
 
-def load_reference_checkpoint(params: Dict, path: str, **kw) -> Dict:
-    """Load a .safetensors / .pt reference checkpoint file."""
+def read_reference_state_dict(path: str) -> Dict:
+    """Read a published-checkpoint file (.safetensors as saved by
+    PyTorchModelHubMixin, or a torch .pt/.bin) into a numpy state_dict
+    with wrapper prefixes stripped."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
-        sd = load_file(path)
+        sd = dict(load_file(path))
     else:
         import torch
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
         sd = ckpt.get("state_dict", ckpt)
         sd = {k: v.numpy() for k, v in sd.items()}
-    sd = {k.removeprefix("module.").removeprefix("backbone."): v
-          for k, v in sd.items()}
-    return port_dit_state_dict(params, sd, **kw)
+    return {k.removeprefix("module.").removeprefix("backbone."): v
+            for k, v in sd.items()}
+
+
+def infer_dit_overrides(state_dict: Dict) -> Dict:
+    """Infer `model.*` config overrides from a reference DIT
+    state_dict's SHAPES — the checkpoint-drop protocol: a dropped
+    `model.safetensors` determines the architecture, so serving it must
+    not require hand-matching flags to the training recipe.
+
+    Inferable: hidden/cond dims, block count, head count (via the
+    per-head-dim qk-norm scale), vocab split (exact for split-embed
+    checkpoints; via the known VQ-16 codebook size otherwise), norm
+    type, sandwich/modality/qk-norm/time-conditioning flags, split
+    embed + frozen-codebook width, img-count embedding, class-label
+    conditioning. NOT inferable from weights (rotary tables are
+    position-free): sequence layout (length/txt_length/img_length) and
+    rope_2d — those stay with the preset/CLI.
+    """
+    sd = {k.replace(".attention.", "."): v for k, v in state_dict.items()}
+    shp = {k: tuple(v.shape) for k, v in sd.items()}
+    over: Dict = {}
+
+    hidden = shp["vocab_embed.embedding"][1]
+    over["model.hidden_size"] = hidden
+    n_blocks = 0
+    while f"blocks.{n_blocks}.attn_qkv.weight" in shp:
+        n_blocks += 1
+    assert n_blocks, "no blocks.* keys — not a DIT state_dict"
+    over["model.n_blocks"] = n_blocks
+    over["model.mlp_ratio"] = shp["blocks.0.mlp.0.weight"][0] // hidden
+
+    over["model.qk_norm"] = "blocks.0.q_norm.weight" in shp
+    # head count is NOT weight-inferable (qkv is (3H, H); the reference's
+    # q_norm is over full hidden, dit.py:570; the 1D rotary is built
+    # inline so no inv_freq buffer is saved, dit.py:1235) — use the
+    # reference model zoo (configs/model/*.yaml), falling back to the
+    # head_dim-64 convention; otherwise the serving preset decides
+    _ZOO_HEADS = {256: 8, 512: 8, 768: 12, 1024: 16, 1280: 20,
+                  2048: 16, 4096: 16}
+    if hidden in _ZOO_HEADS:
+        over["model.n_heads"] = _ZOO_HEADS[hidden]
+    elif hidden % 64 == 0:
+        over["model.n_heads"] = hidden // 64
+
+    over["model.time_conditioning"] = "sigma_map.mlp.0.weight" in shp
+    if over["model.time_conditioning"]:
+        over["model.cond_dim"] = shp["sigma_map.mlp.0.weight"][0]
+    # rms vs bias-less layernorm is not distinguishable from shapes;
+    # in the reference zoo rms ships ONLY with the large_scale_train
+    # production markers (qk_norm/sandwich, large_scale_train.yaml:88-90)
+    # while the default config is layernorm (config.yaml:121)
+    production = (over["model.qk_norm"]
+                  or "blocks.0.pre_residual_norm.weight" in shp
+                  or "modality_embed.embedding" in shp)
+    over["model.norm_type"] = (
+        "layernorm" if "blocks.0.norm1.bias" in shp
+        else ("rms" if production else "layernorm"))
+    over["model.sandwich_normalization"] = \
+        "blocks.0.pre_residual_norm.weight" in shp
+    over["model.modality_embed"] = "modality_embed.embedding" in shp
+    over["model.img_count_embed"] = "img_count_embedding" in shp
+    if over["model.img_count_embed"]:
+        over["model.max_images_per_sample"] = shp["img_count_embedding"][0]
+    over["model.cond_label"] = "y_embedder.embedding_table.weight" in shp
+
+    if "img_vocab_embed.weight" in shp:
+        # split-embed (use_pretrained_img_emb): the vocab split is exact
+        # — text table has text_vocab+1 rows (mask), image table is the
+        # frozen VQ codebook
+        over["model.split_embed"] = True
+        over["model.text_vocab_size"] = shp["vocab_embed.embedding"][0] - 1
+        over["model.image_vocab_size"] = shp["img_vocab_embed.weight"][0]
+        over["model.img_embed_dim"] = shp["img_vocab_embed.weight"][1]
+    else:
+        over["model.split_embed"] = False
+        vocab = shp["vocab_embed.embedding"][0]
+        # joint table: the split is a recipe choice, but every published
+        # config pairs the LLaMA-2 text vocab (+mask) with a 16384-way
+        # VQ codebook — recover it from the total
+        if vocab > 16384:
+            over["model.text_vocab_size"] = vocab - 16384
+            over["model.image_vocab_size"] = 16384
+    return over
+
+
+def load_reference_checkpoint(params: Dict, path: str, **kw) -> Dict:
+    """Load a .safetensors / .pt reference checkpoint file."""
+    return port_dit_state_dict(params, read_reference_state_dict(path),
+                               **kw)

@@ -736,6 +736,7 @@ def parse_mesh_spec(spec: str):
 
 
 def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
+                 reference_ckpt: Optional[str] = None,
                  codec_name: Optional[str] = None,
                  steps: Optional[int] = None,
                  quantize: Optional[str] = None,
@@ -782,10 +783,26 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
     over = {"sampling.steps": steps} if steps else {}
     if kv_cache:
         over["model.kv_cache_dtype"] = kv_cache
+    ref_sd = None
+    if reference_ckpt:
+        # published-checkpoint drop (aswerdlow/unidisc_* model.safetensors,
+        # PyTorchModelHubMixin layout): the file's shapes determine the
+        # architecture — the preset supplies only what weights can't
+        # encode (sequence layout, rope_2d, sampling defaults)
+        assert checkpoint is None, \
+            "--reference-ckpt loads reference weights; --ckpt loads our " \
+            "own run dirs — pass one"
+        from unidisc_tpu.models.port import (infer_dit_overrides,
+                                             read_reference_state_dict)
+        ref_sd = read_reference_state_dict(reference_ckpt)
+        over = {**infer_dit_overrides(ref_sd), **over}
     config = Config.make(preset, **over)
     if experiments:
         config = config.apply_experiments(*experiments)
     model, params = init_dit(jax.random.PRNGKey(config.seed), config.model)
+    if ref_sd is not None:
+        from unidisc_tpu.models.port import port_dit_state_dict
+        params = port_dit_state_dict(params, ref_sd)
     if checkpoint:
         from unidisc_tpu.training.checkpoint import CheckpointManager
         from unidisc_tpu.training.train_state import init_train_state

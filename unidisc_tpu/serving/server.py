@@ -356,6 +356,12 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--ckpt", default=None,
                         help="run dir with checkpoints/ (EMA params used)")
+    parser.add_argument("--reference-ckpt", default=None,
+                        help="published reference checkpoint file "
+                        "(aswerdlow/unidisc_* model.safetensors or a "
+                        "torch .pt) — architecture is inferred from the "
+                        "weights, --model supplies only the sequence "
+                        "layout / sampling defaults")
     parser.add_argument("--model", default="small")
     parser.add_argument("--steps", type=int, default=32)
     parser.add_argument("--codec", default=None,
@@ -399,6 +405,7 @@ def main(argv: Optional[list] = None):
     from unidisc_tpu.serving.engine import build_engine
 
     engine = build_engine(preset=args.model, checkpoint=args.ckpt,
+                          reference_ckpt=args.reference_ckpt,
                           codec_name=args.codec, steps=args.steps,
                           quantize=args.quantize, kv_cache=args.kv_cache,
                           mesh=args.mesh, rolling=args.rolling,
