@@ -384,3 +384,192 @@ def test_dit_ar_engine_speculative_route():
     # diffusion models reject --speculative with a pointer to --scaffold
     with pytest.raises(ValueError, match="scaffold"):
         build_engine(preset="tiny", speculative="tiny")
+
+
+# ---------------------------------------------------------------------------
+# Prompt-lookup (draft-free) speculative decoding
+# ---------------------------------------------------------------------------
+
+def test_lookup_proposals_semantics():
+    """lookup_proposals: latest earlier n-gram match wins, continuation
+    comes from committed tokens only, rows with no usable match fall
+    back to last-token repeats (found=False)."""
+    from unidisc_tpu.serving.speculative import lookup_proposals
+
+    # row 0: ... 5 6 7 9 | 5 6 <next> at pos=5 — key (5,6) matched at
+    # j=0, continuation = x[2:5] = 7 9 5? gamma=2 -> x[2:4] = (7, 9)
+    # row 1: no repeat of the key -> fallback (8 8)
+    # row 2: key occurs twice earlier -> LATEST usable match chosen
+    x = jnp.asarray([
+        [5, 6, 7, 9, 5, 6, 0, 0, 0, 0, 0, 0],
+        [1, 2, 3, 4, 7, 8, 0, 0, 0, 0, 0, 0],
+        [5, 6, 1, 5, 6, 2, 9, 5, 6, 0, 0, 0],
+    ], jnp.int32)
+    pos = jnp.asarray([5, 5, 8], jnp.int32)
+    drafted, found = lookup_proposals(x, pos, gamma=2, ngram=2)
+    np.testing.assert_array_equal(np.asarray(found),
+                                  [True, False, True])
+    np.testing.assert_array_equal(np.asarray(drafted[0]), [7, 9])
+    np.testing.assert_array_equal(np.asarray(drafted[1]), [8, 8])
+    # row 2 latest usable match of (5,6) with 2 committed continuation
+    # tokens: j=3 -> continuation x[5:7] = (2, 9)
+    np.testing.assert_array_equal(np.asarray(drafted[2]), [2, 9])
+
+    # a row too young for a key (pos+1 < ngram) falls back
+    drafted3, found3 = lookup_proposals(
+        jnp.asarray([[3, 0, 0, 0, 0, 0]], jnp.int32),
+        jnp.asarray([0], jnp.int32), gamma=2, ngram=2)
+    assert not bool(found3[0])
+    np.testing.assert_array_equal(np.asarray(drafted3[0]), [3, 3])
+
+
+@pytest.mark.parametrize("gamma,ngram", [(2, 2), (4, 2), (8, 3)])
+def test_lookup_decoder_lossless_greedy(gamma, ngram):
+    """Prompt-lookup decoding is bit-equal to plain greedy decode for
+    ANY model (acceptance only changes round count, never tokens)."""
+    from unidisc_tpu.serving.speculative import elm_lookup_decoder
+
+    model, cfg, params = _elm(seed=3, perturb=0.05)
+    decode = jax.jit(
+        lambda p, x, pl, s: elm_lookup_decoder(
+            model, cfg, gamma=gamma, ngram=ngram)(p, x, pl, s,
+                                                  max_new=12))
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [5, 6], [9, 8, 7, 9, 8]]
+    plen = np.asarray([len(p) for p in prompts], np.int32)
+    buf = np.zeros((3, 8), np.int32)
+    for i, p in enumerate(prompts):
+        buf[i, :len(p)] = p
+    res = decode(params, jnp.asarray(buf), jnp.asarray(plen),
+                 jnp.zeros((3,), jnp.int32))
+    toks = np.asarray(res.tokens)
+    for i, p in enumerate(prompts):
+        want = _greedy_oracle(model, cfg, params, p, 12)
+        got = toks[i, plen[i]:plen[i] + int(res.emitted[i])].tolist()
+        assert got == want, (gamma, ngram, p)
+
+
+def test_lookup_decoder_accepts_on_periodic_target():
+    """On a target that deterministically continues a period-3 pattern,
+    lookup proposals are always right: the decode finishes in ~max_new /
+    (gamma+1) rounds with near-full acceptance — the mechanism that
+    makes prompt-lookup pay on repetitive/grounded text."""
+    from unidisc_tpu.serving.speculative import build_lookup_decoder
+
+    V, PERIOD = 16, 3
+
+    def apply_target(params, tok, kv, cache_index):
+        # predict next = (cur + 5) % PERIOD's cycle over tokens {1,2,3}:
+        # map cur in {1..3} -> next in {1..3} cyclically; one-hot logits
+        nxt = (tok % PERIOD) + 1
+        logits = jax.nn.one_hot(nxt, V, dtype=jnp.float32) * 10.0
+        return logits, kv
+
+    decode = build_lookup_decoder(apply_target, lambda b, L: (),
+                                  gamma=4, ngram=2)
+    prompt = [1, 2, 3, 1, 2, 3]
+    max_new = 18
+    res = jax.jit(lambda p, x, pl, s: decode(p, x, pl, s,
+                                             max_new=max_new))(
+        (), jnp.asarray([prompt], jnp.int32),
+        jnp.asarray([len(prompt)], jnp.int32),
+        jnp.zeros((1,), jnp.int32))
+    toks = np.asarray(res.tokens)[0]
+    want = [(t % PERIOD) + 1 for t in
+            [prompt[-1]] + list(toks[len(prompt):len(prompt) + max_new - 1])]
+    np.testing.assert_array_equal(toks[len(prompt):len(prompt) + max_new],
+                                  want)
+    # near-full acceptance: 18 tokens in ~ceil(18/5) rounds plus the
+    # ramp-up round (the first key has no gamma-committed continuation
+    # yet, so round 1 falls back and advances 1) — vs 18 plain rounds
+    assert int(res.rounds) <= 6
+    assert int(res.accepted) >= max_new - 6
+
+
+def test_continuous_lookup_lossless_greedy():
+    """Continuous batching with LOOKUP rounds (lookup_ngram=): greedy
+    tokens are bit-equal to the plain single-token oracle, including
+    under slot reuse and mixed prompt lengths."""
+    from unidisc_tpu.serving.continuous import elm_continuous_batcher
+
+    model, cfg, params = _elm(seed=0, perturb=0.05)
+    look = elm_continuous_batcher(model, params, cfg, slots=2, chunk=8,
+                                  lookup_ngram=2, gamma=3)
+    try:
+        prompts = [[1, 2, 3, 1, 2, 3, 1], [5, 6], [9, 8, 7, 9, 8],
+                   [4, 4, 4, 4]]
+        futs = [look.submit(p, max_new_tokens=10) for p in prompts]
+        for p, f in zip(prompts, futs):
+            got = f.result(timeout=600)["tokens"]
+            want = _greedy_oracle(model, cfg, params, p, 10)
+            assert got == want, p
+    finally:
+        look.shutdown()
+
+
+def test_continuous_lookup_stochastic_seeded():
+    """temperature>0 rows under lookup rounds: the delta-draft rejection
+    rule keeps tokens a pure function of (seed, position) — a seeded
+    request reproduces when resubmitted alone."""
+    from unidisc_tpu.serving.continuous import elm_continuous_batcher
+
+    model, cfg, params = _elm(seed=1, perturb=0.05)
+    look = elm_continuous_batcher(model, params, cfg, slots=2, chunk=8,
+                                  lookup_ngram=2, gamma=3)
+    try:
+        kw = dict(max_new_tokens=8, temperature=0.9)
+        a = look.submit([1, 2, 1, 2], seed=11, **kw)
+        b = look.submit([7, 7, 7], seed=12, **kw)
+        ta, tb = a.result(timeout=600)["tokens"], \
+            b.result(timeout=600)["tokens"]
+        # resubmit the first request ALONE: identical stream
+        ta2 = look.submit([1, 2, 1, 2], seed=11,
+                          **kw).result(timeout=600)["tokens"]
+        assert ta == ta2
+        assert ta != tb
+    finally:
+        look.shutdown()
+
+
+def test_elm_engine_lookup_route():
+    """--model elm --speculative lookup[:N] serves draft-free lookup
+    speculation through the engine; greedy lossless vs the plain elm
+    engine."""
+    from unidisc_tpu.serving.engine import build_elm_engine
+
+    eng = build_elm_engine(preset="tiny", speculative="lookup:3",
+                           gamma=4)
+    plain = build_elm_engine(preset="tiny")
+    try:
+        assert eng._lookup_ngram == 3 and eng._draft is None
+        kw = dict(max_new_tokens=6, seed=2)
+        got = eng.complete_text("abcabc", **kw).result(timeout=600)
+        want = plain.complete_text("abcabc", **kw).result(timeout=600)
+        assert got["tokens"] == want["tokens"]
+        # the batcher runs in spec-window mode (stop capped)
+        assert eng.continuous._stop_cap == eng.continuous.length - 5
+    finally:
+        for e in (eng, plain):
+            if e._continuous is not None:
+                e._continuous.shutdown()
+
+
+def test_dit_ar_engine_lookup_route():
+    """build_engine(--speculative lookup) on a DIT-AR model: lossless
+    vs plain, no draft model built."""
+    from unidisc_tpu.serving.engine import build_engine
+
+    eng = build_engine(preset="tiny", speculative="lookup",
+                       experiments=["ar_baseline"])
+    plain = build_engine(preset="tiny", experiments=["ar_baseline"])
+    try:
+        assert eng._ar_draft is None and eng._lookup_ngram == 2
+        kw = dict(max_new_tokens=6, seed=3)
+        got = eng.complete_text("\x01\x02\x01\x02", **kw).result(
+            timeout=600)
+        want = plain.complete_text("\x01\x02\x01\x02", **kw).result(
+            timeout=600)
+        assert got["tokens"] == want["tokens"]
+    finally:
+        for e in (eng, plain):
+            if getattr(e, "_continuous", None) is not None:
+                e._continuous.shutdown()

@@ -32,6 +32,7 @@ import queue
 import threading
 import time as _time
 from concurrent.futures import Future
+from functools import partial
 from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
@@ -89,7 +90,8 @@ def build_continuous_decoder(model, config: Optional[Config], *,
                              cache_factory=None, restrict_fn=None,
                              length: Optional[int] = None,
                              cache_batch_axis: int = 1,
-                             draft=None, gamma: int = 4):
+                             draft=None, gamma: int = 4,
+                             lookup_ngram: Optional[int] = None):
     """Build the jitted state machine for continuous AR decoding.
 
     Returns (init_state, make_insert, decode_chunk, make_insert_many):
@@ -138,6 +140,8 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         def cache_factory(batch, L):
             return init_kv_cache_for(m, batch, L)
 
+    assert draft is None or lookup_ngram is None, \
+        "draft-model and prompt-lookup speculation are exclusive"
     if draft is not None:
         draft_apply, draft_cache_factory = draft
         tparams = lambda params: params[0]
@@ -148,7 +152,8 @@ def build_continuous_decoder(model, config: Optional[Config], *,
     else:
         tparams = lambda params: params
         dparams = None
-        stop_cap = L
+        # lookup rounds write the same (gamma+1) window
+        stop_cap = L - (gamma + 1) if lookup_ngram else L
 
     def init_state() -> DecodeState:
         kv = cache_factory(slots, L)
@@ -335,22 +340,22 @@ def build_continuous_decoder(model, config: Optional[Config], *,
 
     from unidisc_tpu.serving.speculative import accept_window, spec_key
 
+    def _sample_rows(state, logits, positions, tag):
+        """Per-row temp Gumbel-argmax with (seed, position, tag) noise;
+        greedy rows (temp<=0) take the plain argmax."""
+        def one(lg, seed, p, t):
+            g = jax.random.gumbel(spec_key(seed, p, tag),
+                                  lg.shape, jnp.float32)
+            noisy = jnp.argmax(lg / jnp.maximum(t, 1e-6) + g, -1)
+            return jnp.where(t > 0, noisy, jnp.argmax(lg, -1))
+        return jax.vmap(one)(logits, state.seed, positions,
+                             state.temp).astype(jnp.int32)
+
     def _spec_round(params, state: DecodeState) -> DecodeState:
-        x, mod, pos, active = state.x, state.mod, state.pos, state.active
-        S = x.shape[0]
+        x, mod, pos = state.x, state.mod, state.pos
         cur = jnp.take_along_axis(x, pos[:, None], 1)[:, 0]
         inv_t = 1.0 / jnp.maximum(state.temp, 1e-6)
-
-        def sample_rows(logits, positions, tag):
-            """Per-row temp Gumbel-argmax with (seed, position, tag)
-            noise; greedy rows (temp<=0) take the plain argmax."""
-            def one(lg, seed, p, t):
-                g = jax.random.gumbel(spec_key(seed, p, tag),
-                                      lg.shape, jnp.float32)
-                noisy = jnp.argmax(lg / jnp.maximum(t, 1e-6) + g, -1)
-                return jnp.where(t > 0, noisy, jnp.argmax(lg, -1))
-            return jax.vmap(one)(logits, state.seed, positions,
-                                 state.temp).astype(jnp.int32)
+        sample_rows = partial(_sample_rows, state)
 
         # draft phase: gamma+1 single-token steps (the +1 keeps the
         # draft cache hole-free at the bonus position)
@@ -372,6 +377,30 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             dstep, (state.dkv, cur), jnp.arange(gamma + 1))
         drafted = drafted.T[:, :gamma]               # (S, gamma)
         lp_d = jnp.swapaxes(lp_d, 0, 1)[:, :gamma]   # (S, gamma, V)
+        return _verify_and_advance(params, state, drafted, lp_d, dkv)
+
+    def _lookup_round(params, state: DecodeState) -> DecodeState:
+        """Draft-FREE spec round: proposals from lookup_proposals
+        (n-gram self-continuation over the row's committed buffer —
+        serving/speculative.py). Draft log-probs are the delta
+        distribution at the proposal (one-hot, log 1 = 0), under which
+        the shared rejection rule reduces to: accept with prob
+        p_t(proposal), residual = renormalize(p_t minus the proposal's
+        mass) — exact for stochastic rows, exact-match for greedy."""
+        from unidisc_tpu.serving.speculative import lookup_proposals
+        drafted, _found = lookup_proposals(state.x, state.pos,
+                                           gamma=gamma,
+                                           ngram=lookup_ngram)
+        return _verify_and_advance(params, state, drafted, None,
+                                   state.dkv)
+
+    def _verify_and_advance(params, state: DecodeState, drafted, lp_d,
+                            dkv) -> DecodeState:
+        x, mod, pos, active = state.x, state.mod, state.pos, state.active
+        S = x.shape[0]
+        cur = jnp.take_along_axis(x, pos[:, None], 1)[:, 0]
+        inv_t = 1.0 / jnp.maximum(state.temp, 1e-6)
+        sample_rows = partial(_sample_rows, state)
 
         # verify: one target forward over [cur, d_1..d_gamma]
         chunk_tok = jnp.concatenate([cur[:, None], drafted], 1)
@@ -387,6 +416,11 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         lg_t = _restrict(lg_t.reshape(-1, V),
                          mod_nxt.reshape(-1)).reshape(S, gamma + 1, V)
         lp_t = jax.nn.log_softmax(lg_t * inv_t[:, None, None], -1)
+        if lp_d is None:
+            # lookup mode: delta-distribution draft (log 1 = 0 at the
+            # proposal, -inf elsewhere) — see _lookup_round
+            lp_d = jnp.where(
+                jax.nn.one_hot(drafted, V, dtype=bool), 0.0, -1e30)
 
         # accept/correct via the shared Leviathan core: per-row stoch
         # flag (temp>0); noise tags 2/3/4 match speculative.py's law
@@ -439,12 +473,13 @@ def build_continuous_decoder(model, config: Optional[Config], *,
         return state._replace(x=x, kv=kv, dkv=dkv, pos=new_pos,
                               active=new_active)
 
-    if draft is not None:
+    if draft is not None or lookup_ngram:
         rounds = max(1, -(-chunk // (gamma + 1)))
+        _round = _spec_round if draft is not None else _lookup_round
 
         def _decode_chunk(params, state: DecodeState) -> DecodeState:
             def body(s, _):
-                return _spec_round(params, s), None
+                return _round(params, s), None
             state, _ = jax.lax.scan(body, state, None, length=rounds)
             return state
     else:
@@ -488,7 +523,8 @@ class ContinuousBatcher:
         # to gamma+1 tokens each (the host pos estimate must be an UPPER
         # bound for finish detection)
         self.length = decoder_kwargs.get("length") or config.model.length
-        if decoder_kwargs.get("draft") is not None:
+        if decoder_kwargs.get("draft") is not None \
+                or decoder_kwargs.get("lookup_ngram"):
             g = decoder_kwargs.get("gamma", 4)
             self._max_advance = -(-chunk // (g + 1)) * (g + 1)
             # the device caps stop at L-(gamma+1) so an active row's
@@ -708,6 +744,7 @@ def elm_continuous_batcher(elm_model, params, elm_cfg, *, slots: int = 8,
                            length: Optional[int] = None,
                            quant_cache: bool = False,
                            draft=None, gamma: int = 4,
+                           lookup_ngram: Optional[int] = None,
                            device_lock: Optional[threading.Lock] = None
                            ) -> "ContinuousBatcher":
     """Continuous batching for the OpenELM AR baseline (models/elm.py):
@@ -718,7 +755,11 @@ def elm_continuous_batcher(elm_model, params, elm_cfg, *, slots: int = 8,
     draft=(draft_model, draft_cfg, draft_params): continuous SPECULATIVE
     serving — decode advances by draft-verify rounds of `gamma`
     proposals while admission/streaming/retirement work unchanged
-    (greedy rows stay lossless; see build_continuous_decoder)."""
+    (greedy rows stay lossless; see build_continuous_decoder).
+
+    lookup_ngram=N: DRAFT-FREE speculative serving (prompt lookup) —
+    proposals come from each row's own n-gram history instead of a
+    draft model; same lossless guarantee, zero extra weights."""
     from unidisc_tpu.models.elm import init_elm_cache
 
     L = length or elm_cfg.max_length
@@ -747,6 +788,8 @@ def elm_continuous_batcher(elm_model, params, elm_cfg, *, slots: int = 8,
         draft_kw = dict(draft=(draft_apply, draft_cache_factory),
                         gamma=gamma)
         params = (params, d_params)
+    elif lookup_ngram:
+        draft_kw = dict(lookup_ngram=lookup_ngram, gamma=gamma)
 
     return ContinuousBatcher(
         None, params, None, slots=slots, chunk=chunk, eos_id=eos_id,

@@ -35,16 +35,19 @@ def expand_mask_tokens(text: str) -> str:
 class InferenceEngine:
     def __init__(self, config: Config, model, params, *, tokenizer=None,
                  codec=None, mesh=None, rolling: int = 0,
-                 ar_draft=None, gamma: int = 4):
+                 ar_draft=None, gamma: int = 4,
+                 lookup_ngram: Optional[int] = None):
         self.config = config
         self.model = model
         self.mesh = mesh
         # ar_draft = (draft_model, draft_model_cfg, draft_params): the AR
         # continuous batcher decodes in speculative draft-verify rounds
         # (serving/continuous.py draft=) — DIT-AR counterpart of the ELM
-        # engine's --speculative route
+        # engine's --speculative route. lookup_ngram: draft-free prompt
+        # lookup speculation instead (mutually exclusive).
         self._ar_draft = ar_draft
         self._gamma = gamma
+        self._lookup_ngram = lookup_ngram
         # rolling > 0: serve diffusion requests through the rolling
         # continuous batcher (serving/rolling.py) with that many slots —
         # requests admit into finished rows mid-flight instead of
@@ -124,6 +127,9 @@ class InferenceEngine:
                                        d_mcfg, b, L)),
                             gamma=self._gamma)
                         params = (params, d_params)
+                    elif self._lookup_ngram:
+                        kw = dict(lookup_ngram=self._lookup_ngram,
+                                  gamma=self._gamma)
                     self._continuous = ContinuousBatcher(
                         self.model, params, self.config,
                         slots=8, chunk=8,
@@ -606,7 +612,8 @@ class ElmEngine:
 
     def __init__(self, elm_cfg, model, params, *, tokenizer=None,
                  kv_cache: Optional[str] = None, slots: int = 8,
-                 chunk: int = 8, draft=None, gamma: int = 4):
+                 chunk: int = 8, draft=None, gamma: int = 4,
+                 lookup_ngram: Optional[int] = None):
         import threading
         import types as _types
 
@@ -619,6 +626,7 @@ class ElmEngine:
         # read per `gamma` draft proposals (serving/continuous.py draft=)
         self._draft = draft
         self._gamma = gamma
+        self._lookup_ngram = lookup_ngram
         # minimal config shim for the server's routing checks
         self.config = _types.SimpleNamespace(
             trainer=_types.SimpleNamespace(parameterization="ar"),
@@ -648,6 +656,7 @@ class ElmEngine:
                         eos_id=eos if eos is not None else -1,
                         quant_cache=self._kv_cache == "int8",
                         draft=self._draft, gamma=self._gamma,
+                        lookup_ngram=self._lookup_ngram,
                         device_lock=self._device_lock)
         return self._continuous
 
@@ -702,8 +711,13 @@ def build_elm_engine(*, preset: str = "270m",
         params = quantize_elm_params(params, cfg)
         cfg = dataclasses.replace(cfg, quant="int8")
         model = OpenELM(cfg)
-    draft = None
-    if speculative:
+    draft, lookup_ngram = None, None
+    if speculative and (speculative == "lookup"
+                        or speculative.startswith("lookup:")):
+        # draft-FREE prompt-lookup speculation: --speculative lookup[:N]
+        _, _, n = speculative.partition(":")
+        lookup_ngram = int(n) if n else 2
+    elif speculative:
         d_cfg = ELM_PRESETS[speculative]
         if (d_cfg.vocab_size + d_cfg.extra_tokens
                 != cfg.vocab_size + cfg.extra_tokens):
@@ -715,7 +729,8 @@ def build_elm_engine(*, preset: str = "270m",
         d_model, d_params = init_elm(jax.random.PRNGKey(1), d_cfg)
         draft = (d_model, d_cfg, d_params)
     return ElmEngine(cfg, model, params, tokenizer=tokenizer,
-                     kv_cache=kv_cache, draft=draft, gamma=gamma)
+                     kv_cache=kv_cache, draft=draft, gamma=gamma,
+                     lookup_ngram=lookup_ngram)
 
 
 def parse_mesh_spec(spec: str):
@@ -833,13 +848,20 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         live_mesh, mesh_kw = parse_mesh_spec(mesh)
         config = config.override(**{f"mesh.{k}": v
                                     for k, v in mesh_kw.items()})
-    ar_draft = None
+    ar_draft, lookup_ngram = None, None
     if speculative:
         if config.trainer.parameterization != "ar":
             raise ValueError("--speculative needs an AR model "
                              "(trainer.parameterization=ar, or the "
                              "elm route); use --scaffold for diffusion "
                              "model-size scheduling")
+        if speculative == "lookup" or speculative.startswith("lookup:"):
+            # draft-FREE prompt-lookup speculation (serving/speculative
+            # lookup_proposals): no draft model, works with any --ckpt
+            _, _, n = speculative.partition(":")
+            lookup_ngram = int(n) if n else 2
+            speculative = None
+    if speculative:
         d_preset, _, d_ckpt = speculative.partition("=")
         if checkpoint and not d_ckpt:
             # a randomly-initialized draft accepts ~1/V of a trained
@@ -870,7 +892,8 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         ar_draft = (d_model, d_cfg.model, d_params)
     engine = InferenceEngine(config, model, params, codec=codec,
                              mesh=live_mesh, rolling=rolling,
-                             ar_draft=ar_draft, gamma=spec_gamma)
+                             ar_draft=ar_draft, gamma=spec_gamma,
+                             lookup_ngram=lookup_ngram)
     if scaffold:
         if mesh:
             raise ValueError("scaffold decoding is single-host for now "

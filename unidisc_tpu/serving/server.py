@@ -394,10 +394,13 @@ def main(argv: Optional[list] = None):
                         help="denoise steps run on the MAIN model "
                         "before handing off to the scaffold trunk")
     parser.add_argument("--speculative", default=None,
-                        help="AR (--model elm*) only: draft ELM preset "
-                        "for speculative decoding — the draft proposes "
+                        help="AR models only: draft preset for "
+                        "speculative decoding — the draft proposes "
                         "--gamma tokens per target forward; greedy "
-                        "output is lossless (serving/speculative.py)")
+                        "output is lossless (serving/speculative.py). "
+                        "'lookup[:N]' = draft-FREE prompt-lookup "
+                        "speculation (proposals from each row's own "
+                        "N-gram history; no second model)")
     parser.add_argument("--gamma", type=int, default=4,
                         help="speculative draft length per round")
     args = parser.parse_args(argv)

@@ -284,6 +284,139 @@ def build_spec_decoder(apply_target: Callable, cache_factory_t: Callable,
     return decode
 
 
+def lookup_proposals(x, pos, *, gamma: int, ngram: int):
+    """Draft-free proposals by PROMPT LOOKUP (n-gram continuation): for
+    each row, find the latest earlier occurrence of the last `ngram`
+    committed tokens in the row's own buffer and propose the `gamma`
+    tokens that followed it (Saxena 2023 prompt-lookup decoding; the
+    trick behind assisted generation on repetitive/grounded text —
+    summarization, code edits, RAG).
+
+    x (B, L) int32 buffer, pos (B,) index of the last committed token.
+    Returns (drafted (B, gamma) int32, found (B,) bool). Rows with no
+    usable match propose the last token repeated (correctness is
+    unaffected — greedy verification accepts only true continuations;
+    an all-rejected round still advances 1 token like plain decode).
+
+    All shapes are static: the candidate scan is a (B, L-ngram+1, ngram)
+    equality — pure VPU work, negligible next to the verify forward."""
+    B, L = x.shape
+    # sliding windows via STATIC slices: windows[:, j] = x[:, j:j+ngram]
+    windows = jnp.stack([x[:, k:L - ngram + 1 + k]
+                         for k in range(ngram)], -1)
+    key = jax.vmap(lambda row, p: jax.lax.dynamic_slice(
+        row, (p,), (ngram,)))(x, jnp.maximum(pos - ngram + 1, 0))
+    match = jnp.all(windows == key[:, None, :], -1)   # (B, L-ngram+1)
+    # a usable match must be strictly earlier than the key's own
+    # occurrence AND have gamma committed tokens after it
+    j = jnp.arange(L - ngram + 1)[None, :]
+    usable = match & (j < (pos - ngram + 1)[:, None]) \
+        & (j <= (pos - ngram - gamma + 1)[:, None]) \
+        & ((pos - ngram + 1) >= 0)[:, None]
+    found = usable.any(-1)
+    # LATEST usable match: argmax of j over usable positions
+    j_star = jnp.argmax(jnp.where(usable, j, -1), -1)
+    cont = jax.vmap(lambda row, p: jax.lax.dynamic_slice(
+        row, (p,), (gamma,)))(x, jnp.clip(j_star + ngram, 0, L - gamma))
+    cur = jnp.take_along_axis(x, pos[:, None], 1)
+    drafted = jnp.where(found[:, None], cont,
+                        jnp.broadcast_to(cur, (B, gamma)))
+    return drafted.astype(jnp.int32), found
+
+
+def build_lookup_decoder(apply_target: Callable, cache_factory_t: Callable,
+                         *, gamma: int = 8, ngram: int = 2,
+                         eos_id: int = -1,
+                         max_length: Optional[int] = None) -> Callable:
+    """Draft-FREE speculative decoder: proposals come from
+    `lookup_proposals` (n-gram self-continuation) instead of a draft
+    model, so every round costs exactly ONE target forward over gamma+1
+    tokens — no second model, no draft cache, no extra weights resident
+    in HBM. Greedy only (temperature 0): the proposal is deterministic,
+    so acceptance is exact-match and the output is bit-equal to plain
+    greedy decoding by construction.
+
+    Returns decode(params_t, prompts (B, Lp), plen (B,), seeds (B,),
+    max_new: static) -> SpecResult. seeds are accepted for signature
+    compatibility and unused (greedy)."""
+    assert gamma >= 1 and ngram >= 1
+
+    def decode(params_t, prompts, plen, seeds, max_new: int) -> SpecResult:
+        B, Lp = prompts.shape
+        L = Lp + max_new + gamma + 1
+        if max_length is not None and L > max_length:
+            raise ValueError(
+                f"prompt {Lp} + max_new {max_new} + gamma+1 {gamma + 1} "
+                f"= {L} exceeds the model's max_length {max_length}")
+        x = jnp.zeros((B, L), jnp.int32).at[:, :Lp].set(prompts)
+        kv_t = cache_factory_t(B, L)
+        zero = jnp.zeros((B,), jnp.int32)
+        _, kv_t = apply_target(params_t, prompts, kv_t, zero)
+
+        state = (x, plen - 1, jnp.zeros((B,), jnp.int32),
+                 jnp.zeros((B,), bool), kv_t,
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                 jnp.zeros((), jnp.int32))
+
+        def cond(state):
+            _, _, emitted, finished = state[:4]
+            return ~jnp.all(finished | (emitted >= max_new))
+
+        def body(state):
+            x, pos, emitted, finished, kv_t, rounds, acc_n, dr_n = state
+            cur = jnp.take_along_axis(x, pos[:, None], 1)[:, 0]
+
+            drafted, found = lookup_proposals(x, pos, gamma=gamma,
+                                              ngram=ngram)
+
+            chunk = jnp.concatenate([cur[:, None], drafted], 1)
+            logits_t, kv_t = apply_target(params_t, chunk, kv_t, pos)
+            lg_t = logits_t.astype(jnp.float32)
+            win, n = accept_window(drafted, None, lg_t, None, stoch=False)
+            idx = jnp.arange(gamma + 1)[None, :]
+            real = idx <= n[:, None]
+
+            remaining = jnp.maximum(max_new - emitted, 0)
+            adv = jnp.minimum(n + 1, remaining)
+            if eos_id >= 0:
+                is_eos = (win == eos_id) & real
+                any_eos = is_eos.any(-1)
+                first_eos = jnp.argmax(is_eos, -1)
+                adv = jnp.where(any_eos,
+                                jnp.minimum(adv, first_eos + 1), adv)
+            adv = jnp.where(finished, 0, adv)
+
+            start = jnp.minimum(pos + 1, L - (gamma + 1))
+            cur_win = jax.vmap(
+                lambda row, p: jax.lax.dynamic_slice(row, (p,),
+                                                     (gamma + 1,)))(
+                x, start)
+            keep = jnp.where(finished[:, None], cur_win, win)
+            x = jax.vmap(lambda row, w, p: jax.lax.dynamic_update_slice(
+                row, w, (p,)))(x, keep, start)
+
+            emitted = emitted + adv
+            new_fin = finished | (emitted >= max_new)
+            if eos_id >= 0:
+                hit = (jnp.take_along_axis(
+                    win, jnp.clip(adv - 1, 0, gamma)[:, None], 1)[:, 0]
+                    == eos_id) & (adv > 0)
+                new_fin = new_fin | hit
+            pos = pos + adv
+            return (x, pos, emitted, new_fin, kv_t, rounds + 1,
+                    acc_n + jnp.where(finished, 0,
+                                      jnp.minimum(n, adv)).sum(),
+                    dr_n + jnp.where(finished, 0,
+                                     jnp.where(found, gamma, 0)).sum())
+
+        x, pos, emitted, finished, kv_t, rounds, acc_n, dr_n = \
+            jax.lax.while_loop(cond, body, state)
+        return SpecResult(tokens=x, emitted=emitted, rounds=rounds,
+                          accepted=acc_n, drafted=dr_n)
+
+    return decode
+
+
 # ---------------------------------------------------------------------------
 # ELM convenience wiring
 # ---------------------------------------------------------------------------
@@ -320,6 +453,27 @@ def elm_spec_decoder(target_model, target_cfg, draft_model, draft_cfg,
         # RoPE tables end at max_length — refuse buffers past the
         # shorter of the two models' tables instead of clamping angles
         max_length=min(target_cfg.max_length, draft_cfg.max_length))
+
+
+def elm_lookup_decoder(target_model, target_cfg, *, gamma: int = 8,
+                       ngram: int = 2, eos_id: int = -1,
+                       kv_dtype=jnp.bfloat16) -> Callable:
+    """Prompt-lookup (draft-free) decoder over one OpenELM model.
+    Returns decode(params_t, prompts, plen, seeds, max_new)."""
+    from unidisc_tpu.models.elm import init_elm_cache
+
+    def apply_fn(params, tok, kv, cache_index):
+        logits, kv = target_model.apply({"params": params}, tok,
+                                        kv_cache=kv,
+                                        cache_index=cache_index)
+        return logits, kv
+
+    quant = getattr(target_cfg, "kv_cache_dtype", None) == "int8"
+    factory = lambda b, L: init_elm_cache(target_cfg, b, L,
+                                          dtype=kv_dtype, quant=quant)
+    return build_lookup_decoder(apply_fn, factory, gamma=gamma,
+                                ngram=ngram, eos_id=eos_id,
+                                max_length=target_cfg.max_length)
 
 
 def speculative_decode(target_model, target_cfg, target_params,
