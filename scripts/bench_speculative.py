@@ -194,6 +194,31 @@ def main():
                           "speedup": round(rate / base_rate, 2)}),
               flush=True)
 
+    # ---- draft-FREE prompt lookup (serving/speculative.py) ----------
+    # the Markov task's dominant transitions repeat constantly, so
+    # n-gram self-continuation should accept well — measures the
+    # zero-extra-weights speculation mode
+    from unidisc_tpu.serving.speculative import elm_lookup_decoder
+    for gamma in (int(g) for g in args.gammas.split(",")):
+        dec = elm_lookup_decoder(t_model, t_cfg, gamma=gamma, ngram=2)
+        fn = jax.jit(partial(dec, max_new=args.max_new))
+        res, dt = timed(fn, t_params, jnp.asarray(prompts),
+                        jnp.asarray(plen), jnp.asarray(seeds))
+        toks = np.asarray(res.tokens)[:, args.prompt_len:
+                                      args.prompt_len + args.max_new]
+        lossless = bool((toks == ref).all())
+        acc = float(np.asarray(res.accepted)) / max(
+            float(np.asarray(res.drafted)), 1.0)
+        rate = B * args.max_new / dt
+        print(json.dumps({"variant": "lookup", "gamma": gamma,
+                          "tok_per_s": round(rate, 1),
+                          "sec": round(dt, 3),
+                          "accept_rate": round(acc, 3),
+                          "rounds": int(np.asarray(res.rounds)),
+                          "lossless_vs_plain": lossless,
+                          "speedup": round(rate / base_rate, 2)}),
+              flush=True)
+
     # ---- serving path: continuous batcher with/without spec rounds ---
     from unidisc_tpu.serving.continuous import elm_continuous_batcher
 

@@ -623,3 +623,45 @@ def test_scaffold_rejects_ar_models():
     with pytest.raises(ValueError, match="[aA][rR]"):
         build_engine(preset="tiny", scaffold="tiny",
                      experiments=["ar_baseline"])
+
+
+def test_metrics_endpoint():
+    """GET /metrics: Prometheus text exposition with per-route request
+    counters, latency quantiles, and cache-hit accounting (stdlib-only
+    ServerMetrics — production observability the reference demo lacks)."""
+    eng = tiny_engine()
+    server = make_server(eng, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = {"messages": [{"role": "user", "content": "metrics probe"}],
+               "seed": 11, "steps": 4}
+        data = json.dumps(req).encode()
+        url = f"http://127.0.0.1:{port}/v1/chat/completions"
+        hdr = {"Content-Type": "application/json"}
+        urllib.request.urlopen(urllib.request.Request(url, data=data,
+                                                      headers=hdr))
+        urllib.request.urlopen(urllib.request.Request(url, data=data,
+                                                      headers=hdr))
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        # counters: both requests landed on the diffusion route; the
+        # second was a cache hit. METRICS is process-global (tests in
+        # this process may add to it) so assert lower bounds.
+        import re
+
+        def val(pat):
+            m = re.search(pat + r" (\d+(?:\.\d+)?)", body)
+            return float(m.group(1)) if m else None
+
+        assert val(r'unidisc_requests_total\{route="diffusion"\}') >= 2
+        assert val(r"unidisc_cache_hits_total") >= 1
+        assert 'unidisc_request_seconds{route="diffusion",quantile="0.5"}' \
+            in body
+        assert 'quantile="0.99"' in body
+    finally:
+        server.shutdown()

@@ -55,6 +55,71 @@ def parse_messages(messages: list) -> dict:
     return {"text": text, "image": image, "mask": mask}
 
 
+class ServerMetrics:
+    """Process-wide serving metrics, rendered in the Prometheus text
+    exposition format at GET /metrics (stdlib-only — no client library).
+    Counters are cumulative; latency percentiles are over a sliding
+    window of the last 512 requests per route; live gauges (queue depth,
+    active slots) are read from the engine at scrape time."""
+
+    WINDOW = 512
+
+    def __init__(self):
+        import collections
+        self._lock = threading.Lock()
+        self._counts = collections.Counter()
+        self._lat = collections.defaultdict(
+            lambda: collections.deque(maxlen=self.WINDOW))
+
+    def count(self, name: str, n: int = 1):
+        with self._lock:
+            self._counts[name] += n
+
+    def observe(self, route: str, seconds: float):
+        with self._lock:
+            self._counts['requests_total{route="%s"}' % route] += 1
+            self._lat[route].append(seconds)
+
+    @staticmethod
+    def _pct(xs, q):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(q * len(xs)))]
+
+    def render(self, engine) -> str:
+        lines = [
+            "# HELP unidisc_requests_total Requests served, by route.",
+            "# TYPE unidisc_requests_total counter",
+        ]
+        with self._lock:
+            for name, v in sorted(self._counts.items()):
+                base, _, label = name.partition("{")
+                lab = "{" + label if label else ""
+                lines.append(f"unidisc_{base}{lab} {v}")
+            for route, xs in sorted(self._lat.items()):
+                if not xs:
+                    continue
+                for q, tag in ((0.5, "0.5"), (0.95, "0.95"),
+                               (0.99, "0.99")):
+                    lines.append(
+                        'unidisc_request_seconds{route="%s",quantile='
+                        '"%s"} %.4f' % (route, tag, self._pct(xs, q)))
+        # live gauges (best-effort — batchers are built lazily)
+        cont = getattr(engine, "_continuous", None)
+        if cont is not None:
+            try:
+                lines.append("unidisc_queue_depth %d"
+                             % cont._queue.qsize())
+                lines.append("unidisc_active_slots %d" % sum(
+                    r is not None for r in cont._slot_req))
+                lines.append("unidisc_slots %d" % cont.slots)
+            except Exception:  # noqa: BLE001
+                pass
+        return "\n".join(lines) + "\n"
+
+
+METRICS = ServerMetrics()
+
+
 class Handler(BaseHTTPRequestHandler):
     engine: InferenceEngine = None
     batcher: RequestBatcher = None
@@ -75,6 +140,14 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             self._json(200, {"status": "ok"})
+        elif self.path == "/metrics":
+            body = METRICS.render(self.engine).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path in ("/", "/index.html"):
             # browser chat/editing UI (reference: demo/client.py fasthtml
             # app; here a dependency-free static page)
@@ -91,6 +164,14 @@ class Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
+        t0 = time.perf_counter()
+        self._route = "diffusion"
+        try:
+            self._post_inner()
+        finally:
+            METRICS.observe(self._route, time.perf_counter() - t0)
+
+    def _post_inner(self):
         if self.path != "/v1/chat/completions":
             self._json(404, {"error": "not found"})
             return
@@ -100,6 +181,7 @@ class Handler(BaseHTTPRequestHandler):
             key = hashlib.sha256(
                 json.dumps(req, sort_keys=True).encode()).hexdigest()
             if key in self.cache:
+                METRICS.count("cache_hits_total")
                 # replay in the format the client asked for — a cached
                 # stream:true request must still come back as SSE
                 if req.get("stream"):
@@ -109,6 +191,7 @@ class Handler(BaseHTTPRequestHandler):
                 return
 
             if "segments" in req:
+                self._route = "interleaved"
                 # interleaved multimodal document request (multi-image,
                 # generate-slots, spatial masks) — engine.run_interleaved
                 if self.engine.codec is None and any(
@@ -162,6 +245,7 @@ class Handler(BaseHTTPRequestHandler):
                 # joins the persistent device batch immediately instead of
                 # waiting for a full diffusion batch slot, and stream:true
                 # sends tokens AS THEY DECODE (serving/continuous.py)
+                self._route = "ar"
                 self._ar_completion(req, parsed, key)
                 return
 
@@ -222,6 +306,7 @@ class Handler(BaseHTTPRequestHandler):
             else:
                 self._json(200, payload)
         except Exception as e:  # noqa: BLE001
+            METRICS.count("errors_total")
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     def _ar_completion(self, req: dict, parsed: dict, key: str):
