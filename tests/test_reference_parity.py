@@ -1146,5 +1146,5 @@ def test_reference_checkpoint_drop_serves(tmp_path):
     assert toks.shape == (1, Le) and (toks >= 0).all() and (toks < PV).all()
 
     # --reference-ckpt and --ckpt are mutually exclusive
-    with pytest.raises(AssertionError, match="pass one"):
+    with pytest.raises(ValueError, match="pass one"):
         build_engine(preset="tiny", reference_ckpt=path, checkpoint="x")

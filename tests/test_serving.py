@@ -658,10 +658,24 @@ def test_metrics_endpoint():
             m = re.search(pat + r" (\d+(?:\.\d+)?)", body)
             return float(m.group(1)) if m else None
 
-        assert val(r'unidisc_requests_total\{route="diffusion"\}') >= 2
+        # first request hits the diffusion route; the replay records as
+        # "cached" so its ~0ms latency never skews the sampler quantiles
+        assert val(r'unidisc_requests_total\{route="diffusion"\}') >= 1
+        assert val(r'unidisc_requests_total\{route="cached"\}') >= 1
         assert val(r"unidisc_cache_hits_total") >= 1
         assert 'unidisc_request_seconds{route="diffusion",quantile="0.5"}' \
             in body
         assert 'quantile="0.99"' in body
+        # exposition grouping: every family sits under ONE TYPE header
+        # (no samples of another family between a TYPE line and its own)
+        fam = None
+        for line in body.splitlines():
+            if line.startswith("# TYPE "):
+                fam = line.split()[2]
+            elif fam and line.startswith("unidisc_") and "quantile" not in \
+                    line and not line.startswith(("unidisc_queue",
+                                                  "unidisc_active",
+                                                  "unidisc_slots")):
+                assert line.startswith(fam), (fam, line)
     finally:
         server.shutdown()

@@ -167,14 +167,18 @@ def infer_dit_overrides(state_dict: Dict) -> Dict:
     `model.safetensors` determines the architecture, so serving it must
     not require hand-matching flags to the training recipe.
 
-    Inferable: hidden/cond dims, block count, head count (via the
-    per-head-dim qk-norm scale), vocab split (exact for split-embed
-    checkpoints; via the known VQ-16 codebook size otherwise), norm
-    type, sandwich/modality/qk-norm/time-conditioning flags, split
-    embed + frozen-codebook width, img-count embedding, class-label
-    conditioning. NOT inferable from weights (rotary tables are
-    position-free): sequence layout (length/txt_length/img_length) and
-    rope_2d — those stay with the preset/CLI.
+    Inferable: hidden/cond dims, block count, vocab split (exact for
+    split-embed checkpoints; via the known VQ-16 codebook size
+    otherwise), norm type, sandwich/modality/qk-norm/time-conditioning
+    flags, split embed + frozen-codebook width, img-count embedding,
+    class-label conditioning. Head count is NOT weight-inferable (qkv
+    is (3H, H), the reference's q_norm is over full hidden, and the 1D
+    rotary saves no buffer) — resolved via the reference model-zoo
+    table with a head_dim-64 fallback; a non-zoo, non-64-divisible
+    width keeps the serving preset's n_heads. Also not inferable
+    (rotary tables are position-free): sequence layout
+    (length/txt_length/img_length) and rope_2d — those stay with the
+    preset/CLI.
     """
     sd = {k.replace(".attention.", "."): v for k, v in state_dict.items()}
     shp = {k: tuple(v.shape) for k, v in sd.items()}
@@ -222,6 +226,11 @@ def infer_dit_overrides(state_dict: Dict) -> Dict:
     if over["model.img_count_embed"]:
         over["model.max_images_per_sample"] = shp["img_count_embedding"][0]
     over["model.cond_label"] = "y_embedder.embedding_table.weight" in shp
+    if over["model.cond_label"] and not over["model.time_conditioning"]:
+        # class-conditional checkpoints have no sigma_map (reference
+        # dit.py creates it only without cond_label) — cond_dim is the
+        # label table's width
+        over["model.cond_dim"] = shp["y_embedder.embedding_table.weight"][1]
 
     if "img_vocab_embed.weight" in shp:
         # split-embed (use_pretrained_img_emb): the vocab split is exact

@@ -804,9 +804,10 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         # PyTorchModelHubMixin layout): the file's shapes determine the
         # architecture — the preset supplies only what weights can't
         # encode (sequence layout, rope_2d, sampling defaults)
-        assert checkpoint is None, \
-            "--reference-ckpt loads reference weights; --ckpt loads our " \
-            "own run dirs — pass one"
+        if checkpoint is not None:
+            raise ValueError(
+                "--reference-ckpt loads reference weights; --ckpt loads "
+                "our own run dirs — pass one")
         from unidisc_tpu.models.port import (infer_dit_overrides,
                                              read_reference_state_dict)
         ref_sd = read_reference_state_dict(reference_ckpt)

@@ -86,15 +86,19 @@ class ServerMetrics:
         return xs[min(len(xs) - 1, int(q * len(xs)))]
 
     def render(self, engine) -> str:
-        lines = [
-            "# HELP unidisc_requests_total Requests served, by route.",
-            "# TYPE unidisc_requests_total counter",
-        ]
+        # group each metric family under ONE HELP/TYPE header — the
+        # text exposition format forbids interleaving families
+        lines = []
         with self._lock:
+            fams = {}
             for name, v in sorted(self._counts.items()):
                 base, _, label = name.partition("{")
                 lab = "{" + label if label else ""
-                lines.append(f"unidisc_{base}{lab} {v}")
+                fams.setdefault(base, []).append(
+                    f"unidisc_{base}{lab} {v}")
+            for base, samples in sorted(fams.items()):
+                lines.append(f"# TYPE unidisc_{base} counter")
+                lines.extend(samples)
             for route, xs in sorted(self._lat.items()):
                 if not xs:
                     continue
@@ -164,8 +168,12 @@ class Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
+        # _route starts at "other" (404s, parse failures); the handler
+        # reassigns it when a real route is reached, and cache replays
+        # record as "cached" so their ~0ms latencies never skew the
+        # sampler routes' quantiles
         t0 = time.perf_counter()
-        self._route = "diffusion"
+        self._route = "other"
         try:
             self._post_inner()
         finally:
@@ -181,6 +189,7 @@ class Handler(BaseHTTPRequestHandler):
             key = hashlib.sha256(
                 json.dumps(req, sort_keys=True).encode()).hexdigest()
             if key in self.cache:
+                self._route = "cached"
                 METRICS.count("cache_hits_total")
                 # replay in the format the client asked for — a cached
                 # stream:true request must still come back as SSE
@@ -249,6 +258,7 @@ class Handler(BaseHTTPRequestHandler):
                 self._ar_completion(req, parsed, key)
                 return
 
+            self._route = "diffusion"
             image_ids = None
             image_mask = None
             if parsed["image"] is not None and self.engine.codec is not None:

@@ -307,11 +307,11 @@ def lookup_proposals(x, pos, *, gamma: int, ngram: int):
     key = jax.vmap(lambda row, p: jax.lax.dynamic_slice(
         row, (p,), (ngram,)))(x, jnp.maximum(pos - ngram + 1, 0))
     match = jnp.all(windows == key[:, None, :], -1)   # (B, L-ngram+1)
-    # a usable match must be strictly earlier than the key's own
-    # occurrence AND have gamma committed tokens after it
     j = jnp.arange(L - ngram + 1)[None, :]
-    usable = match & (j < (pos - ngram + 1)[:, None]) \
-        & (j <= (pos - ngram - gamma + 1)[:, None]) \
+    # a usable match needs its full gamma-token continuation committed
+    # (j + ngram + gamma - 1 <= pos) — which also makes it strictly
+    # earlier than the key's own occurrence for gamma >= 1
+    usable = match & (j <= (pos - ngram - gamma + 1)[:, None]) \
         & ((pos - ngram + 1) >= 0)[:, None]
     found = usable.any(-1)
     # LATEST usable match: argmax of j over usable positions
@@ -366,8 +366,8 @@ def build_lookup_decoder(apply_target: Callable, cache_factory_t: Callable,
             x, pos, emitted, finished, kv_t, rounds, acc_n, dr_n = state
             cur = jnp.take_along_axis(x, pos[:, None], 1)[:, 0]
 
-            drafted, found = lookup_proposals(x, pos, gamma=gamma,
-                                              ngram=ngram)
+            drafted, _found = lookup_proposals(x, pos, gamma=gamma,
+                                               ngram=ngram)
 
             chunk = jnp.concatenate([cur[:, None], drafted], 1)
             logits_t, kv_t = apply_target(params_t, chunk, kv_t, pos)
@@ -403,11 +403,14 @@ def build_lookup_decoder(apply_target: Callable, cache_factory_t: Callable,
                     == eos_id) & (adv > 0)
                 new_fin = new_fin | hit
             pos = pos + adv
+            # drafted counts gamma per LIVE round unconditionally (same
+            # as build_spec_decoder) — fallback rounds offered proposals
+            # too, and their accepted tokens count toward acc_n, so the
+            # accept_rate = accepted/drafted stat stays <= 1
             return (x, pos, emitted, new_fin, kv_t, rounds + 1,
                     acc_n + jnp.where(finished, 0,
                                       jnp.minimum(n, adv)).sum(),
-                    dr_n + jnp.where(finished, 0,
-                                     jnp.where(found, gamma, 0)).sum())
+                    dr_n + jnp.where(finished, 0, gamma).sum())
 
         x, pos, emitted, finished, kv_t, rounds, acc_n, dr_n = \
             jax.lax.while_loop(cond, body, state)

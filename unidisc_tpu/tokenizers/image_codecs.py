@@ -9,11 +9,13 @@ other JAX computation.
 Implemented natively: LlamaGen VQ-16/VQ-8 (production codec, Flax convs),
 Open-MAGVIT2-style LFQ, BSQ-18 (binary spherical quantization),
 Cosmos-style FSQ (finite scalar quantization, mixed-radix ids),
-MAGVITv2, TiTok-1D, raw pixels, a deterministic dummy codec for tests,
-and the SD KL-VAE continuous codec (get_continuous_codec). Remaining
-torch-ecosystem-only backends (Taming, Chameleon/Anole full weights,
-video VQVAE) raise with guidance — their role in the reference is
-offline preprocessing, not TPU-path compute.
+MAGVITv2, TiTok-1D, Taming VQGAN (CompVis naming + intra-level
+attention), a VideoGPT-style video VQVAE (get_video_codec), raw pixels,
+a deterministic dummy codec for tests, and the SD KL-VAE continuous
+codec (get_continuous_codec). The remaining torch-ecosystem-only
+backends (maskgit-vqgan, full Chameleon/Anole weights, Lumina) raise
+with guidance — the reference snapshot itself does not ship their
+model code.
 """
 
 from __future__ import annotations
