@@ -66,7 +66,7 @@ def greedy_reference(cfg, model, params, prompt, n_new):
 def run_continuous(cfg, model, params, jobs, slots=4, chunk=4,
                    stagger=False):
     """Drive the raw decoder state machine synchronously (no threads)."""
-    init_state, make_insert, decode, _ = build_continuous_decoder(
+    init_state, make_insert, decode, *_ = build_continuous_decoder(
         model, cfg, slots=slots, chunk=chunk, eos_id=-1)
     state = init_state()
     results = {}
@@ -163,7 +163,7 @@ def test_eos_terminates_row(setup):
             break
     assert prompt is not None, "no prompt produced a mid-stream novel token"
     eos = int(ref[j])
-    init_state, make_insert, decode, _ = build_continuous_decoder(
+    init_state, make_insert, decode, *_ = build_continuous_decoder(
         model, cfg, slots=1, chunk=4, eos_id=eos)
     state = init_state()
     padded = np.zeros(8, np.int32)
@@ -326,5 +326,90 @@ def test_elm_continuous_batcher_matches_step_decode():
         res = b.submit(prompt, max_new_tokens=n_new,
                        temperature=0.0).result(timeout=120)
         np.testing.assert_array_equal(res["tokens"], ref)
+    finally:
+        b.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Automatic prefix caching
+# ---------------------------------------------------------------------------
+
+def test_prefix_cache_lossless_and_hits(setup):
+    """Requests sharing a long prompt prefix admit via a KV-row copy +
+    suffix-only prefill; tokens are bit-identical to full prefill (the
+    lockstep oracle) and prefix_hits counts the reuses."""
+    cfg, model, params = setup
+    sys_prompt = [3, 7, 1, 9, 2, 11, 4, 8, 6, 13, 2, 5, 10, 1, 12, 9]
+    jobs = [(sys_prompt + [14, 2], 6),
+            (sys_prompt + [5], 6),
+            (sys_prompt + [7, 7, 3], 5),
+            ([1, 2, 3], 6)]  # unrelated: too short to share
+    refs = [greedy_reference(cfg, model, params, p, n) for p, n in jobs]
+    b = ContinuousBatcher(model, params, cfg, slots=2, chunk=4, eos_id=-1,
+                          prefix_min=8)
+    try:
+        futs = [b.submit(p, max_new_tokens=n, temperature=0.0)
+                for p, n in jobs]
+        for i, f in enumerate(futs):
+            np.testing.assert_array_equal(
+                f.result(timeout=120)["tokens"], refs[i],
+                err_msg=f"job {i}")
+        # with 2 slots and 3 shared-prefix jobs, at least one admission
+        # found a resident donor (exact count depends on timing)
+        assert b.prefix_hits >= 1
+    finally:
+        b.shutdown()
+
+
+def test_prefix_cache_seeded_stochastic_identical(setup):
+    """A seeded temperature>0 request must produce the SAME stream
+    whether admitted via prefix reuse or full prefill (noise is a pure
+    function of (seed, position); the prefill path is invisible)."""
+    cfg, model, params = setup
+    base = [4, 9, 2, 7, 5, 1, 8, 3, 6, 2]
+    warm = base + [11]
+    probe = base + [13, 4]
+    kw = dict(max_new_tokens=6, temperature=0.8, seed=77)
+    # full-prefill run (prefix caching disabled)
+    b0 = ContinuousBatcher(model, params, cfg, slots=2, chunk=4,
+                           eos_id=-1, prefix_min=0)
+    try:
+        want = b0.submit(probe, **kw).result(timeout=120)["tokens"]
+        assert b0.prefix_hits == 0
+    finally:
+        b0.shutdown()
+    # prefix-reuse run: warm the donor first, then the seeded probe
+    b1 = ContinuousBatcher(model, params, cfg, slots=2, chunk=4,
+                           eos_id=-1, prefix_min=6)
+    try:
+        b1.submit(warm, max_new_tokens=4).result(timeout=120)
+        got = b1.submit(probe, **kw).result(timeout=120)["tokens"]
+        assert b1.prefix_hits >= 1
+        assert got == want
+    finally:
+        b1.shutdown()
+
+
+def test_prefix_cache_donor_invalidated_on_reuse(setup):
+    """Once a slot is reused by a DIFFERENT prompt, its old prompt must
+    never serve as a donor — outputs stay correct under heavy slot
+    churn (more requests than slots, alternating prefixes)."""
+    cfg, model, params = setup
+    pref_a = [2, 4, 6, 8, 10, 12, 1, 3, 5, 7]
+    pref_b = [9, 7, 5, 3, 1, 2, 4, 6, 8, 11]
+    jobs = []
+    for i in range(6):
+        pref = pref_a if i % 2 == 0 else pref_b
+        jobs.append((pref + [13 + (i % 3)], 5))
+    refs = [greedy_reference(cfg, model, params, p, n) for p, n in jobs]
+    b = ContinuousBatcher(model, params, cfg, slots=2, chunk=4, eos_id=-1,
+                          prefix_min=6)
+    try:
+        futs = [b.submit(p, max_new_tokens=n, temperature=0.0)
+                for p, n in jobs]
+        for i, f in enumerate(futs):
+            np.testing.assert_array_equal(
+                f.result(timeout=120)["tokens"], refs[i],
+                err_msg=f"job {i}")
     finally:
         b.shutdown()

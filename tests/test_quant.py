@@ -275,7 +275,7 @@ def test_continuous_batching_int8_cache_consistent():
               for p, k in zip(leaves, keys)]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
 
-    init_state, make_insert, decode, _ = build_continuous_decoder(
+    init_state, make_insert, decode, *_ = build_continuous_decoder(
         model, cfg, slots=2, chunk=4, eos_id=-1)
 
     def run(jobs):

@@ -307,6 +307,92 @@ def build_continuous_decoder(model, config: Optional[Config], *,
                                                  donate_argnums=(1,))
         return _insert_many_cache[bucket]
 
+    def _insert_prefix(params, state: DecodeState, slot, src_slot,
+                       prompt_full, suffix, mod_row, mod_sfx,
+                       prompt_len, shared, max_new, temperature,
+                       seed) -> DecodeState:
+        """Admit with PREFIX REUSE (automatic prefix caching): positions
+        [0, shared) of this prompt are already resident in `src_slot`'s
+        KV (that slot was prefilled with a prompt sharing the prefix and
+        has not been reused since) — copy the donor's whole KV row and
+        prefill only `suffix` = prompt[shared:] at cache_index=shared,
+        attending the copied prefix keys. The copy is the FULL row
+        (static shapes); donor positions beyond `shared` are stale junk
+        covered by the standard invariant: every position >= shared is
+        rewritten (suffix prefill, then decode) before any query can
+        attend it. Output tokens are bit-identical to a full prefill —
+        only the prefill FLOPs change."""
+
+        def take_row(cache):
+            starts = [0] * cache.ndim
+            starts[cache_batch_axis] = src_slot
+            sizes = list(cache.shape)
+            sizes[cache_batch_axis] = 1
+            return jax.lax.dynamic_slice(cache, tuple(starts),
+                                         tuple(sizes))
+
+        def splice(cache, row):
+            starts = [0] * cache.ndim
+            starts[cache_batch_axis] = slot
+            return jax.lax.dynamic_update_slice(
+                cache, row.astype(cache.dtype), tuple(starts))
+
+        kv_row = jax.tree_util.tree_map(take_row, state.kv)
+        # mod_sfx is sliced on the HOST (mod_row[shared:shared+bucket_s]
+        # padded) — an in-program dynamic_slice would clamp its start
+        # when shared+bucket_s > L and misalign the suffix modality
+        ci = jnp.full((1,), shared, jnp.int32)
+        logits, kv_row = apply_fn(tparams(params), suffix[None],
+                                  mod_sfx[None], kv_row, ci)
+        # host guarantees shared <= prompt_len - 1, so the suffix is
+        # non-empty and its last position yields tok0's logits
+        last = jnp.take_along_axis(
+            logits, (prompt_len - shared - 1)[None, None, None],
+            axis=1)[0, 0].astype(jnp.float32)
+        write0 = jnp.minimum(prompt_len, L - 1)
+        mod_next = jax.lax.dynamic_index_in_dim(mod_row, write0,
+                                                keepdims=False)
+        last = _restrict(last[None], mod_next[None])
+        seed_v = jnp.asarray([seed], jnp.int32)
+        g = _row_gumbel(seed_v, write0[None], last.shape[-1])
+        tok0 = _sample_row(last, jnp.asarray([temperature], jnp.float32),
+                           g)[0].astype(jnp.int32)
+
+        x_row = jnp.zeros((L,), jnp.int32)
+        x_row = jax.lax.dynamic_update_slice(x_row, prompt_full, (0,))
+        x_row = x_row.at[write0].set(tok0)
+
+        upd = lambda a, r: jax.lax.dynamic_update_slice_in_dim(
+            a, r[None].astype(a.dtype), slot, axis=0)
+        kv = jax.tree_util.tree_map(splice, state.kv, kv_row)
+        dkv = state.dkv
+        if draft is not None:
+            dkv_row = jax.tree_util.tree_map(take_row, state.dkv)
+            _, dkv_row = draft_apply(dparams(params), suffix[None],
+                                     mod_sfx[None], dkv_row, ci)
+            dkv = jax.tree_util.tree_map(splice, state.dkv, dkv_row)
+        stop_v = jnp.minimum(prompt_len + max_new, stop_cap)
+        started_done = (tok0 == eos_id) | (prompt_len + 1 >= stop_v)
+        return DecodeState(
+            x=upd(state.x, x_row),
+            mod=upd(state.mod, mod_row),
+            kv=kv,
+            pos=state.pos.at[slot].set(prompt_len),
+            active=state.active.at[slot].set(~started_done),
+            stop=state.stop.at[slot].set(stop_v),
+            temp=state.temp.at[slot].set(temperature),
+            seed=state.seed.at[slot].set(seed),
+            dkv=dkv)
+
+    _insert_prefix_cache = {}
+
+    def make_insert_prefix(bucket_full: int, bucket_suffix: int):
+        key = (bucket_full, bucket_suffix)
+        if key not in _insert_prefix_cache:
+            _insert_prefix_cache[key] = jax.jit(_insert_prefix,
+                                                donate_argnums=(1,))
+        return _insert_prefix_cache[key]
+
     def _step(params, state: DecodeState) -> DecodeState:
         x, mod, pos, active = state.x, state.mod, state.pos, state.active
         tok = jnp.take_along_axis(x, pos[:, None], axis=1)       # (S, 1)
@@ -490,7 +576,8 @@ def build_continuous_decoder(model, config: Optional[Config], *,
             return state
 
     decode_chunk = jax.jit(_decode_chunk, donate_argnums=(1,))
-    return init_state, make_insert, decode_chunk, make_insert_many
+    return (init_state, make_insert, decode_chunk, make_insert_many,
+            make_insert_prefix)
 
 
 def _bucket(n: int, lo: int = 32) -> int:
@@ -512,6 +599,7 @@ class ContinuousBatcher:
                  slots: int = 8, chunk: int = 8, eos_id: int = -1,
                  device_lock: Optional[threading.Lock] = None,
                  drain_deadline_s: float = 0.05,
+                 prefix_min: int = 16,
                  **decoder_kwargs):
         self.config = config
         self.params = params
@@ -541,13 +629,20 @@ class ContinuousBatcher:
         self._last_drain = _time.monotonic()
         self._lock = device_lock or threading.Lock()
         (self._init_state, self._make_insert, self._decode,
-         self._make_insert_many) = \
+         self._make_insert_many, self._make_insert_prefix) = \
             build_continuous_decoder(model, config, slots=slots,
                                      chunk=chunk, eos_id=eos_id,
                                      **decoder_kwargs)
         self.state = self._init_state()
         self._queue: "queue.Queue" = queue.Queue()
         self._slot_req: list = [None] * slots
+        # automatic prefix caching: per-slot record of the prompt whose
+        # prefill KV is resident there (valid until the slot is reused —
+        # decode only writes positions >= prompt_len). prefix_min is the
+        # shortest shared prefix worth a KV-row copy; 0 disables.
+        self._prefix_min = prefix_min
+        self._slot_prompt: list = [None] * slots
+        self.prefix_hits = 0
         self._seq = 0
         self._stopping = False
         self._worker_thread = threading.Thread(target=self._worker,
@@ -622,17 +717,83 @@ class ContinuousBatcher:
             jnp.asarray(prompts), jnp.asarray(mods), jnp.asarray(plens),
             jnp.asarray(maxn), jnp.asarray(temps), jnp.asarray(seeds))
         for req, slot, plen in valid:
-            req["slot"] = slot
-            req["prompt_len"] = plen
-            # host-side position estimate: lets the worker SKIP drains
-            # while no row can have hit its stop bound (each drain is a
-            # full host round trip — ~100ms on a tunneled chip)
-            req["pos_est"] = plen
-            # mirror the device stop bound (incl. the spec-mode cap):
-            # requests near the buffer end are truncated to the cap,
-            # exactly as plain mode truncates at L
-            req["stop_est"] = min(plen + req["max_new"], self._stop_cap)
-            self._slot_req[slot] = req
+            self._register_admission(req, slot, plen)
+
+    def _register_admission(self, req, slot, plen):
+        req["slot"] = slot
+        req["prompt_len"] = plen
+        # host-side position estimate: lets the worker SKIP drains
+        # while no row can have hit its stop bound (each drain is a
+        # full host round trip — ~100ms on a tunneled chip)
+        req["pos_est"] = plen
+        # mirror the device stop bound (incl. the spec-mode cap):
+        # requests near the buffer end are truncated to the cap,
+        # exactly as plain mode truncates at L
+        req["stop_est"] = min(plen + req["max_new"], self._stop_cap)
+        self._slot_req[slot] = req
+        # the slot's resident prefill is now THIS prompt (prefix cache)
+        self._slot_prompt[slot] = np.asarray(req["prompt"], np.int32)
+
+    # -- automatic prefix caching ---------------------------------------
+
+    def _find_prefix_donor(self, prompt) -> Optional[tuple]:
+        """Longest usable shared prefix among slots whose prefill KV is
+        still resident; returns (src_slot, shared) or None. Capped at
+        len(prompt)-1 so the suffix prefill is never empty (tok0's
+        logits come from its last position)."""
+        if not self._prefix_min:
+            return None
+        p = np.asarray(prompt, np.int32)
+        best, best_slot = 0, None
+        for s, q in enumerate(self._slot_prompt):
+            if q is None:
+                continue
+            m = min(len(q), len(p) - 1)
+            if m < self._prefix_min or m <= best:
+                continue
+            neq = np.flatnonzero(q[:m] != p[:m])
+            shared = int(neq[0]) if neq.size else m
+            if shared >= self._prefix_min and shared > best:
+                best, best_slot = shared, s
+        return (best_slot, best) if best_slot is not None else None
+
+    def _admit_prefix(self, req, slot, src_slot, shared):
+        """Admit ONE request reusing `shared` prefix positions from
+        `src_slot`'s resident KV (one KV-row copy + suffix-only
+        prefill; tokens bit-identical to a full prefill)."""
+        L = self.length
+        plen = len(req["prompt"])
+        if plen >= L - 1:
+            req["future"].set_exception(ValueError(
+                f"prompt length {plen} >= model length {L}"))
+            return
+        bucket_f = min(_bucket(plen), L)
+        # the suffix chunk MUST fit the buffer: a write window past L
+        # would make the model's dynamic_update_slice clamp its start
+        # and overwrite the copied prefix KV
+        bucket_s = min(_bucket(plen - shared), L - shared)
+        prompt_full = np.zeros(bucket_f, np.int32)
+        prompt_full[:plen] = req["prompt"]
+        suffix = np.zeros(bucket_s, np.int32)
+        suffix[:plen - shared] = req["prompt"][shared:]
+        mod_row = np.zeros(L, np.int32)
+        if req["modality"] is not None:
+            n = min(len(req["modality"]), L)
+            mod_row[:n] = req["modality"][:n]
+        mod_sfx = np.zeros(bucket_s, np.int32)
+        tail = mod_row[shared:shared + bucket_s]
+        mod_sfx[:len(tail)] = tail
+        if req.get("seed") is None:
+            self._seq += 1
+            req["seed"] = self._seq
+        self.state = self._make_insert_prefix(bucket_f, bucket_s)(
+            self.params, self.state, slot, src_slot,
+            jnp.asarray(prompt_full), jnp.asarray(suffix),
+            jnp.asarray(mod_row), jnp.asarray(mod_sfx),
+            plen, shared, req["max_new"], req["temperature"],
+            req["seed"])
+        self.prefix_hits += 1
+        self._register_admission(req, slot, plen)
 
     def _drain(self):
         """Emit deltas / retire finished rows from a host snapshot.
@@ -678,11 +839,27 @@ class ContinuousBatcher:
                         break
                     pairs.append((req, slot))
                 if pairs:
+                    # prefix-cache hits admit individually FIRST (their
+                    # donor slots may be overwritten by this round's
+                    # group insert); the rest share one batched insert
+                    group = []
+                    for req, slot in pairs:
+                        donor = self._find_prefix_donor(req["prompt"])
+                        if donor is None:
+                            group.append((req, slot))
+                            continue
+                        try:
+                            self._admit_prefix(req, slot, *donor)
+                            admitted = True
+                        except Exception as e:  # noqa: BLE001
+                            if not req["future"].done():
+                                req["future"].set_exception(e)
                     try:
-                        self._admit_group(pairs)
-                        admitted = True
+                        if group:
+                            self._admit_group(group)
+                            admitted = True
                     except Exception as e:  # fail the whole group
-                        for req, _ in pairs:
+                        for req, _ in group:
                             if not req["future"].done():
                                 req["future"].set_exception(e)
                 live = [r for r in self._slot_req if r is not None]
