@@ -172,6 +172,42 @@ def main():
     print(json.dumps({"metric": "continuous_vs_static_speedup",
                       "value": round(dt_s / dt_c, 3)}))
 
+    # --- automatic prefix caching A/B: a shared-system-prompt workload
+    # (the scenario prefix caching exists for) with the cache off vs on
+    sysp = rng.randint(1, 1000, 64).tolist()
+    pre_reqs = [dict(prompt=sysp + rng.randint(1, 1000,
+                                               rng.choice([4, 8, 12])
+                                               ).tolist(),
+                     max_new=32) for _ in range(args.requests)]
+    pre_total = sum(r["max_new"] for r in pre_reqs)
+
+    def run_prefixed(prefix_min):
+        b = ContinuousBatcher(model, params, cfg, slots=args.slots,
+                              chunk=args.chunk, eos_id=-1,
+                              prefix_min=prefix_min)
+        try:
+            for _ in range(2):  # warm, then measure
+                t0 = time.perf_counter()
+                futs = [b.submit(r["prompt"],
+                                 max_new_tokens=r["max_new"],
+                                 temperature=0.0) for r in pre_reqs]
+                outs = [f.result(timeout=1200)["tokens"] for f in futs]
+                dt = time.perf_counter() - t0
+            return dt, outs, b.prefix_hits
+        finally:
+            b.shutdown()
+
+    dt_off, out_off, _ = run_prefixed(0)
+    dt_on, out_on, hits = run_prefixed(16)
+    assert out_on == out_off, "prefix caching must be lossless"
+    print(json.dumps({
+        "metric": "prefix_cache_speedup",
+        "value": round(dt_off / dt_on, 3),
+        "prefix_hits": hits, "requests": len(pre_reqs),
+        "gen_tok_per_s_off": round(pre_total / dt_off, 1),
+        "gen_tok_per_s_on": round(pre_total / dt_on, 1),
+        "lossless": True}))
+
 
 if __name__ == "__main__":
     main()
