@@ -281,3 +281,104 @@ def test_flash_ring_gradients_match_xla_ring():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-5,
                                    err_msg=f"d{name}")
+
+
+def test_flash_ring_causal_distinct_kv_masked_diagonal():
+    """Regression (r3 review finding 1): under causal + DISTINCT
+    kv_segment_ids, a query row whose id matches no visible key — even
+    on its own diagonal block — must return exactly zero. The old
+    shortcut (valid = qseg >= 0) merged the kernel's lse=0 sentinel as
+    a real weight-1 zero contribution and silently down-scaled the
+    row's true output. Oracle: the XLA ring (explicit any-valid-key
+    accounting)."""
+    from unidisc_tpu.parallel.ring_attention import ring_attention_flash
+
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(21)
+    seg_kv = np.repeat(np.arange(4), L // 4)[None].repeat(B, 0).astype(
+        np.int32)
+    seg_q = seg_kv.copy()
+    # rows [0, 8) of batch 0: id 77 exists in the KEYS only at position
+    # 60 (causally invisible to them) -> fully masked despite the id
+    # existing somewhere in the ring
+    seg_q[0, :8] = 77
+    seg_kv[0, 60] = 77
+
+    spec = P(None, "seq", None, None)
+    sspec = P(None, "seq")
+
+    def run(fn):
+        return np.asarray(jax.jit(jax.shard_map(
+            lambda q, k, v, s, ks: fn(q, k, v, s, causal=True,
+                                      kv_segment_ids=ks),
+            mesh=mesh, in_specs=(spec,) * 3 + (sspec, sspec),
+            out_specs=spec, check_vma=False))(
+                q, k, v, jnp.asarray(seg_q), jnp.asarray(seg_kv)))
+
+    from unidisc_tpu.parallel.ring_attention import ring_attention
+    out_flash = run(ring_attention_flash)
+    out_xla = run(ring_attention)
+    np.testing.assert_array_equal(out_flash[0, :8], 0.0)
+    np.testing.assert_allclose(out_flash, out_xla, atol=2e-5, rtol=2e-5)
+
+
+def test_kv_ids_without_q_ids_rejected():
+    """Regression (r3 review finding 3): kv_segment_ids without
+    segment_ids must raise instead of silently dropping the key mask."""
+    from unidisc_tpu.parallel.ring_attention import ring_attention
+
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(22)
+    ids = jnp.zeros((B, L), jnp.int32)
+    with pytest.raises(ValueError, match="kv_segment_ids"):
+        ring_attention_sharded(q, k, v, mesh, None, kv_segment_ids=ids)
+    spec = P(None, "seq", None, None)
+    with pytest.raises(ValueError, match="kv_segment_ids"):
+        jax.jit(jax.shard_map(
+            lambda q, k, v, ks: ring_attention(q, k, v, None,
+                                               kv_segment_ids=ks),
+            mesh=mesh, in_specs=(spec,) * 3 + (P(None, "seq"),),
+            out_specs=spec, check_vma=False))(q, k, v, ids)
+
+
+def test_flash_ring_pad_row_gradients_consistent_with_forward():
+    """Regression (r3 review finding 4): with an UNMASKED loss over pad
+    rows (segment id < 0), the flash ring's gradients must linearize the
+    forward it actually ran (pad rows output exactly zero) — not the
+    XLA ring's pads-attend-pads semantics. Oracle: XLA ring with pad
+    outputs explicitly zeroed."""
+    from unidisc_tpu.parallel.ring_attention import (ring_attention,
+                                                     ring_attention_flash)
+
+    mesh = seq_mesh(4)
+    q, k, v = _inputs(23)
+    seg = np.repeat(np.arange(4), L // 4)[None].repeat(B, 0).astype(
+        np.int32)
+    seg[0, 48:] = -1  # pad tail on batch 0
+    seg_j = jnp.asarray(seg)
+    spec = P(None, "seq", None, None)
+    sspec = P(None, "seq")
+
+    def flash_loss(q, k, v):
+        o = jax.shard_map(
+            lambda q, k, v, s: ring_attention_flash(q, k, v, s),
+            mesh=mesh, in_specs=(spec,) * 3 + (sspec,), out_specs=spec,
+            check_vma=False)(q, k, v, seg_j)
+        return jnp.sum(jnp.sin(o))  # pad rows included on purpose
+
+    def ref_loss(q, k, v):
+        o = jax.shard_map(
+            lambda q, k, v, s: ring_attention(q, k, v, s),
+            mesh=mesh, in_specs=(spec,) * 3 + (sspec,), out_specs=spec,
+            check_vma=False)(q, k, v, seg_j)
+        o = jnp.where((seg_j >= 0)[:, :, None, None], o, 0.0)
+        return jnp.sum(jnp.sin(o))
+
+    g_flash = jax.jit(jax.grad(flash_loss, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.jit(jax.grad(ref_loss, argnums=(0, 1, 2)))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"d{name}")
+    # pad queries get zero gradient
+    np.testing.assert_array_equal(np.asarray(g_flash[0])[0, 48:], 0.0)

@@ -54,10 +54,7 @@ def current_pp() -> Optional[Tuple[Mesh, str, int]]:
     return getattr(_STATE, "value", None)
 
 
-def _vary(x, axis_name):
-    if hasattr(jax.lax, "pcast"):
-        return jax.lax.pcast(x, axis_name, to="varying")
-    return jax.lax.pvary(x, axis_name)
+from unidisc_tpu.parallel.compat import vary as _vary
 
 
 def pipeline_apply(stage_fn: Callable, params_local, x_mb, mb_args=(),

@@ -61,6 +61,10 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
 
     Requires the global sequence length to divide the axis size evenly
     (static shapes — enforced by the caller's sharding)."""
+    if segment_ids is None and kv_segment_ids is not None:
+        raise ValueError("kv_segment_ids requires segment_ids (the "
+                         "query-side ids) — without them the key mask "
+                         "would be silently dropped")
     b, lc, h, d = q.shape
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -122,10 +126,8 @@ def ring_attention(q, k, v, segment_ids=None, *, axis_name: str = "seq",
     # freshly-created initials are device-invariant under shard_map's
     # varying-axes typing; mark them varying over the ring axis so the
     # scan carry types line up
-    def _vary(x):
-        if hasattr(jax.lax, "pcast"):
-            return jax.lax.pcast(x, axis_name, to="varying")
-        return jax.lax.pvary(x, axis_name)
+    from unidisc_tpu.parallel.compat import vary as _compat_vary
+    _vary = lambda x: _compat_vary(x, axis_name)
     m0 = _vary(jnp.full((b, h, lc), -jnp.inf, jnp.float32))
     l0 = _vary(jnp.zeros((b, h, lc), jnp.float32))
     acc0 = _vary(jnp.zeros((b, h, lc, d), jnp.float32))
@@ -155,6 +157,9 @@ def ring_attention_sharded(q, k, v, mesh: Mesh, segment_ids=None, *,
     if q.shape[1] % n != 0:
         raise ValueError(f"sequence {q.shape[1]} not divisible by "
                          f"{seq_axis} axis size {n}")
+    if segment_ids is None and kv_segment_ids is not None:
+        raise ValueError("kv_segment_ids requires segment_ids (the "
+                         "query-side ids)")
     spec = P(None, seq_axis, None, None)
     fn = functools.partial(ring_attention, axis_name=seq_axis,
                            causal=causal, softmax_scale=softmax_scale)
@@ -191,9 +196,12 @@ def ring_attention_sharded(q, k, v, mesh: Mesh, segment_ids=None, *,
 # ---------------------------------------------------------------------------
 
 
-def _flash_block(q, k, v, qseg, kseg, scale, causal):
+def _flash_block(q, k, v, qseg, kseg, scale, causal,
+                 kv_distinct: bool = False):
     """(B, Lc, H, D) tensors -> (out (B,H,Lq,D) fp32 normalized,
-    lse (B,H,Lq) fp32 with -inf on fully-masked rows)."""
+    lse (B,H,Lq) fp32 with -inf on fully-masked rows). kv_distinct
+    marks that kseg may DIFFER from qseg (explicit kv_segment_ids), so
+    diagonal validity can't assume row r sees itself."""
     from unidisc_tpu.ops.pallas_attention import _flash_fwd
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
@@ -205,13 +213,32 @@ def _flash_block(q, k, v, qseg, kseg, scale, causal):
         # the kernel writes lse=0 on fully-masked rows (its own zero
         # sentinel); for cross-block merging those must weigh NOTHING.
         # The any-valid-key flag is computed WITHOUT materializing the
-        # (B, Lq, Lk) mask (that quadratic tile is exactly what the
-        # flash ring exists to avoid at 8k+):
-        if causal:
-            # causal only ever applies on the DIAGONAL ring block, where
-            # q and kv cover the same positions (kseg[r] == qseg[r] for
-            # packed self-attention) — row r always sees itself
+        # full (B, Lq, Lk) mask (that quadratic tile is exactly what
+        # the flash ring exists to avoid at 8k+):
+        if causal and not kv_distinct:
+            # diagonal ring block with SHARED ids (kseg is qseg): row r
+            # always sees itself, so validity is just non-pad
             valid = qseg >= 0
+        elif causal:
+            # distinct kv ids: row r is valid iff SOME key j <= r in
+            # this block shares its id — computed in row chunks so the
+            # boolean tile stays O(C * Lc), not O(Lc^2)
+            lc = qseg.shape[1]
+            C = min(lc, 512)
+            while lc % C:
+                C //= 2
+            kpos = jnp.arange(lc)
+
+            def row_chunk(c):
+                qs = jax.lax.dynamic_slice_in_dim(qseg, c * C, C, 1)
+                r = c * C + jnp.arange(C)
+                eq = (qs[:, :, None] == kseg[:, None, :]) \
+                    & (kpos[None, None, :] <= r[None, :, None])
+                return eq.any(-1)                      # (B, C)
+
+            chunks = jax.lax.map(row_chunk, jnp.arange(lc // C))
+            valid = jnp.transpose(chunks, (1, 0, 2)).reshape(
+                qseg.shape) & (qseg >= 0)
         else:
             # membership of qseg[row] in the block's key segments via a
             # per-row sorted search: O(Lc log Lc) time, O(Lc) memory
@@ -241,12 +268,11 @@ def _ring_flash_impl(q, k, v, qseg, kvseg, axis_name, causal, scale):
     kv0 = kvseg if kvseg is not None else qseg
     # r=0 is the diagonal block: local causal masking applies here (and
     # only here — earlier chunks are fully visible, later ones skipped)
-    out, lse = _flash_block(q, k, v, qseg, kv0, scale, causal)
+    out, lse = _flash_block(q, k, v, qseg, kv0, scale, causal,
+                            kv_distinct=kvseg is not None)
 
-    def _vary(x):
-        if hasattr(jax.lax, "pcast"):
-            return jax.lax.pcast(x, axis_name, to="varying")
-        return jax.lax.pvary(x, axis_name)
+    from unidisc_tpu.parallel.compat import vary as _compat_vary
+    _vary = lambda x: _compat_vary(x, axis_name)
 
     seg0 = kv0 if kv0 is not None else _vary(
         jnp.zeros((b, lc), jnp.int32))
@@ -293,6 +319,13 @@ def _ring_flash_fwd(q, k, v, qseg, kvseg, axis_name, causal, scale):
 
 def _ring_flash_bwd(axis_name, causal, scale, res, g):
     q, k, v, qseg, kvseg = res
+    if qseg is not None:
+        # the flash FORWARD defines pad rows (id < 0) as exactly zero,
+        # while the XLA ring used for the VJP lets pads attend pads —
+        # zero their cotangent so the backward is consistent with the
+        # forward that actually ran (their dq is then 0 and they
+        # contribute nothing to dk/dv)
+        g = g * (qseg >= 0)[:, :, None, None].astype(g.dtype)
 
     def f(q, k, v):
         return ring_attention(q, k, v, qseg, axis_name=axis_name,

@@ -131,6 +131,14 @@ def build_rolling_sampler(forward_logits: Callable, config: Config, *,
         raise ValueError(
             f"rolling batching supports predictor='maskgit' "
             f"(got {cfg.predictor!r})")
+    if cfg.cfg == -1:
+        # the cfg==-1 sweep maps guidance weight to BATCH ROW INDEX
+        # (linspace over rows) — under rolling admission a request's row
+        # is an accident of slot assignment, which would break the
+        # determinism contract (tokens independent of co-tenancy)
+        raise ValueError("sampling.cfg == -1 (the per-row CFG sweep) is "
+                         "incompatible with rolling batching — use the "
+                         "whole-batch sampler for sweeps")
     noise = get_noise(config.noise)
     steps = num_steps or cfg.steps    # per-row MAXIMUM (and the default)
     mask_index = mcfg.mask_index
@@ -464,6 +472,7 @@ class RollingDiffusionBatcher:
     def _start(self, dispatch_lock):
         self.state = self.built.init_state()
         self._pending: "queue.Queue" = queue.Queue()
+        self._submit_lock = threading.Lock()
         self._owner = [None] * self.slots  # slot -> Future | None
         # host-side mirror of state.step: the device update is
         # deterministic (min(step + chunk, row done) per dispatched
@@ -492,14 +501,23 @@ class RollingDiffusionBatcher:
         throwaway state (compiles are ~1s each over a tunneled chip;
         without this they land inside the first requests' latency).
         Uses the SAME insert signature as _admit (incl. steps_v) so the
-        warmed traces are the ones live admissions hit."""
-        st = self.built.init_state()
-        b = 1
-        while b <= self.slots:
-            st = self._warm_insert(st, b)
-            b *= 2
-        st = self.built.step_chunk(self.params, st)
-        np.asarray(st.x)  # also warms the harvest transfer path
+        warmed traces are the ones live admissions hit. Holds the
+        dispatch lock — the worker may already be serving, and two
+        device programs sharing the chip OOM its HBM (CLAUDE.md)."""
+        with self._dispatch_lock:
+            st = self.built.init_state()
+            b = 1
+            warmed = set()
+            while b <= self.slots:
+                st = self._warm_insert(st, b)
+                warmed.add(b)
+                b *= 2
+            # _bucket caps at slots, so a non-power-of-two slot count is
+            # itself a reachable admission bucket
+            if self.slots not in warmed:
+                st = self._warm_insert(st, self.slots)
+            st = self.built.step_chunk(self.params, st)
+            np.asarray(st.x)  # also warms the harvest transfer path
 
     def _warm_insert(self, st, b):
         pad = jnp.full((b,), self.slots, jnp.int32)  # all-dropped
@@ -526,16 +544,31 @@ class RollingDiffusionBatcher:
         return fut
 
     def _enqueue(self, item):
-        if self._stop:
-            raise RuntimeError("batcher is shut down")
-        self._pending.put(item)
+        # the stop check and the put share a lock with shutdown's drain,
+        # or a submit racing shutdown could enqueue AFTER the final
+        # drain and its future would never resolve
+        with self._submit_lock:
+            if self._stop:
+                raise RuntimeError("batcher is shut down")
+            self._pending.put(item)
         self._wake.set()
 
     def shutdown(self):
-        self._stop = True
+        with self._submit_lock:
+            self._stop = True
         self._wake.set()
         self._thread.join(timeout=30)
-        self._fail_outstanding(RuntimeError("batcher shut down"))
+        exc = RuntimeError("batcher shut down")
+        self._fail_outstanding(exc)
+        # fail anything still queued (no worker will consume it)
+        while True:
+            try:
+                item = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            fut = item[-1]
+            if not fut.done():
+                fut.set_exception(exc)
 
     def _fail_outstanding(self, exc):
         for i, fut in enumerate(self._owner):
