@@ -78,6 +78,16 @@ class ModelConfig:
     # HBM traffic for inference (the (B, L, 48k) tensor dominates sampler
     # memory time)
     logits_dtype: str = "float32"
+    # LoRA fine-tuning (reference: model.use_lora + peft LoraConfig(r=16,
+    # lora_alpha=32, target_modules=["qkv_proj"]), model_setup.py:175-188;
+    # training/lora.py). rank 0 = full fine-tuning (off).
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_targets: Tuple[str, ...] = ("attn_qkv", "qkv_proj")
+    # param-path patterns trained in full via zero-init deltas (reference
+    # keeps token_embeddings_extra / lm_extra trainable under LoRA,
+    # model_setup.py:186-188)
+    lora_train_full: Tuple[str, ...] = ()
     # inference quantization: None | "int8" (W8A8 — per-channel int8
     # weights + dynamic per-token int8 activations on the trunk matmuls
     # and vocab head; 1.7-1.8x matmul speedup measured on v5e, see

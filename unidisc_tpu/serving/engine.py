@@ -755,6 +755,7 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
                  codec_name: Optional[str] = None,
                  steps: Optional[int] = None,
                  quantize: Optional[str] = None,
+                 lora: Optional[str] = None,
                  kv_cache: Optional[str] = None,
                  mesh: Optional[str] = None,
                  rolling: int = 0,
@@ -834,6 +835,15 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
             config = config.apply_experiments(*experiments)
         if over:
             config = config.override(**over)
+    if lora:
+        # serve a LoRA fine-tune: merge the rank-r adapter saved by
+        # training/lora.save_lora into the base weights ONCE at build
+        # (so the hot path is the unchanged full-weight forward) — before
+        # int8 quantization, which must see the final weights (reference
+        # peft merge semantics; model_setup.py:175-188)
+        from unidisc_tpu.training.lora import load_lora, merge_lora
+        adapter, l_alpha, l_rank = load_lora(lora)
+        params = merge_lora(params, adapter, alpha=l_alpha, rank=l_rank)
     if quantize:
         from unidisc_tpu.ops.quant import quantize_model
         config, model, params = quantize_model(config, params)

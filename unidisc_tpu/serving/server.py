@@ -463,6 +463,10 @@ def main(argv: Optional[list] = None):
                         help="image codec for pixel I/O (e.g. llamagen-vq16)")
     parser.add_argument("--quantize", default=None, choices=[None, "int8"],
                         help="serve with int8 W8A8 matmuls (~1.4x on v5e)")
+    parser.add_argument("--lora", default=None,
+                        help="path to a LoRA adapter .npz saved by "
+                        "training/lora.save_lora — merged into the base "
+                        "weights at startup (before --quantize)")
     parser.add_argument("--kv-cache", default=None, choices=[None, "int8"],
                         help="AR decode KV cache dtype (int8 halves the "
                         "cache reads that bound large-batch decode)")
@@ -505,7 +509,8 @@ def main(argv: Optional[list] = None):
     engine = build_engine(preset=args.model, checkpoint=args.ckpt,
                           reference_ckpt=args.reference_ckpt,
                           codec_name=args.codec, steps=args.steps,
-                          quantize=args.quantize, kv_cache=args.kv_cache,
+                          quantize=args.quantize, lora=args.lora,
+                          kv_cache=args.kv_cache,
                           mesh=args.mesh, rolling=args.rolling,
                           scaffold=args.scaffold,
                           scaffold_split=args.scaffold_split,

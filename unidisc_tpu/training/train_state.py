@@ -265,8 +265,13 @@ def make_apply_fn(config: Config, model):
     return apply_fn
 
 
-def make_train_step(config: Config, model, mesh=None):
-    """Build the pure train-step fn (state, batch, rng) -> (state, metrics)."""
+def make_train_step(config: Config, model, mesh=None, param_map=None):
+    """Build the pure train-step fn (state, batch, rng) -> (state, metrics).
+
+    param_map: optional pure fn applied to state.params before the model
+    forward — the LoRA hook (training/lora.py lora_param_map: state.params
+    is then the rank-r adapter tree and the base weights are a closed-over
+    constant; reference peft wrapping, model_setup.py:175-188)."""
     opt = make_optimizer(config)
     apply_fn = make_apply_fn(config, model)
     ema_decay = config.trainer.ema_decay
@@ -284,6 +289,8 @@ def make_train_step(config: Config, model, mesh=None):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params, rng, batch):
+            if param_map is not None:
+                params = param_map(params)
             out = compute_batch_loss(config, apply_fn, params, rng, batch,
                                      mesh=mesh, train=True)
             return out.loss, out
@@ -347,11 +354,14 @@ def make_train_step(config: Config, model, mesh=None):
     return train_step
 
 
-def make_eval_step(config: Config, model, mesh=None, use_ema: bool = True):
+def make_eval_step(config: Config, model, mesh=None, use_ema: bool = True,
+                   param_map=None):
     apply_fn = make_apply_fn(config, model)
 
     def eval_step(state: TrainState, batch, rng):
         params = state.ema_params if use_ema else state.params
+        if param_map is not None:
+            params = param_map(params)
         out = compute_batch_loss(config, apply_fn, params, rng, batch,
                                  mesh=mesh, train=False)
         return _split_metrics(out, batch.get("modality"), out.loss,

@@ -77,13 +77,37 @@ class Trainer:
             remat=config.trainer.use_gradient_checkpointing)
         self.n_params = count_params(params)
 
+        # LoRA fine-tuning: state.params becomes the rank-r adapter tree,
+        # the base weights a frozen sharded constant (training/lora.py;
+        # reference: model.use_lora + peft, model_setup.py:175-188)
+        self.param_map = None
+        if config.model.lora_rank > 0:
+            from unidisc_tpu.parallel.mesh import params_shardings
+            from unidisc_tpu.training.lora import (count_lora_params,
+                                                   lora_from_config,
+                                                   lora_param_map)
+            base = jax.device_put(params,
+                                  params_shardings(params, self.mesh))
+            adapter = lora_from_config(
+                jax.random.PRNGKey(config.seed + 1), base, config.model)
+            self.base_params = base
+            self.param_map = lora_param_map(
+                base, alpha=config.model.lora_alpha,
+                rank=config.model.lora_rank)
+            print(f"[trainer] LoRA r={config.model.lora_rank}: "
+                  f"{count_lora_params(adapter):,} trainable / "
+                  f"{self.n_params:,} total params")
+            params = adapter
+
         state = init_train_state(config, params)
-        step_fn = make_train_step(config, self.model, mesh=self.mesh)
+        step_fn = make_train_step(config, self.model, mesh=self.mesh,
+                                  param_map=self.param_map)
         self.train_step, self.state, self.data_sharding = shard_train_step(
             step_fn, state, self.mesh)
         self.eval_step = jax.jit(make_eval_step(config, self.model,
                                                 mesh=self.mesh,
-                                                use_ema=val_use_ema))
+                                                use_ema=val_use_ema,
+                                                param_map=self.param_map))
 
         self.ckpt = CheckpointManager(
             f"{run_dir}/checkpoints", max_to_keep=max_ckpts,
