@@ -202,6 +202,21 @@ def test_adafactor_and_importance_sampling():
     assert np.isfinite(float(metrics.loss))
 
 
+def test_ademamix_optimizer():
+    # reference: trainer.ademamix -> unidisc/utils/ademamix.py AdEMAMix
+    # (model_setup.py:400-403); here optax.contrib.ademamix
+    cfg = tiny_config(**{"trainer.optimizer": "ademamix"})
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    for i in range(3):
+        state, metrics = step_fn(state, make_batch(cfg, rng),
+                                 jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics.loss))
+    assert int(state.step) == 3
+
+
 def test_sharded_sampling_8dev():
     """Data-parallel sampling over the mesh: the jitted lax.scan sampler
     runs with the batch sharded over (dcn, fsdp) and params replicated/

@@ -124,6 +124,13 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     elif t.optimizer == "lion":
         opt = optax.lion(make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
                          weight_decay=t.weight_decay)
+    elif t.optimizer == "ademamix":
+        # reference: trainer.ademamix -> unidisc/utils/ademamix.py AdEMAMix
+        # (model_setup.py:400-403); optax.contrib carries the same
+        # two-EMA (fast b1 / slow b3, alpha-mixed) update
+        opt = optax.contrib.ademamix(
+            make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
+            eps=t.opt_eps, weight_decay=t.weight_decay)
     else:
         opt = optax.adamw(make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
                           eps=t.opt_eps, weight_decay=t.weight_decay)
