@@ -57,6 +57,26 @@ def test_qdot_matches_fp_dot():
     assert y_q.shape == y.shape
 
 
+def test_qdot_m_chunking_bit_identical(monkeypatch):
+    """UNIDISC_QDOT_CHUNK_M (1.4B batch-knee mitigation, BASELINE.md)
+    serializes trunk dots into M-chunks — outputs must be bit-identical,
+    and the >8192-wide head plus non-divisible M must fall back."""
+    from unidisc_tpu.ops import quant
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(32, 96)).astype(np.float32)
+    w = rng.normal(size=(96, 128)).astype(np.float32)
+    b = rng.normal(size=(128,)).astype(np.float32)
+    w_q, scale = quantize_per_channel(jnp.asarray(w), axis=0)
+    args = (jnp.asarray(x), w_q, scale)
+    y0 = np.asarray(qdot(*args, bias=jnp.asarray(b)))
+    monkeypatch.setattr(quant, "_CHUNK_M", 8)
+    y1 = np.asarray(qdot(*args, bias=jnp.asarray(b)))
+    np.testing.assert_array_equal(y0, y1)
+    monkeypatch.setattr(quant, "_CHUNK_M", 7)  # 32 % 7 != 0 -> fallback
+    y2 = np.asarray(qdot(*args, bias=jnp.asarray(b)))
+    np.testing.assert_array_equal(y0, y2)
+
+
 def _tiny_cfg(**kw):
     return Config.make("tiny").override(**{
         "model.length": 32, "model.txt_length": 16, "model.img_length": 16,

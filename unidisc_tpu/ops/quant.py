@@ -21,10 +21,18 @@ This is inference-only; training stays bf16-compute/fp32-params.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# 1.4B batch-knee mitigation experiment (BASELINE.md: XLA's int8 dot
+# scheduling degrades 22%/row going M=3072 -> 6144 at K=2048-class trunk
+# shapes). UNIDISC_QDOT_CHUNK_M=<rows> serializes trunk dots (N <= 8192;
+# the 48k head IMPROVES with batch and is excluded) into M-chunks of that
+# size via lax.map so each dot stays on the good schedule. 0 = off.
+_CHUNK_M = int(os.environ.get("UNIDISC_QDOT_CHUNK_M", "0"))
 
 
 def quantize_per_channel(w: jax.Array, axis: int = 0
@@ -67,12 +75,23 @@ def qdot(x: jax.Array, w_q: jax.Array, w_scale: jax.Array, *,
         y = int8_matmul(x_q, x_scale, w_q, w_scale, bias=bias,
                         out_dtype=out_dtype)
         return y.reshape(*lead, w_q.shape[-1])
-    y = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * x_scale * w_scale[None, :]
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)[None, :]
-    return y.astype(out_dtype).reshape(*lead, w_q.shape[-1])
+    n = w_q.shape[-1]
+    m = x2.shape[0]
+
+    def _dot(xq, xs):
+        yk = jax.lax.dot_general(xq, w_q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        yk = yk.astype(jnp.float32) * xs * w_scale[None, :]
+        if bias is not None:
+            yk = yk + bias.astype(jnp.float32)[None, :]
+        return yk.astype(out_dtype)
+
+    if _CHUNK_M and n <= 8192 and m > _CHUNK_M and m % _CHUNK_M == 0:
+        y = jax.lax.map(lambda a: _dot(*a),
+                        (x_q.reshape(-1, _CHUNK_M, k),
+                         x_scale.reshape(-1, _CHUNK_M, 1)))
+        return y.reshape(*lead, n)
+    return _dot(x_q, x_scale).reshape(*lead, n)
 
 
 # ---------------------------------------------------------------------------
