@@ -227,6 +227,15 @@ class TorchShim:
         assert tuple(r.shape) == tuple(x.shape), (r.shape, x.shape)
         return torch.as_tensor(r, dtype=dtype)
 
+    def rand(self, *sizes, device=None, dtype=None):
+        # torch.rand(*sizes) — used by q_xt (move/modality draws,
+        # model.py:439,479-480) and _sample_t (model.py:593)
+        import torch
+        assert self._rand_queue is not None, "no rand_queue injected"
+        r = self._rand_queue.pop(0)
+        assert tuple(r.shape) == tuple(sizes), (r.shape, sizes)
+        return torch.as_tensor(r, dtype=dtype or torch.float32)
+
     @property
     def distributions(self):
         import torch

@@ -152,9 +152,16 @@ def test_lora_train_step_learns_and_freezes_base():
 
 def test_trainer_lora_mode(tmp_path):
     """Trainer builds the LoRA state when model.lora_rank > 0 and the
-    checkpointed params are the adapter tree (rank-r sized)."""
+    checkpointed params are the adapter tree (rank-r sized). A random
+    base requires zero_linear_init=False (else the frozen zero head
+    blocks all adapter gradients — Trainer refuses that combination)."""
     from unidisc_tpu.training.trainer import Trainer
-    mc = small_model_cfg(lora_rank=4, lora_alpha=8.0)
+    with pytest.raises(ValueError, match="zero_linear_init"):
+        Trainer(Config(model=small_model_cfg(lora_rank=4, lora_alpha=8.0)),
+                str(tmp_path / "bad"), log_every=1000)
+
+    mc = small_model_cfg(lora_rank=4, lora_alpha=8.0,
+                         zero_linear_init=False)
     config = Config(model=mc)
     tr = Trainer(config, str(tmp_path), log_every=1000)
     assert tr.param_map is not None
@@ -166,6 +173,102 @@ def test_trainer_lora_mode(tmp_path):
     out = tr.fit(SyntheticDataLoader(config, batch_size=8), max_steps=3)
     assert out["step"] == 3 and np.isfinite(out["loss"])
     tr.close()
+    # every save exports the adapter npz for --lora serving
+    import os
+    assert os.path.exists(str(tmp_path / "lora_adapter.npz"))
+
+
+def test_trainer_lora_base_checkpoint_and_engine_ckpt_serve(tmp_path):
+    """End-to-end fine-tune contract: train a base run, LoRA-fine-tune
+    from it via base_checkpoint, then serve the LoRA run dir through
+    build_engine(--ckpt) — the engine must rebuild base + adapter and
+    serve the merged weights."""
+    from unidisc_tpu.data.synthetic import SyntheticDataLoader
+    from unidisc_tpu.serving.engine import build_engine
+    from unidisc_tpu.training.trainer import Trainer, restore_base_params
+
+    base_cfg = Config.make("tiny").override(**{
+        "trainer.warmup_steps": 1, "trainer.lr": 1e-3})
+    base_dir = str(tmp_path / "base")
+    tr = Trainer(base_cfg, base_dir, ckpt_every=2, log_every=1000)
+    tr.fit(SyntheticDataLoader(base_cfg, batch_size=8), max_steps=2)
+    tr.close()
+
+    # LoRA run on top of the base checkpoint (zero_linear_init stays at
+    # its default: a TRAINED base head is nonzero, so this must be legal)
+    lora_cfg = Config.make("tiny").override(**{
+        "model.lora_rank": 2, "model.lora_alpha": 4.0,
+        "trainer.warmup_steps": 1, "trainer.lr": 1e-2})
+    lora_dir = str(tmp_path / "lora")
+    tr2 = Trainer(lora_cfg, lora_dir, ckpt_every=2, log_every=1000,
+                  base_checkpoint=base_dir)
+    assert tr2._lora_base_checkpoint is not None
+    # the frozen base IS the base run's EMA params
+    base_ema = restore_base_params(base_dir)
+    for p, leaf in traverse_util.flatten_dict(base_ema).items():
+        np.testing.assert_array_equal(
+            np.asarray(leaf),
+            np.asarray(traverse_util.flatten_dict(tr2.base_params)[p]))
+    tr2.fit(SyntheticDataLoader(lora_cfg, batch_size=8), max_steps=2)
+    expected = merge_lora(
+        tr2.base_params, jax.device_get(tr2.state.ema_params),
+        alpha=4.0, rank=2)
+    tr2.close()
+
+    # serve the LoRA run dir directly: --ckpt <lora run>
+    eng = build_engine(preset="tiny", checkpoint=lora_dir, steps=4)
+    for p, leaf in traverse_util.flatten_dict(expected).items():
+        np.testing.assert_allclose(
+            np.asarray(leaf),
+            np.asarray(traverse_util.flatten_dict(eng.params)[p]),
+            rtol=1e-6, atol=1e-7, err_msg=str(p))
+    out = eng.run(text="hi", task="gen_image", steps=4, seed=0)
+    assert "text" in out
+
+
+def test_trainer_lora_random_base_warns_not_raises():
+    """zero_linear_init=False + random base is a legal smoke-run combo."""
+    from unidisc_tpu.training.trainer import Trainer
+    mc = small_model_cfg(lora_rank=4, lora_alpha=8.0,
+                         zero_linear_init=False)
+    tr = Trainer(Config(model=mc), "/tmp/lora_smoke_unused",
+                 ckpt_every=0, log_every=1000)
+    assert tr.param_map is not None
+    tr.close()
+
+
+def test_elm_engine_serves_lora(tmp_path):
+    """build_engine(preset='elm:tiny', lora=...) merges the adapter into
+    the ELM weights (the reference's actual LoRA target, qkv_proj) —
+    previously the ELM route silently dropped --lora."""
+    from unidisc_tpu.serving.engine import build_elm_engine
+    eng0 = build_elm_engine(preset="tiny")
+    adapter = init_lora(jax.random.PRNGKey(5), eng0.params, rank=2,
+                        targets=("qkv_proj",))
+    adapter = jax.tree_util.tree_map(lambda l: l + 0.02, adapter)
+    path = str(tmp_path / "elm_ad.npz")
+    save_lora(path, adapter, alpha=4.0, rank=2)
+
+    eng1 = build_elm_engine(preset="tiny", lora=path)
+    f0 = traverse_util.flatten_dict(eng0.params)
+    f1 = traverse_util.flatten_dict(eng1.params)
+    changed = 0
+    for p in f0:
+        same = np.array_equal(np.asarray(f0[p]), np.asarray(f1[p]))
+        if "qkv_proj" in "/".join(p) and p[-1] == "kernel":
+            assert not same, f"adapter target unchanged: {p}"
+            changed += 1
+        else:
+            assert same, f"non-target leaf changed: {p}"
+    assert changed > 0
+    # int8 quantization sees the merged weights: quantized engines from
+    # base vs adapter differ too
+    q0 = build_elm_engine(preset="tiny", quantize="int8")
+    q1 = build_elm_engine(preset="tiny", quantize="int8", lora=path)
+    fq0 = traverse_util.flatten_dict(q0.params)
+    fq1 = traverse_util.flatten_dict(q1.params)
+    assert any(not np.array_equal(np.asarray(fq0[p]), np.asarray(fq1[p]))
+               for p in fq0)
 
 
 def test_save_load_roundtrip(tmp_path, dit_setup):

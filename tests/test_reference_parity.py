@@ -191,12 +191,17 @@ def _extract_eval_ns(exp_queue, gumbel_queue, rand_queue=None,
         ["_ddpm_update", "_ddpm_caching_update", "_maskgit_update",
          "_maskgit_nucleus_update", "_first_hitting_update", "adap_sche",
          "get_cfg_weight", "_ddpm_forward", "nucleus_sampling",
-         "nucleus_sampling_batch", "_ar_sampler"],
+         "nucleus_sampling_batch", "_ar_sampler",
+         "_ddpm_update_finetune_controlled_tweedie"],
         extra_globals={
             "_sample_categorical": injected_sample_categorical,
             "torch": TorchShim(exp_queue, rand_queue, torch_gumbel_queue),
             "np": NumpyShim(gumbel_queue),
             "get_interleaved_block_mask": None,
+            # tweedie scores r(E[x0|xt]) on DECODED images; the parity test
+            # folds the decode into the reward stub, so the latent decode
+            # is identity here (model_eval.py:3232)
+            "decode_latents": lambda config, vae, ids: ids,
         })
     # extracted into ITS OWN namespace — updating ns wholesale would
     # overwrite the torch/np shims in the already-exec'd functions' globals
@@ -1148,3 +1153,71 @@ def test_reference_checkpoint_drop_serves(tmp_path):
     # --reference-ckpt and --ckpt are mutually exclusive
     with pytest.raises(ValueError, match="pass one"):
         build_engine(preset="tiny", reference_ckpt=path, checkpoint="x")
+
+
+# ---------------------------------------------------------------------------
+# Tweedie reward-guided resampling vs the actual reference code
+# (model_eval.py:3172-3285 _ddpm_update_finetune_controlled_tweedie)
+# ---------------------------------------------------------------------------
+
+def test_tweedie_token_parity_vs_reference_code():
+    """Best-of-N reward resampling, token-for-token: per step the reference
+    draws `repeats` candidates from q_xs, scores each by r(E[x0|xt]) — a
+    SECOND forward at sigma_s, image-vocab argmax, decode, reward
+    (model_eval.py:3216-3238) — and keeps the per-row argmax candidate.
+    The decode is identity here (decode_latents stub); the reward is a
+    deterministic linear functional both sides share."""
+    TV, IV = 7, 5           # text/image vocab split; mask = TV-1 = 6
+    TL, IL = 4, 6           # static [txt | img] layout, SL = 10
+    MASKI = TV - 1
+    REPEATS = 3
+    rng = np.random.RandomState(21)
+    exp = rng.exponential(
+        size=(STEPS, REPEATS, SB, SL, SV)).astype(np.float32) + 1e-10
+    torch_fn, jax_fn = _fixed_logits_fn(9)
+    w_img = rng.randn(IL).astype(np.float32)
+
+    ns = _extract_eval_ns([e for step in exp for e in step], [])
+    self = _make_ref_self(ns)
+    self.mask_index = MASKI
+    self.text_vocab_size = TV
+    self.static_img_sl = slice(TL, None)
+    self.get_vae = lambda: None
+
+    def reward_model(img_ids):
+        # receives the "decoded image" = raw image ids (identity decode);
+        # returns numpy scores, as the real LAION predictor does
+        # (model_eval.py:3233-3238 torch.from_numpy(scorer))
+        return (img_ids.numpy() * w_img).sum(-1).astype(np.float32)
+
+    self.reward_model = reward_model
+    _attach_forward(self, torch_fn)
+
+    x = torch.full((SB, SL), MASKI, dtype=torch.long)
+    timesteps = torch.linspace(1, EPS, STEPS + 1)
+    dt = (1 - EPS) / STEPS
+    for i in range(STEPS):
+        t = timesteps[i] * torch.ones(SB, 1)
+        x = ns["_ddpm_update_finetune_controlled_tweedie"](
+            self, x, t, dt, repeats=REPEATS, sampling_step=i)
+    # final noise removal (model_eval.py:2440-2446)
+    t = timesteps[-1] * torch.ones(SB, 1)
+    x = self.forward(x=x, sigma=self.noise(t)[0]).argmax(dim=-1)
+    ref_tokens = x.numpy()
+
+    from unidisc_tpu.sampling.extras import build_tweedie_sampler
+    cfg = Config.make("tiny").override(**{
+        "model.length": SL, "model.txt_length": TL, "model.img_length": IL,
+        "model.text_vocab_size": TV, "model.image_vocab_size": IV,
+        "sampling.steps": STEPS, "sampling.cfg": None})
+
+    def reward_fn(img_ids):
+        return (img_ids * jnp.asarray(w_img)).sum(-1)
+
+    sample = jax.jit(build_tweedie_sampler(
+        jax_fn, cfg, reward_fn, n_candidates=REPEATS,
+        reward_on="tweedie_img"))
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0),
+                 jnp.zeros((SB, SL), jnp.int32), jnp.zeros((SB, SL), bool),
+                 None, {"exp": jnp.asarray(exp)})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)

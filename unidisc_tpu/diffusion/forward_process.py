@@ -39,7 +39,8 @@ def q_xt(rng: jax.Array,
          *,
          modality: Optional[jax.Array] = None,
          mask_entire_modality: Optional[float] = None,
-         allow_move_mask: Optional[jax.Array] = None) -> CorruptionResult:
+         allow_move_mask: Optional[jax.Array] = None,
+         multimodal: bool = True) -> CorruptionResult:
     """Corrupt x -> xt by masking each token independently w.p. move_chance.
 
     Args:
@@ -52,6 +53,15 @@ def q_xt(rng: jax.Array,
         to train the unconditional branch for CFG
         (reference: model.py:470-539, trainer.mask_entire_modality=0.15).
       allow_move_mask: optional (B, L) bool; positions where masking is allowed.
+      multimodal: selects between the reference's two entire-modality
+        branches, which have DIFFERENT semantics. True (the production
+        recipe: multimodal_batches=true, large_scale_train.yaml:139) mirrors
+        model.py:526-531 — a fired modality mask REPLACES the row's random
+        move indices, so the row becomes "this whole modality masked,
+        everything else clean" (a pure CFG-unconditional sample). False
+        mirrors the static-slice branch (model.py:532-539) — the modality
+        mask is OR-ed on top of the random masking, and text-only rows
+        never fire the image mask.
 
     Reference: model.py:424-587 (q_xt).
     """
@@ -63,9 +73,8 @@ def q_xt(rng: jax.Array,
 
     if mask_entire_modality is not None:
         assert modality is not None, "mask_entire_modality requires modality"
-        # Mirror reference non-interleaved path (model.py:524-539): sample
-        # txt/img whole-modality masks at p/2 each, cancel if both fire, and
-        # skip img-masking for text-only samples.
+        # sample txt/img whole-modality masks at p/2 each, cancel if both
+        # fire (reference: model.py:479-480, 526-528 / 533-535)
         should_mask_txt = jax.random.uniform(k_txt, (b, 1)) < mask_entire_modality / 2
         should_mask_img = jax.random.uniform(k_img, (b, 1)) < mask_entire_modality / 2
         both = should_mask_txt & should_mask_img
@@ -73,11 +82,21 @@ def q_xt(rng: jax.Array,
         should_mask_img = jnp.where(both, False, should_mask_img)
         txt_sl = modality == 0
         img_sl = modality == 1
-        # text-only sample: don't force-mask its (empty) image span
-        all_txt = txt_sl.all(axis=-1, keepdims=True)
-        should_mask_img = jnp.where(all_txt, False, should_mask_img)
-        move_indices = jnp.where(should_mask_txt & txt_sl, True, move_indices)
-        move_indices = jnp.where(should_mask_img & img_sl, True, move_indices)
+        if multimodal:
+            # production branch: REPLACE the random masking with the
+            # modality mask on fired rows (model.py:529-530)
+            move_indices = jnp.where(should_mask_txt, txt_sl, move_indices)
+            move_indices = jnp.where(should_mask_img, img_sl, move_indices)
+        else:
+            # static-slice branch: OR on top of random masking; text-only
+            # samples never force-mask their (empty) image span
+            # (model.py:536-538)
+            all_txt = txt_sl.all(axis=-1, keepdims=True)
+            should_mask_img = jnp.where(all_txt, False, should_mask_img)
+            move_indices = jnp.where(should_mask_txt & txt_sl, True,
+                                     move_indices)
+            move_indices = jnp.where(should_mask_img & img_sl, True,
+                                     move_indices)
         batch_ignore = (should_mask_txt | should_mask_img).squeeze(-1)
 
     if allow_move_mask is not None:

@@ -125,21 +125,50 @@ def build_semi_ar_sampler(forward_logits: Callable, config: Config, *,
 
 def build_tweedie_sampler(forward_logits: Callable, config: Config,
                           reward_fn: Callable, *, n_candidates: int = 4,
-                          num_steps: Optional[int] = None) -> Callable:
+                          num_steps: Optional[int] = None,
+                          reward_on: str = "tokens") -> Callable:
     """Reward-guided best-of-N resampling per denoise step
-    (reference: model_eval.py:3172+). reward_fn(tokens (B,L)) -> (B,)
-    scores, jittable (e.g. model-likelihood or a trained reward head)."""
+    (reference: model_eval.py:3172+ _ddpm_update_finetune_controlled_tweedie).
+
+    reward_on selects the scoring input:
+      * "tokens" — reward_fn(candidate tokens (B, L)) -> (B,); cheap, no
+        extra forward (model-likelihood / trained reward heads).
+      * "tweedie_img" — the reference's exact semantics: per candidate run
+        the denoiser again at sigma_s, form E[x0|xt] over the IMAGE vocab
+        (text vocab and mask zeroed, model_eval.py:3220-3231), argmax to
+        image token ids, and reward_fn(img_ids (B, img_length)) -> (B,)
+        scores the predicted clean image (the reference decodes these ids
+        through the VQ decoder and scores pixels — fold the decode into
+        reward_fn). Costs one extra forward per candidate per step.
+
+    The per-step winner is the argmax-score candidate per batch row
+    (softmax over candidates then argmax in the reference — identical
+    selection). Pass injected={"exp": (steps, N, B, L, V)} exponential
+    noise for token-parity testing against the reference code.
+    """
     m = config.model
     noise = get_noise(config.noise)
     steps = num_steps or config.sampling.steps
     eps = config.sampling.sampling_eps
     mask_index = m.mask_index
+    assert reward_on in ("tokens", "tweedie_img")
 
-    def p_x0(params, x, t, modality):
-        logits = forward_logits(params, x, noise.total(t), modality)
+    def p_x0(params, x, sigma, modality):
+        logits = forward_logits(params, x, sigma, modality)
         return jnp.exp(subs_parameterization(logits, x, mask_index))
 
-    def sample(params, rng, x0, x0_unmask, modality=None):
+    def expected_img_ids(params, cand, sigma_s, modality):
+        # E[x0|xt] restricted to the image vocab (model_eval.py:3227-3231)
+        p = p_x0(params, cand, sigma_s, modality)
+        v = p.shape[-1]
+        ids = jnp.arange(v)
+        img_section = ids >= m.text_vocab_size
+        p = jnp.where(img_section, p + 1e-6, 0.0)
+        p = p.at[..., mask_index].set(0.0)
+        arg = jnp.argmax(p, axis=-1) - m.text_vocab_size
+        return arg[:, m.txt_length:]  # (B, img_length)
+
+    def sample(params, rng, x0, x0_unmask, modality=None, injected=None):
         b, l = x0.shape
         x = jnp.where(x0_unmask, x0, mask_index)
         timesteps = jnp.linspace(1.0, eps, steps + 1)
@@ -153,18 +182,32 @@ def build_tweedie_sampler(forward_logits: Callable, config: Config,
             sigma_s = noise.total(t - dt)
             mc_t = (1 - jnp.exp(-sigma_t))[:, None, None]
             mc_s = (1 - jnp.exp(-sigma_s))[:, None, None]
-            p = p_x0(params, x, t, modality)
+            p = p_x0(params, x, sigma_t, modality)
             q_xs = p * (mc_t - mc_s)
             q_xs = q_xs.at[:, :, mask_index].set(mc_s[:, :, 0])
 
-            def one_candidate(key):
-                new = sample_categorical(key, q_xs)
+            def one_candidate(key, exp_noise):
+                if exp_noise is not None:
+                    new = jnp.argmax(q_xs / exp_noise, axis=-1)
+                else:
+                    new = sample_categorical(key, q_xs)
                 cand = jnp.where(x != mask_index, x, new)
                 return jnp.where(x0_unmask, x0, cand)
 
-            cands = jax.vmap(one_candidate)(
-                jax.random.split(k_cand, n_candidates))  # (N, B, L)
-            rewards = jax.vmap(reward_fn)(cands)         # (N, B)
+            keys = jax.random.split(k_cand, n_candidates)
+            if injected is not None:
+                cands = jax.vmap(lambda k, e: one_candidate(k, e))(
+                    keys, injected["exp"][i])
+            else:
+                cands = jax.vmap(lambda k: one_candidate(k, None))(keys)
+
+            if reward_on == "tweedie_img":
+                rewards = jax.vmap(
+                    lambda c: reward_fn(
+                        expected_img_ids(params, c, sigma_s, modality))
+                )(cands)                                 # (N, B)
+            else:
+                rewards = jax.vmap(reward_fn)(cands)     # (N, B)
             best = jnp.argmax(rewards, axis=0)           # (B,)
             x = jnp.take_along_axis(
                 cands, best[None, :, None], axis=0)[0]
@@ -173,9 +216,11 @@ def build_tweedie_sampler(forward_logits: Callable, config: Config,
         (x, rng), _ = jax.lax.scan(body, (x, rng), jnp.arange(steps))
         # final noise removal
         t = jnp.full((b,), eps)
-        p = p_x0(params, x, t, modality)
+        p = p_x0(params, x, noise.total(t), modality)
         x = jnp.where(x == mask_index, jnp.argmax(p, -1), x)
         x = jnp.where(x0_unmask, x0, x)
-        return SampleResult(tokens=x, nfe=jnp.int32(steps + 1))
+        return SampleResult(tokens=x, nfe=jnp.int32(
+            steps * (1 + (n_candidates if reward_on == "tweedie_img" else 0))
+            + 1))
 
     return sample

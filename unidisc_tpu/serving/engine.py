@@ -689,6 +689,7 @@ def build_elm_engine(*, preset: str = "270m",
                      kv_cache: Optional[str] = None,
                      speculative: Optional[str] = None,
                      gamma: int = 4,
+                     lora: Optional[str] = None,
                      tokenizer=None) -> "ElmEngine":
     """Build the OpenELM serving engine: `--model elm` (default 270m) or
     `--model elm:tiny|270m|450m|1.1b`; quantize='int8' serves int8 W8A8
@@ -705,6 +706,13 @@ def build_elm_engine(*, preset: str = "270m",
 
     cfg = ELM_PRESETS[preset]
     model, params = init_elm(jax.random.PRNGKey(0), cfg)
+    if lora:
+        # ELM is the reference's actual LoRA target (qkv_proj,
+        # model_setup.py:175-188): merge the saved adapter BEFORE int8
+        # quantization so quantization sees the final weights
+        from unidisc_tpu.training.lora import load_lora, merge_lora
+        adapter, l_alpha, l_rank = load_lora(lora)
+        params = merge_lora(params, adapter, alpha=l_alpha, rank=l_rank)
     if quantize == "int8":
         from unidisc_tpu.models.elm import OpenELM
         from unidisc_tpu.ops.quant import quantize_elm_params
@@ -794,7 +802,7 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         return build_elm_engine(
             preset=preset.split(":", 1)[1] if ":" in preset else "270m",
             quantize=quantize, kv_cache=kv_cache,
-            speculative=speculative, gamma=spec_gamma)
+            speculative=speculative, gamma=spec_gamma, lora=lora)
 
     over = {"sampling.steps": steps} if steps else {}
     if kv_cache:
@@ -824,9 +832,35 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
         from unidisc_tpu.training.checkpoint import CheckpointManager
         from unidisc_tpu.training.train_state import init_train_state
         mgr = CheckpointManager(f"{checkpoint}/checkpoints")
-        state, meta = mgr.restore(init_train_state(config, params))
-        params = state.ema_params
-        config = Config.from_json(_json.dumps(meta["config"]))
+        meta = mgr.read_meta()
+        snap = Config.from_json(_json.dumps(meta["config"]))
+        if snap.model.lora_rank > 0:
+            # a LoRA run dir: its checkpoints hold the rank-r ADAPTER
+            # tree, not full params. Rebuild the frozen base exactly as
+            # the Trainer did (recorded base run, else the deterministic
+            # random init from the snapshot seed), restore the adapter
+            # state, and merge — the served weights are base + EMA-adapter
+            from unidisc_tpu.training.lora import (lora_from_config,
+                                                   merge_lora)
+            base_ckpt = meta.get("lora_base_checkpoint")
+            if base_ckpt:
+                from unidisc_tpu.training.trainer import restore_base_params
+                base = restore_base_params(base_ckpt)
+            else:
+                _, base = init_dit(jax.random.PRNGKey(snap.seed),
+                                   snap.model)
+            adapter_t = lora_from_config(
+                jax.random.PRNGKey(snap.seed + 1), base, snap.model)
+            state, _ = mgr.restore(init_train_state(snap, adapter_t))
+            params = merge_lora(base, state.ema_params,
+                                alpha=snap.model.lora_alpha,
+                                rank=snap.model.lora_rank)
+        else:
+            # template optimizer state from the SNAPSHOT config (the run
+            # may have trained with a non-default optimizer)
+            state, _ = mgr.restore(init_train_state(snap, params))
+            params = state.ema_params
+        config = snap
         # experiment overlays and CLI overrides both beat the checkpoint's
         # config snapshot (the snapshot records what was TRAINED, not what
         # is being served — an --experiments fast_nfe serve must survive

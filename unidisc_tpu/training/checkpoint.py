@@ -84,6 +84,17 @@ class CheckpointManager:
         )
         return out["state"], out["meta"]
 
+    def read_meta(self, step: Optional[int] = None) -> dict:
+        """Restore only the JSON meta item (config snapshot + extras) —
+        used to learn the saved pytree's SHAPE before building a restore
+        template (e.g. a LoRA run's checkpoints hold the adapter-sized
+        tree, not full params)."""
+        step = self.latest_step() if step is None else step
+        assert step is not None, f"no checkpoint found in {self.directory}"
+        out = self._mgr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore()))
+        return out["meta"]
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

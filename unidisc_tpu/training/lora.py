@@ -28,6 +28,12 @@ Matched leaves:
 Default targets cover both backbones: "attn_qkv" (DIT,
 blocks/attention/attn_qkv/kernel) and "qkv_proj" (ELM,
 layer_i/attn/qkv_proj/kernel — the reference's target_modules).
+
+Deliberate deviation from the reference peft config: `lora_dropout=0.05`
+(model_setup.py:181) is NOT implemented — it drops the adapter branch's
+input activations (`W·x + s·B·A·dropout(x)`), which requires the
+two-matmul split this design intentionally avoids; weight decay on the
+adapter tree is the supported regularizer (see docs/TRAIN.md).
 """
 
 from __future__ import annotations

@@ -199,7 +199,8 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
 
     corrupted = q_xt(rng_mask, x0, move_chance, m_cfg.mask_index,
                      modality=modality,
-                     mask_entire_modality=t_cfg.mask_entire_modality if train else None)
+                     mask_entire_modality=t_cfg.mask_entire_modality if train else None,
+                     multimodal=t_cfg.multimodal_batches)
 
     logits = apply_fn(params, corrupted.xt, sigma, modality, rng_drop, train,
                       **extra)

@@ -52,12 +52,41 @@ def metrics_to_host(metrics) -> dict:
     return out
 
 
+def restore_base_params(run_dir: str, expect_like=None):
+    """Restore a prior run's EMA params to serve as a frozen LoRA base.
+
+    The run's own config snapshot (checkpoint meta) builds the restore
+    template, so the base run may have used any optimizer/schedule. EMA
+    params are returned — the weights the reference evaluates and serves
+    (model_eval.py:157-166)."""
+    import json
+
+    from unidisc_tpu.training.checkpoint import CheckpointManager
+    mgr = CheckpointManager(f"{run_dir}/checkpoints")
+    meta = mgr.read_meta()
+    base_cfg = Config.from_json(json.dumps(meta["config"]))
+    assert base_cfg.model.lora_rank == 0, (
+        f"{run_dir} is itself a LoRA run — point base_checkpoint at the "
+        f"full-parameter base run")
+    _, tmpl = init_dit(jax.random.PRNGKey(base_cfg.seed), base_cfg.model)
+    state, _ = mgr.restore(init_train_state(base_cfg, tmpl))
+    params = state.ema_params
+    if expect_like is not None:
+        exp = jax.tree_util.tree_map(lambda l: tuple(l.shape), expect_like)
+        got = jax.tree_util.tree_map(lambda l: tuple(l.shape), params)
+        assert exp == got, (
+            "base checkpoint architecture differs from config.model — "
+            "the LoRA run must use the base run's model config")
+    return params
+
+
 class Trainer:
     def __init__(self, config: Config, run_dir: str, *,
                  use_wandb: bool = False, mesh=None, log_every: int = 10,
                  val_every: int = 0, ckpt_every: int = 1000,
                  max_ckpts: int = 3, throw_failure_at: int = 0,
-                 val_use_ema: bool = True):
+                 val_use_ema: bool = True, base_params=None,
+                 base_checkpoint: Optional[str] = None):
         # note: EMA (decay 0.9999) takes ~10k steps to catch up to the live
         # params — short runs should pass val_use_ema=False or the val
         # metrics reflect a mostly-initial EMA (reference evaluates with
@@ -79,13 +108,41 @@ class Trainer:
 
         # LoRA fine-tuning: state.params becomes the rank-r adapter tree,
         # the base weights a frozen sharded constant (training/lora.py;
-        # reference: model.use_lora + peft, model_setup.py:175-188)
+        # reference: model.use_lora + peft, model_setup.py:175-188).
+        # The frozen base is a PRETRAINED model: pass `base_params` (a full
+        # param tree) or `base_checkpoint` (a prior run dir — its EMA
+        # params are restored). Without either, the base is the fresh
+        # random init above — almost never what a fine-tune wants, and
+        # with zero_linear_init the frozen zero output head makes every
+        # adapter gradient identically zero, so that combination errors.
         self.param_map = None
+        self._lora_base_checkpoint = None
         if config.model.lora_rank > 0:
             from unidisc_tpu.parallel.mesh import params_shardings
             from unidisc_tpu.training.lora import (count_lora_params,
                                                    lora_from_config,
                                                    lora_param_map)
+            if base_checkpoint is not None:
+                assert base_params is None, \
+                    "pass base_params OR base_checkpoint, not both"
+                import os
+                params = restore_base_params(base_checkpoint,
+                                             expect_like=params)
+                self._lora_base_checkpoint = os.path.abspath(base_checkpoint)
+            elif base_params is not None:
+                params = base_params
+            elif config.model.zero_linear_init:
+                raise ValueError(
+                    "LoRA on a random-init base with zero_linear_init=True "
+                    "cannot learn: the frozen zero output head blocks all "
+                    "adapter gradients. Pass base_checkpoint=/base_params= "
+                    "(a pretrained base), or set model.zero_linear_init="
+                    "False for a from-scratch smoke run.")
+            else:
+                print("[trainer] WARNING: LoRA over a RANDOM-INIT base "
+                      "(no base_checkpoint/base_params) — only rank-r "
+                      "directions are trainable; fine-tuning a real model "
+                      "needs a pretrained base.")
             base = jax.device_put(params,
                                   params_shardings(params, self.mesh))
             adapter = lora_from_config(
@@ -268,6 +325,17 @@ class Trainer:
         extra = {}
         if hasattr(loader, "state_dict"):
             extra["loader"] = loader.state_dict()
+        if self.param_map is not None:
+            # record how to rebuild the frozen base (engine --ckpt restore
+            # of a LoRA run: serving/engine.py) and export the live adapter
+            # as an npz for the --lora flag
+            if self._lora_base_checkpoint:
+                extra["lora_base_checkpoint"] = self._lora_base_checkpoint
+            from unidisc_tpu.training.lora import save_lora
+            save_lora(f"{self.run_dir}/lora_adapter.npz",
+                      jax.device_get(self.state.params),
+                      alpha=self.config.model.lora_alpha,
+                      rank=self.config.model.lora_rank)
         self.ckpt.save(step, self.state, self.config, extra=extra,
                        force=force)
 
