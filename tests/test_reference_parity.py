@@ -1221,3 +1221,60 @@ def test_tweedie_token_parity_vs_reference_code():
                  jnp.zeros((SB, SL), jnp.int32), jnp.zeros((SB, SL), bool),
                  None, {"exp": jnp.asarray(exp)})
     np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Semi-AR block-stride generation vs the actual reference code
+# (model_utils.py:305-332 sample_subs_guidance)
+# ---------------------------------------------------------------------------
+
+def test_semi_ar_token_parity_vs_reference_code():
+    """Block-stride semi-AR, token-for-token: per stride the reference
+    re-masks the trailing stride_length positions, runs int(1/dt)+1
+    ddpm-caching updates on t_i = 1 - i*dt (the linearized move_chance = t
+    form, incl. the final sub-zero step), then argmax-denoises at sigma=0
+    and slides the window (model_utils.py:305-332)."""
+    STRIDE, NSTRIDES = 3, 2
+    DT = 0.25
+    NSTEPS = int(1 / DT)  # 4 -> 5 updates per stride
+    rng = np.random.RandomState(31)
+    exp = rng.exponential(
+        size=(NSTRIDES + 1, NSTEPS + 1, SB, SL, SV)).astype(np.float32) + 1e-10
+    torch_fn, jax_fn = _fixed_logits_fn(13)
+
+    ns = _extract_eval_ns([e for stride in exp for e in stride], [])
+    semi_ns = extract_functions(
+        "/root/reference/model_utils.py", ["sample_subs_guidance"],
+        extra_globals={"torch": torch, "np": np})
+
+    self = _make_ref_self(ns)
+    self.dtype = torch.float32
+    self.time_conditioning = False
+    self.config.model = types.SimpleNamespace(
+        length=SL, force_argmax_valid_indices=False)
+    self.tokenizer = types.SimpleNamespace(
+        eos_token_id=10 ** 9,  # never present: full-length sequences
+        batch_decode=lambda arr: arr)  # identity decode keeps raw tokens
+    self._sample_prior = lambda n, l: torch.full((n, l), SMASK,
+                                                 dtype=torch.long)
+    self._ddpm_caching_update = \
+        lambda **kw: ns["_ddpm_caching_update"](self, **kw)
+    _attach_forward(self, torch_fn)
+
+    _, texts, _ = semi_ns["sample_subs_guidance"](
+        self, n_samples=SB, stride_length=STRIDE, num_strides=NSTRIDES,
+        dt=DT)
+    ref_tokens = np.asarray(texts[-1])  # identity decode of the full concat
+    assert ref_tokens.shape == (SB, NSTRIDES * STRIDE + SL)
+
+    from unidisc_tpu.sampling.extras import build_semi_ar_sampler
+    cfg = Config.make("tiny").override(**{
+        "model.length": SL, "model.txt_length": SL, "model.img_length": 0,
+        "model.text_vocab_size": SV, "model.image_vocab_size": 0,
+        "model.time_conditioning": False, "sampling.cfg": None})
+    sample = build_semi_ar_sampler(jax_fn, cfg, stride_length=STRIDE,
+                                   num_strides=NSTRIDES, dt=DT)
+    out = sample(jnp.zeros(0), jax.random.PRNGKey(0), SB,
+                 injected={"exp": jnp.asarray(exp)})
+    np.testing.assert_array_equal(np.asarray(out.tokens), ref_tokens)
+    assert not (np.asarray(out.tokens) == SMASK).any()

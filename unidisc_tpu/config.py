@@ -172,6 +172,17 @@ class TrainerConfig:
     # parameterization: subs (masked diffusion) | ar (autoregressive)
     parameterization: str = "subs"
     ar_shift: bool = False
+    # joint AR+NAR training (reference: trainer.joint_ar_nar_prob warmup
+    # model.py:541-551, per-row AR/NAR loss mixing model.py:1110-1134, and
+    # trainer.ar_llm_loss — CE on masked positions from the raw logits,
+    # model.py:1076-1108). NOTE: the reference's joint combine adds an
+    # UNDEFINED `weighted_z_loss` (model.py:1134) — enabling the path there
+    # crashes with NameError; we implement it with z-loss = 0 (the only
+    # runnable reading) and parity-test against the reference code with
+    # that name injected as 0.
+    joint_ar_nar_prob: Optional[float] = None
+    joint_ar_nar_prob_warmup_steps: Optional[int] = None
+    ar_llm_loss: bool = False
     # batch / precision
     global_batch_size: int = 512
     dtype: str = "bfloat16"

@@ -40,7 +40,8 @@ def q_xt(rng: jax.Array,
          modality: Optional[jax.Array] = None,
          mask_entire_modality: Optional[float] = None,
          allow_move_mask: Optional[jax.Array] = None,
-         multimodal: bool = True) -> CorruptionResult:
+         multimodal: bool = True,
+         sample_ids: Optional[jax.Array] = None) -> CorruptionResult:
     """Corrupt x -> xt by masking each token independently w.p. move_chance.
 
     Args:
@@ -71,7 +72,17 @@ def q_xt(rng: jax.Array,
     move_indices = jax.random.uniform(k_move, x.shape) < move_chance
     batch_ignore = jnp.zeros((b,), dtype=bool)
 
-    if mask_entire_modality is not None:
+    if mask_entire_modality is not None and sample_ids is not None:
+        # interleaved batches: per-BLOCK masking replaces the modality-level
+        # branch entirely (reference: model.py:483-522 — should_mask_txt/img
+        # are drawn but unused on this path)
+        assert modality is not None, "mask_entire_modality requires modality"
+        fired, row_fired = interleaved_block_mask(
+            jax.random.fold_in(rng, 3), modality, sample_ids,
+            mask_entire_modality)
+        move_indices = move_indices | fired
+        batch_ignore = row_fired
+    elif mask_entire_modality is not None:
         assert modality is not None, "mask_entire_modality requires modality"
         # sample txt/img whole-modality masks at p/2 each, cancel if both
         # fire (reference: model.py:479-480, 526-528 / 533-535)
@@ -104,6 +115,61 @@ def q_xt(rng: jax.Array,
 
     xt = jnp.where(move_indices, mask_index, x)
     return CorruptionResult(xt=xt, move_indices=move_indices, batch_ignore=batch_ignore)
+
+
+def interleaved_block_mask(rng: jax.Array, modality: jax.Array,
+                           sample_ids: jax.Array, mask_prob: float, *,
+                           max_samples: int = 16):
+    """Entire-BLOCK masking for interleaved batches — the production
+    interleaved-training CFG corruption (reference: model.py:483-522).
+
+    Blocks are contiguous runs of constant (modality, sample_id)
+    (reference: tensor_utils.get_contiguous_blocks_per_sample). Each block
+    with size > 4 and sample_id >= 0 is fully masked with probability
+    mask_prob * 2 * (k+1)/K, where k is the block's ordinal within its
+    sample and K the sample's (filtered) block count — later blocks, which
+    have more conditioning available, are masked more often.
+
+    Shape-static redesign: per-position block ids via a change-flag cumsum,
+    block sizes via a scatter-add, per-sample ordinals via a one-hot cumsum
+    over at most `max_samples` sample ids, and one uniform draw per
+    position of which only the draw at each block's START gates that whole
+    block (so the fired decision is constant across the block).
+
+    Returns (block_move (B, L) bool, row_fired (B,) bool).
+    """
+    b, l = modality.shape
+    pos = jnp.arange(l)
+    change = jnp.concatenate([
+        jnp.ones((b, 1), bool),
+        (modality[:, 1:] != modality[:, :-1])
+        | (sample_ids[:, 1:] != sample_ids[:, :-1])], axis=1)
+    block_id = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1   # (B, L)
+    sizes = jax.vmap(
+        lambda bid: jnp.zeros((l,), jnp.int32).at[bid].add(1))(block_id)
+    size_per_pos = jnp.take_along_axis(sizes, block_id, axis=1)
+    valid = (sample_ids >= 0) & (size_per_pos > 4)
+    starts = change & valid
+
+    sid = jnp.clip(sample_ids, 0, max_samples - 1)
+    onehot = (jax.nn.one_hot(sid, max_samples, dtype=jnp.int32)
+              * starts[..., None].astype(jnp.int32))       # (B, L, S)
+    cum = jnp.cumsum(onehot, axis=1)                        # inclusive
+    total = cum[:, -1, :]                                   # (B, S)
+    k_at = jnp.take_along_axis(cum, sid[..., None],
+                               axis=2).squeeze(-1) - 1      # ordinal at starts
+    total_at = jnp.take_along_axis(
+        jnp.broadcast_to(total[:, None, :], (b, l, max_samples)),
+        sid[..., None], axis=2).squeeze(-1)
+    block_prob = (k_at + 1).astype(jnp.float32) / jnp.maximum(
+        total_at, 1).astype(jnp.float32)
+
+    u = jax.random.uniform(rng, (b, l))
+    fired_at_start = starts & (u < mask_prob * 2.0 * block_prob)
+    # propagate each block's start decision across the block
+    start_pos = jax.lax.cummax(jnp.where(change, pos, -1), axis=1)
+    fired = jnp.take_along_axis(fired_at_start, start_pos, axis=1) & valid
+    return fired, fired_at_start.any(axis=1)
 
 
 def mask_image_square(rng: jax.Array, move_indices: jax.Array, img_start: int,

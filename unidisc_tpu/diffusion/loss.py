@@ -110,6 +110,24 @@ def diffusion_loss(log_probs: jax.Array,
                       img_loss=img_loss_out)
 
 
+def ar_llm_token_nll(logits: jax.Array, x0: jax.Array, mask_index: int,
+                     *,
+                     modality: Optional[jax.Array] = None,
+                     text_vocab_size: Optional[int] = None) -> jax.Array:
+    """Per-token AR cross-entropy from RAW logits: mask column -inf,
+    optional modality vocab restriction, log-softmax, gather at x0
+    (reference: model.py:1083-1114 — the core shared by trainer.ar_llm_loss
+    and the joint AR+NAR combine). Returns (B, L)."""
+    from unidisc_tpu.diffusion.subs import NEG_INFINITY
+    ids = jnp.arange(logits.shape[-1])
+    logits = logits + jnp.where(ids == mask_index, NEG_INFINITY, 0.0)
+    if modality is not None and text_vocab_size is not None:
+        from unidisc_tpu.diffusion.subs import restrict_modality_logits
+        logits = restrict_modality_logits(logits, modality, text_vocab_size)
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(log_p, x0[..., None], axis=-1).squeeze(-1)
+
+
 def ar_loss(logits: jax.Array, x0: jax.Array, mask_index: int,
             *,
             attention_mask: Optional[jax.Array] = None,

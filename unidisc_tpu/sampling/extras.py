@@ -88,34 +88,96 @@ def build_analytic_sampler(forward_logits: Callable, config: Config,
 
 def build_semi_ar_sampler(forward_logits: Callable, config: Config, *,
                           stride_length: int, num_strides: int,
-                          steps_per_stride: int = 64) -> Callable:
-    """Semi-autoregressive block-stride generation: repeatedly slide the
-    window left by `stride_length`, re-mask the tail, and run masked
-    diffusion (reference: model_utils.py:305-348). The stride loop is a
-    host loop (num_strides is small); each stride is one jitted scan."""
-    from unidisc_tpu.sampling.sampler import build_sampler
-    inner_cfg = config.override(**{
-        "sampling.predictor": "ddpm_cache",
-        "sampling.steps": steps_per_stride})
-    inner = jax.jit(build_sampler(forward_logits, inner_cfg))
-    m = config.model
-    L = m.length
+                          steps_per_stride: Optional[int] = None,
+                          dt: Optional[float] = None) -> Callable:
+    """Semi-autoregressive block-stride generation, token-exact vs the
+    reference (model_utils.py:305-332 sample_subs_guidance).
 
-    def sample(params, rng, batch_size: int, modality=None):
+    Each stride re-masks the trailing `stride_length` positions of the
+    previous window and denoises with int(1/dt)+1 ddpm-CACHING updates on
+    the reference's grid t_i = 1 - i*dt — note the caching update uses
+    the loglinear linearization move_chance = t directly
+    (model_eval.py:2081-2082), and its LAST update runs at t=0 with
+    t-dt < 0, i.e. a negative mask score that simply forces unmasking —
+    followed by an unconditional argmax denoise at sigma=0
+    (model_utils.py:323). The p_x0 cache is reused while x is unchanged
+    and the model is not time-conditioned (model_utils.py:319-320).
+    The stride loop is a host loop (num_strides is small); each stride's
+    denoise is one jitted scan. steps_per_stride is shorthand for
+    dt = 1/steps_per_stride. Pass injected={"exp": (num_strides+1,
+    num_steps+1, B, L, V)} for token-parity testing.
+    """
+    m = config.model
+    noise = get_noise(config.noise)
+    mask_index = m.mask_index
+    L = m.length
+    if dt is None:
+        dt = 1.0 / (steps_per_stride or 64)
+    num_steps = int(1.0 / dt)
+    time_conditioning = getattr(m, "time_conditioning", False)
+
+    def log_p_x0(params, x, t, modality):
+        logits = forward_logits(params, x, noise.total(t), modality)
+        return subs_parameterization(logits, x, mask_index)
+
+    @jax.jit
+    def one_stride(params, rng, x, modality, injected_exp=None):
+        b = x.shape[0]
+
+        def body(carry, i):
+            x, rng, p_cache, cache_valid, nfe = carry
+            rng, k = jax.random.split(rng)
+            t = jnp.full((b,), 1.0 - i * dt)
+
+            def fresh(_):
+                return log_p_x0(params, x, t, modality)
+
+            log_p = jax.lax.cond(cache_valid, lambda _: p_cache, fresh,
+                                 operand=None)
+            nfe = nfe + jnp.where(cache_valid, 0, 1).astype(jnp.int32)
+            # caching-update math in PROB space: mc_t = t, mc_s = t - dt
+            # (the loglinear linearization, model_eval.py:2081-2092); the
+            # final step's mc_s < 0 is intentional — it zeroes the mask
+            # column's chance so every remaining mask resolves
+            q_xs = jnp.exp(log_p) * dt
+            q_xs = q_xs.at[..., mask_index].set(
+                jnp.broadcast_to((t - dt)[:, None], x.shape))
+            exp_i = injected_exp[i] if injected_exp is not None else None
+            if exp_i is not None:
+                new = jnp.argmax(q_xs / exp_i, axis=-1)
+            else:
+                new = sample_categorical(k, q_xs)
+            x_next = jnp.where(x != mask_index, x, new)
+            # cache stays valid while x is unchanged, never for
+            # time-conditioned models (model_utils.py:319-320)
+            cache_valid = jnp.all(x_next == x) & jnp.asarray(
+                not time_conditioning)
+            return (x_next, rng, log_p, cache_valid, nfe), None
+
+        p0 = jnp.zeros((b, L, m.vocab_size), jnp.float32)
+        carry = (x, rng, p0, jnp.asarray(False), jnp.int32(0))
+        (x, rng, _, _, nfe), _ = jax.lax.scan(body, carry,
+                                              jnp.arange(num_steps + 1))
+        # final denoise: argmax of forward at sigma=0 (model_utils.py:323)
+        logits = forward_logits(params, x, jnp.zeros((b,)), modality)
+        x = jnp.argmax(subs_parameterization(logits, x, mask_index),
+                       axis=-1)
+        return x, nfe + 1
+
+    def sample(params, rng, batch_size: int, modality=None, injected=None):
         total_nfe = 0
         target = None
         chunks = []
         for s in range(num_strides + 1):
             rng, k = jax.random.split(rng)
-            x0 = jnp.zeros((batch_size, L), jnp.int32)
-            unmask = jnp.zeros((batch_size, L), bool)
+            x = jnp.full((batch_size, L), mask_index, jnp.int32)
             if target is not None:
-                x0 = x0.at[:, :L - stride_length].set(target)
-                unmask = unmask.at[:, :L - stride_length].set(True)
-            out = inner(params, k, x0, unmask, modality)
-            total_nfe += int(out.nfe)
-            chunks.append(out.tokens[:, :stride_length])
-            target = out.tokens[:, stride_length:]
+                x = x.at[:, :L - stride_length].set(target)
+            exp_s = injected["exp"][s] if injected is not None else None
+            x, nfe = one_stride(params, k, x, modality, exp_s)
+            total_nfe += int(nfe)
+            chunks.append(x[:, :stride_length])
+            target = x[:, stride_length:]
         chunks.append(target)
         tokens = jnp.concatenate(chunks, axis=1)
         return SampleResult(tokens=tokens, nfe=jnp.int32(total_nfe))

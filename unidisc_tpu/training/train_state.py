@@ -157,7 +157,8 @@ def init_train_state(config: Config, params: Any) -> TrainState:
 # ---------------------------------------------------------------------------
 
 def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
-                       mesh=None, train: bool = True) -> LossOutput:
+                       mesh=None, train: bool = True,
+                       step=None) -> LossOutput:
     """Full forward pass: t-sample -> corrupt -> backbone -> SUBS -> NELBO
     (reference: model.py:797-1173 compute_loss). `batch` is a dict with
     input_ids (B, L) int32, and optionally modality (B, L) and
@@ -200,9 +201,34 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
     corrupted = q_xt(rng_mask, x0, move_chance, m_cfg.mask_index,
                      modality=modality,
                      mask_entire_modality=t_cfg.mask_entire_modality if train else None,
-                     multimodal=t_cfg.multimodal_batches)
+                     multimodal=t_cfg.multimodal_batches,
+                     # interleaved batches get per-BLOCK CFG masking
+                     # (reference: model.py:483-522)
+                     sample_ids=extra.get("sample_ids")
+                     if t_cfg.interleaved else None)
 
-    logits = apply_fn(params, corrupted.xt, sigma, modality, rng_drop, train,
+    xt = corrupted.xt
+    batch_ignore = corrupted.batch_ignore
+    joint_mask = None
+    if train and t_cfg.joint_ar_nar_prob is not None:
+        # joint AR+NAR: warmed-up fraction of rows stays UNCORRUPTED and
+        # takes a per-token AR CE instead of the NELBO (reference:
+        # model.py:541-551 q_xt gate + linear_warmup from 1.0)
+        p_final = t_cfg.joint_ar_nar_prob
+        w = t_cfg.joint_ar_nar_prob_warmup_steps
+        if w and step is not None:
+            frac = jnp.minimum(step.astype(jnp.float32) / max(1, w), 1.0)
+            p_cur = 1.0 + (p_final - 1.0) * frac
+        else:
+            p_cur = jnp.asarray(p_final, jnp.float32)
+        joint_mask = jax.random.uniform(
+            jax.random.fold_in(rng, 11), (b,)) < p_cur
+        xt = jnp.where(joint_mask[:, None], x0, xt)
+        # joint rows are excluded from the NELBO metrics
+        # (reference: model.py:1014-1018)
+        batch_ignore = batch_ignore | joint_mask
+
+    logits = apply_fn(params, xt, sigma, modality, rng_drop, train,
                       **extra)
     if mesh is not None:
         logits = logits_constraint(logits, mesh)
@@ -243,17 +269,51 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
                           img_loss=jnp.zeros((), total.dtype))
 
     log_p = subs_parameterization(
-        logits, corrupted.xt, m_cfg.mask_index,
+        logits, xt, m_cfg.mask_index,
         modality=modality if m_cfg.force_argmax_valid_indices else None,
         text_vocab_size=m_cfg.text_vocab_size)
 
-    return diffusion_loss(
+    out = diffusion_loss(
         log_p, x0, sigma, dsigma,
         attention_mask=attention_mask, modality=modality,
-        batch_ignore=corrupted.batch_ignore,
+        batch_ignore=batch_ignore,
         softmin_snr=t_cfg.softmin_snr,
-        text_loss_weight=t_cfg.text_loss_weight,
-        img_loss_weight=t_cfg.img_loss_weight)
+        # the joint combine defers/ignores the modality loss weights
+        # (reference: model.py:1034-1035)
+        text_loss_weight=None if joint_mask is not None
+        else t_cfg.text_loss_weight,
+        img_loss_weight=None if joint_mask is not None
+        else t_cfg.img_loss_weight)
+
+    if joint_mask is not None or t_cfg.ar_llm_loss:
+        from unidisc_tpu.diffusion.loss import (ar_llm_token_nll,
+                                                nelbo_weighting)
+        ar_tok = ar_llm_token_nll(
+            logits.astype(jnp.float32), x0, m_cfg.mask_index,
+            modality=modality if m_cfg.force_argmax_valid_indices else None,
+            text_vocab_size=m_cfg.text_vocab_size)
+        attn = attention_mask if attention_mask is not None else \
+            jnp.ones(x0.shape, bool)
+        if joint_mask is not None:
+            # per-row AR/NAR mixing (reference: model.py:1110-1134; the
+            # reference's `+ weighted_z_loss` is an undefined name there —
+            # implemented as 0, the only runnable reading)
+            log_p_theta = jnp.take_along_axis(
+                log_p, x0[..., None], axis=-1).squeeze(-1)
+            nar_tok = -log_p_theta * nelbo_weighting(
+                sigma, dsigma, t_cfg.softmin_snr)[:, None]
+            ar_w = joint_mask.mean()
+            mixed = jnp.where(joint_mask[:, None],
+                              ar_tok * ar_w, nar_tok * (1.0 - ar_w))
+            loss = (mixed * attn).sum() / jnp.maximum(attn.sum(), 1)
+            out = out._replace(loss=loss)
+        else:
+            # standalone ar_llm_loss: mean CE over MASKED positions
+            # (reference: model.py:1078-1108 labels=-1 elsewhere)
+            valid = (xt == m_cfg.mask_index) & attn
+            ce = (ar_tok * valid).sum() / jnp.maximum(valid.sum(), 1)
+            out = out._replace(loss=ce)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +360,7 @@ def make_train_step(config: Config, model, mesh=None, param_map=None):
             if param_map is not None:
                 params = param_map(params)
             out = compute_batch_loss(config, apply_fn, params, rng, batch,
-                                     mesh=mesh, train=True)
+                                     mesh=mesh, train=True, step=state.step)
             return out.loss, out
 
         if accum > 1:
