@@ -599,3 +599,230 @@ def test_ar_llm_loss_standalone_parity():
         train=True)
     np.testing.assert_allclose(float(out.loss), float(losses.loss),
                                rtol=2e-5)
+
+
+def _ar_ref(ns, *, ar_inpainting):
+    """Reference self for the AR path: parameterization='ar', ar_shift,
+    real extracted forward() with a table-lookup backbone."""
+    ref = _ref_self(ns, multimodal=False, softmin_snr=None,
+                    text_w=None, img_w=None, log_separate=True)
+    ref.parameterization = "ar"
+    ref.config.parameterization = "ar"
+    ref.config.trainer.ar_shift = True
+    ref.config.trainer.ar_inpainting = ar_inpainting
+    ref.config.trainer.rand_ar_modality_dropout = None
+    ref.config.trainer.image_mode = "discrete"
+    ref.config.trainer.compile = False
+    ref.config.trainer.disable_forward_autocast_during_eval = False
+    ref.config.trainer.force_bf16_eval = False
+    ref.text_vocab_size = TEXT_V
+    ref._process_sigma = lambda s: s
+    ref.get_cond_dict = lambda batch: {"modality": batch["modality"]}
+    ref.forward = lambda *a, **k: ns["forward"](ref, *a, **k)
+    return ref
+
+
+def _extract_ar_ns(rand_queue, torch_fn):
+    import contextlib
+
+    class _Backbone:
+        training = True
+
+        def __call__(self, x, sigma, **kw):
+            return torch_fn(x)
+
+    ns = extract_functions(
+        MODEL, ["q_xt", "compute_loss", "forward"],
+        extra_globals={
+            "torch": TorchShim([], rand_queue),
+            "is_xla_available": True,
+            "F": torch.nn.functional,
+            "nn": torch.nn,
+            "Loss": _Loss,
+            "ExitStack": contextlib.ExitStack,
+            "Tensor": torch.Tensor,
+        })
+    return ns, _Backbone()
+
+
+def _our_ar_cfg(*, ar_inpainting):
+    from unidisc_tpu.config import Config as OurConfig
+    from unidisc_tpu.config import ModelConfig, TrainerConfig
+
+    return OurConfig(
+        model=ModelConfig(hidden_size=8, n_blocks=1, n_heads=1, cond_dim=8,
+                          length=L, txt_length=TXT_L, img_length=IMG_L,
+                          text_vocab_size=TEXT_V, image_vocab_size=IMG_V),
+        trainer=TrainerConfig(parameterization="ar", ar_shift=True,
+                              ar_inpainting=ar_inpainting,
+                              sampling_eps=EPS))
+
+
+def test_ar_loss_parity_vs_reference_code():
+    """Plain AR training loss through the ACTUAL extracted forward() +
+    compute_loss(): ar_shift slicing in forward (model.py:737-744), mask
+    -inf + log_softmax (model.py:761-782), masked-mean NLL (std_weighting=1,
+    model.py:975-977, 1071-1073)."""
+    from unidisc_tpu.training.train_state import compute_batch_loss
+
+    rng_np = np.random.RandomState(29)
+    x0, modality, attention_mask = _make_batch(rng_np)
+    torch_fn, jax_fn = _logits_table(21)
+
+    ns, backbone = _extract_ar_ns([], torch_fn)
+    ref = _ar_ref(ns, ar_inpainting=False)
+    ref.backbone = backbone
+
+    batch = {
+        "input_ids": torch.as_tensor(x0),
+        "attention_mask": torch.as_tensor(attention_mask),
+        "modality": torch.as_tensor(modality),
+        "modality_mask": torch.stack(
+            [torch.as_tensor(modality) == 0,
+             torch.as_tensor(modality) == 1], dim=-1),
+    }
+    losses = ns["compute_loss"](ref, batch, prefix="train")
+
+    def apply_fn(params, x, sigma, modality_, rng_, train, **extra):
+        return jax_fn(x)
+
+    out = compute_batch_loss(
+        _our_ar_cfg(ar_inpainting=False), apply_fn, None,
+        jax.random.PRNGKey(0),
+        {"input_ids": jnp.asarray(x0.astype(np.int32)),
+         "modality": jnp.asarray(modality.astype(np.int32)),
+         "attention_mask": jnp.asarray(attention_mask)},
+        train=True)
+    np.testing.assert_allclose(float(out.loss), float(losses.loss),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.nlls), losses.nlls.numpy(),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.token_mask),
+                                  losses.token_mask.numpy())
+
+
+def test_ar_inpainting_parity_vs_reference_code():
+    """trainer.ar_inpainting (model.py:880-896): [corrupted || clean]
+    doubling, antithetic per-row mask rate over the FULL (0,1) range,
+    loss restricted to the clean half via attention = [zeros || ones] —
+    token-for-token with injected uniforms."""
+    from unidisc_tpu.training.train_state import compute_batch_loss
+
+    rng_np = np.random.RandomState(31)
+    x0, modality, attention_mask = _make_batch(rng_np)
+    torch_fn, jax_fn = _logits_table(23)
+
+    # our draw schedule: split(rng,3) -> (rng_t, rng_mask, rng_drop);
+    # u_t = uniform(rng_t, (B,)); move = uniform(rng_mask, (B, 2L))
+    rng = jax.random.PRNGKey(40)
+    rng_t, rng_mask, _ = jax.random.split(rng, 3)
+    u_t = np.asarray(jax.random.uniform(rng_t, (B,)))
+    u_move = np.asarray(jax.random.uniform(rng_mask, (B, 2 * L)))
+
+    ns, backbone = _extract_ar_ns([u_t, u_move], torch_fn)
+    ref = _ar_ref(ns, ar_inpainting=True)
+    ref.backbone = backbone
+
+    batch = {
+        "input_ids": torch.as_tensor(x0),
+        "attention_mask": torch.as_tensor(attention_mask),
+        "modality": torch.as_tensor(modality),
+        "modality_mask": torch.stack(
+            [torch.as_tensor(modality) == 0,
+             torch.as_tensor(modality) == 1], dim=-1),
+    }
+    losses = ns["compute_loss"](ref, batch, prefix="train")
+
+    def apply_fn(params, x, sigma, modality_, rng_, train, **extra):
+        assert x.shape[1] == 2 * L and modality_.shape[1] == 2 * L
+        return jax_fn(x)
+
+    out = compute_batch_loss(
+        _our_ar_cfg(ar_inpainting=True), apply_fn, None, rng,
+        {"input_ids": jnp.asarray(x0.astype(np.int32)),
+         "modality": jnp.asarray(modality.astype(np.int32)),
+         "attention_mask": jnp.asarray(attention_mask)},
+        train=True)
+    np.testing.assert_allclose(float(out.loss), float(losses.loss),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.nlls), losses.nlls.numpy(),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.token_mask),
+                                  losses.token_mask.numpy())
+    # coverage: the corrupted half actually received mask tokens
+    t_inp = (u_t / B + np.arange(B) / B) % 1.0
+    assert (u_move[:, :L] < t_inp[:, None]).any()
+
+
+def test_mask_text_region_parity_vs_reference_code():
+    """q_xt(mask_text_region=True) (model.py:456-466): one contiguous
+    region per row bounded by the first EOS replaces the text-span mask —
+    region construction parity with the reference loop given identical
+    integer draws (the reference uses python random.randint; our uniform
+    -derived d/start values are queued into a randint shim)."""
+    from unidisc_tpu.diffusion.forward_process import mask_text_region
+
+    rng_np = np.random.RandomState(37)
+    x0, modality, _ = _make_batch(rng_np)
+    EOS = MASK - 1
+    # place an EOS in each row's text span (>= position 3 so the reference
+    # and our clamped max_valid agree)
+    eos_pos = rng_np.randint(3, TXT_L, size=B)
+    for bb in range(B):
+        x0[bb, eos_pos[bb]] = EOS
+        # no accidental earlier EOS
+        for p in range(eos_pos[bb]):
+            if x0[bb, p] == EOS:
+                x0[bb, p] = EOS - 1
+
+    rng_q = jax.random.PRNGKey(15)
+    k_move, _, _ = jax.random.split(rng_q, 3)
+    u_move = np.asarray(jax.random.uniform(k_move, (B, L)))
+    move_chance = np.full((B, 1), 0.5, np.float32)
+
+    # replicate our integer draws (mask_text_region key schedule) in numpy
+    k_region = jax.random.fold_in(rng_q, 7)
+    k_d, k_s = jax.random.split(k_region)
+    u_d = np.asarray(jax.random.uniform(k_d, (B,)))
+    u_s = np.asarray(jax.random.uniform(k_s, (B,)))
+    max_valid = eos_pos.copy()
+    lo, hi = max_valid // 3, max_valid - 1
+    d = np.clip((lo + u_d * (hi - lo + 1)).astype(np.int64), 1, hi)
+    start = (u_s * (max_valid - d + 1)).astype(np.int64)
+
+    class _RandintShim:
+        def __init__(self, queue):
+            self.queue = queue
+
+        def randint(self, a, b):
+            lo_got, hi_got, val = self.queue.pop(0)
+            assert (a, b) == (lo_got, hi_got), ((a, b), (lo_got, hi_got))
+            return val
+
+    queue = []
+    for bb in range(B):
+        queue.append((int(lo[bb]), int(hi[bb]), int(d[bb])))
+        queue.append((0, int(max_valid[bb] - d[bb]), int(start[bb])))
+
+    ns = extract_functions(
+        MODEL, ["q_xt"],
+        extra_globals={
+            "torch": TorchShim([], [u_move]),
+            "random": _RandintShim(queue),
+        })
+    ref = _ref_self(ns, multimodal=False, softmin_snr=None, text_w=None,
+                    img_w=None)
+    ref.backbone.training = False  # eval path: no entire-modality masking
+    ref.config.trainer.mask_entire_modality = None
+    ref.tokenizer = types.SimpleNamespace(eos_token_id=EOS)
+    xt_ref = ns["q_xt"](ref, torch.as_tensor(x0),
+                        torch.as_tensor(move_chance),
+                        mask_text_region=True)
+    assert not queue, "reference did not consume all injected draws"
+
+    move = jax.random.uniform(k_move, (B, L)) < 0.5
+    move_ours = mask_text_region(k_region, move,
+                                 jnp.asarray(x0.astype(np.int32)),
+                                 TXT_L, EOS)
+    xt_ours = jnp.where(move_ours, MASK, jnp.asarray(x0.astype(np.int32)))
+    np.testing.assert_array_equal(np.asarray(xt_ours), xt_ref.numpy())

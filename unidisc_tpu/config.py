@@ -183,6 +183,12 @@ class TrainerConfig:
     joint_ar_nar_prob: Optional[float] = None
     joint_ar_nar_prob_warmup_steps: Optional[int] = None
     ar_llm_loss: bool = False
+    # AR inpainting training (reference: trainer.ar_inpainting,
+    # model.py:880-896): each sequence is doubled to [corrupted || clean],
+    # the corrupted copy masked at an antithetic per-row rate in (0, 1),
+    # and the AR loss applied to the clean half only — the AR model learns
+    # to reproduce a sequence given a partially-masked copy as prefix.
+    ar_inpainting: bool = False
     # batch / precision
     global_batch_size: int = 512
     dtype: str = "bfloat16"

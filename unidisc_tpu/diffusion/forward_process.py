@@ -172,6 +172,37 @@ def interleaved_block_mask(rng: jax.Array, modality: jax.Array,
     return fired, fired_at_start.any(axis=1)
 
 
+def mask_text_region(rng: jax.Array, move_indices: jax.Array, x: jax.Array,
+                     txt_length: int, eos_id: int) -> jax.Array:
+    """Replace the text span's mask with one random contiguous region per
+    row, bounded by the first EOS (reference: model.py:457-466
+    mask_text_region — used by the masked-infill eval visualizations).
+
+    Per row: max_valid = index of the first EOS (or txt_length);
+    d ~ U[max_valid//3, max_valid-1]; start ~ U[0, max_valid-d];
+    positions [start, start+d) are masked. Shape-static: traced uniforms
+    realize the integer draws, broadcast comparisons build the region.
+    """
+    b = move_indices.shape[0]
+    txt = x[:, :txt_length]
+    is_eos = txt == eos_id
+    has_eos = is_eos.any(axis=-1)
+    first_eos = jnp.argmax(is_eos, axis=-1)
+    max_valid = jnp.where(has_eos, first_eos, txt_length)  # (B,)
+    max_valid = jnp.maximum(max_valid, 2)  # degenerate rows: tiny region
+    k_d, k_s = jax.random.split(rng)
+    lo = max_valid // 3
+    hi = max_valid - 1
+    d = (lo + jax.random.uniform(k_d, (b,)) * (hi - lo + 1)).astype(
+        jnp.int32)
+    d = jnp.clip(d, 1, hi)
+    start = (jax.random.uniform(k_s, (b,)) * (max_valid - d + 1)).astype(
+        jnp.int32)
+    pos = jnp.arange(txt_length)[None, :]
+    region = (pos >= start[:, None]) & (pos < (start + d)[:, None])
+    return move_indices.at[:, :txt_length].set(region)
+
+
 def mask_image_square(rng: jax.Array, move_indices: jax.Array, img_start: int,
                       img_length: int) -> jax.Array:
     """Replace the image span's mask with a random square region; used for

@@ -166,15 +166,22 @@ def generation_battery(engine, *, seeds=(0, 1), steps: Optional[int] = None
 
 def infill_battery(sample_fn, batch: dict, config: Config, rng,
                    *, txt_mask_rate: float = 0.5,
-                   square_image_mask: bool = True) -> dict:
-    """Regenerate masked regions of real data: random text spans + a random
-    square region of the image grid. Returns original / conditioning-mask /
-    regenerated token arrays for visualization or reconstruction metrics.
+                   square_image_mask: bool = True,
+                   text_region_mask: bool = True,
+                   eos_id: Optional[int] = None) -> dict:
+    """Regenerate masked regions of real data: a random contiguous text
+    region (bounded by the first EOS, reference q_xt mask_text_region
+    model.py:456-466) + a random square region of the image grid
+    (mask_image_square model.py:440-454) — the reference's sample_masking
+    viz battery applies both (model_eval.py:1915-1916). Returns original /
+    conditioning-mask / regenerated token arrays for visualization or
+    reconstruction metrics.
 
     sample_fn: jitted sampler (params-free closure or partial) taking
       (rng, x0, x0_unmask, modality) -> SampleResult.
     """
-    from unidisc_tpu.diffusion.forward_process import mask_image_square
+    from unidisc_tpu.diffusion.forward_process import (mask_image_square,
+                                                       mask_text_region)
 
     m = config.model
     x0 = jnp.asarray(batch["input_ids"])
@@ -184,6 +191,10 @@ def infill_battery(sample_fn, batch: dict, config: Config, rng,
 
     move = jax.random.uniform(k_txt, x0.shape) < txt_mask_rate
     move = move & (modality == 0)
+    if text_region_mask:
+        move = mask_text_region(
+            jax.random.fold_in(k_txt, 1), move, x0, m.txt_length,
+            m.text_vocab_size - 2 if eos_id is None else eos_id)
     if square_image_mask:
         move = mask_image_square(k_sq, move, m.txt_length, m.img_length)
     else:

@@ -176,6 +176,27 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
     rng_t, rng_mask, rng_drop = jax.random.split(rng, 3)
 
     if t_cfg.parameterization == "ar":
+        if t_cfg.ar_inpainting:
+            # AR inpainting (reference: model.py:880-896): double the
+            # sequence to [corrupted || clean]; the corrupted half is
+            # masked at an antithetic per-row rate in (0, 1); loss only on
+            # the clean half (attention = [zeros || ones], mirroring the
+            # reference exactly — it replaces the original padding mask)
+            u = jax.random.uniform(rng_t, (b,))
+            offset = jnp.arange(b, dtype=jnp.float32) / b
+            t_inp = (u / b + offset) % 1.0
+            x0 = jnp.concatenate([x0, x0], axis=1)
+            move = jax.random.uniform(rng_mask, x0.shape) < t_inp[:, None]
+            half = x0.shape[1] // 2
+            move = move.at[:, half:].set(False)
+            x0 = jnp.where(move, m_cfg.mask_index, x0)
+            if modality is not None:
+                modality = jnp.concatenate([modality, modality], axis=1)
+            base_mask = attention_mask if attention_mask is not None else \
+                jnp.ones((b, half), bool)
+            attention_mask = jnp.concatenate(
+                [jnp.zeros_like(base_mask), jnp.ones_like(base_mask)],
+                axis=1)
         logits = apply_fn(params, x0, None, modality, rng_drop, train,
                           **extra)
         if mesh is not None:
