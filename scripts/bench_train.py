@@ -36,6 +36,8 @@ def main():
                     "(parallel/mesh.py; CPU-mesh step tested); the "
                     "cell is kept for future multi-chip runs")
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--remat-policy", default="none",
+                    help="none | dots | dots_all (model.remat_policy)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -53,6 +55,7 @@ def main():
     for scale in args.scales.split(","):
         preset = {"115m": "small", "1p4b": "extra_large"}[scale]
         over = {"trainer.use_gradient_checkpointing": True,
+                "model.remat_policy": args.remat_policy,
                 "model.dropout": 0.0}
         B = args.batch
         if scale == "1p4b":
@@ -109,7 +112,8 @@ def main():
         # remat recompute is NOT counted (same convention as BASELINE)
         tf_per_s = 6.0 * n_params * tok_per_s / 1e12
         print(json.dumps({
-            "scale": scale, "params": n_params, "batch": B,
+            "scale": scale, "remat_policy": args.remat_policy,
+            "params": n_params, "batch": B,
             "seq": m.length, "s_per_step": round(dt, 4),
             "tok_per_s": round(tok_per_s, 1),
             "model_tflops_per_s": round(tf_per_s, 1),

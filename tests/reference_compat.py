@@ -168,7 +168,11 @@ def extract_functions(path: str, names, extra_globals=None) -> dict:
                 segments.append(
                     textwrap.dedent(ast.get_source_segment(src, node)))
                 wanted.discard(node.name)
-            elif isinstance(node, ast.ClassDef):
+            elif isinstance(node, (ast.ClassDef, ast.FunctionDef)):
+                # recurse into classes AND function bodies — some reference
+                # helpers are nested defs (e.g. get_similarity inside
+                # zero_shot_eval_step, model_eval.py:268); their enclosing-
+                # scope names (self, ...) become injectable globals
                 visit(node.body)
 
     visit(tree.body)
@@ -209,10 +213,25 @@ class TorchShim:
         (the AR sampler's precomputed noise, model_eval.py:2764)
     """
 
-    def __init__(self, exp_queue, rand_queue=None, gumbel_queue=None):
+    def __init__(self, exp_queue, rand_queue=None, gumbel_queue=None,
+                 int_queue=None):
         self._exp_queue = exp_queue
         self._rand_queue = rand_queue
         self._gumbel_queue = gumbel_queue
+        self._int_queue = int_queue
+
+    def randint(self, low, high, size=None, device=None, dtype=None):
+        # torch.randint(low, high, size=...) — q_xt's uniform-corruption
+        # draws (model.py:570-576); injectable like rand when an int
+        # queue is provided, passthrough otherwise
+        import torch
+        if self._int_queue is None:
+            return torch.randint(low, high, size=size, device=device,
+                                 dtype=dtype or torch.int64)
+        lo, hi, vals = self._int_queue.pop(0)
+        assert (lo, hi) == (low, high), ((lo, hi), (low, high))
+        assert tuple(vals.shape) == tuple(size), (vals.shape, size)
+        return torch.as_tensor(vals, dtype=dtype or torch.int64)
 
     def multinomial(self, probs2d, num_samples):
         assert num_samples == 1

@@ -622,7 +622,7 @@ def _ar_ref(ns, *, ar_inpainting):
     return ref
 
 
-def _extract_ar_ns(rand_queue, torch_fn):
+def _extract_ar_ns(rand_queue, torch_fn, xla=True):
     import contextlib
 
     class _Backbone:
@@ -635,7 +635,7 @@ def _extract_ar_ns(rand_queue, torch_fn):
         MODEL, ["q_xt", "compute_loss", "forward"],
         extra_globals={
             "torch": TorchShim([], rand_queue),
-            "is_xla_available": True,
+            "is_xla_available": xla,
             "F": torch.nn.functional,
             "nn": torch.nn,
             "Loss": _Loss,
@@ -826,3 +826,361 @@ def test_mask_text_region_parity_vs_reference_code():
                                  TXT_L, EOS)
     xt_ours = jnp.where(move_ours, MASK, jnp.asarray(x0.astype(np.int32)))
     np.testing.assert_array_equal(np.asarray(xt_ours), xt_ref.numpy())
+
+
+def test_q_xt_add_label_first_token_dropout_parity():
+    """q_xt with trainer.add_label + first_token_dropout (model.py:553-563):
+    position 0 (the label token) is never corrupted, then re-masked with
+    prob p for label-CFG — token-for-token vs the extracted reference with
+    injected uniforms."""
+    rng_np = np.random.RandomState(41)
+    x0, modality, _ = _make_batch(rng_np)
+    move_chance = np.full((B, 1), 0.9, np.float32)  # high: pos 0 usually hit
+
+    rng_q = jax.random.PRNGKey(33)
+    k_move, _, _ = jax.random.split(rng_q, 3)
+    u_move = np.asarray(jax.random.uniform(k_move, (B, L)))
+    u_drop = np.asarray(jax.random.uniform(
+        jax.random.fold_in(rng_q, 5), (B,)))
+
+    ns = _extract_ns([u_move, u_drop])
+    ref = _ref_self(ns, multimodal=True, softmin_snr=None, text_w=None,
+                    img_w=None)
+    ref.config.trainer.mask_entire_modality = None
+    ref.config.trainer.add_label = True
+    ref.config.trainer.first_token_dropout = 0.3
+    xt_ref, ignore_ref, _, _, _, move_ref = ns["q_xt"](
+        ref, torch.as_tensor(x0), torch.as_tensor(move_chance),
+        return_ignore_batch_mask_for_metrics=True, batch={})
+
+    corr = our_q_xt(rng_q, jnp.asarray(x0.astype(np.int32)),
+                    jnp.asarray(move_chance), MASK,
+                    modality=jnp.asarray(modality.astype(np.int32)),
+                    mask_entire_modality=None, protect_first=True,
+                    first_token_dropout=0.3)
+    np.testing.assert_array_equal(np.asarray(corr.move_indices),
+                                  move_ref.numpy())
+    np.testing.assert_array_equal(np.asarray(corr.xt), xt_ref.numpy())
+    np.testing.assert_array_equal(np.asarray(corr.batch_ignore),
+                                  ignore_ref.numpy())
+    # coverage: both a protected and a dropped row exist at this seed
+    assert (u_drop < 0.3).any() and (u_drop >= 0.3).any()
+    keep = u_drop >= 0.3
+    assert not np.asarray(corr.move_indices)[keep, 0].any()
+
+
+def test_change_of_variables_parity_vs_reference_code():
+    """trainer.change_of_variables (model.py:850-857 + 969-970):
+    conditioning on t, log-space move_chance interpolation, and the
+    CONSTANT per-token loss weight log1p(-exp(-sigma_min)). The reference
+    returns the raw per-token tensor early, bypassing its Loss plumbing —
+    compared here against our per-token nlls and their masked mean."""
+    import math
+
+    from unidisc_tpu.config import Config as OurConfig
+    from unidisc_tpu.config import ModelConfig, TrainerConfig
+    from unidisc_tpu.training.train_state import compute_batch_loss
+
+    rng_np = np.random.RandomState(43)
+    x0, modality, attention_mask = _make_batch(rng_np)
+    torch_fn, jax_fn = _logits_table(27)
+
+    rng = jax.random.PRNGKey(50)
+    rng_t, rng_mask, _ = jax.random.split(rng, 3)
+    u_t = np.asarray(jax.random.uniform(rng_t, (B,)))
+    k_move, _, _ = jax.random.split(rng_mask, 3)
+    u_move = np.asarray(jax.random.uniform(k_move, (B, L)))
+
+    ns = _extract_ns([u_t, u_move])
+    ref = _wire(ns, _ref_self(ns, multimodal=False, softmin_snr=None,
+                              text_w=None, img_w=None, log_separate=False))
+    ref.change_of_variables = True
+    ref.config.trainer.mask_entire_modality = None
+    per_token_ref = _run_reference(ref, x0, modality, attention_mask,
+                                   torch_fn)
+    assert torch.is_tensor(per_token_ref) and per_token_ref.shape == (B, L)
+
+    def apply_fn(params, x, sigma, modality_, rng_, train, **extra):
+        # conditioning must be t itself under change_of_variables
+        return jax_fn(x)
+
+    cfg = OurConfig(
+        model=ModelConfig(hidden_size=8, n_blocks=1, n_heads=1, cond_dim=8,
+                          length=L, txt_length=TXT_L, img_length=IMG_L,
+                          text_vocab_size=TEXT_V, image_vocab_size=IMG_V),
+        trainer=TrainerConfig(change_of_variables=True, sampling_eps=EPS,
+                              mask_entire_modality=None))
+    out = compute_batch_loss(
+        cfg, apply_fn, None, rng,
+        {"input_ids": jnp.asarray(x0.astype(np.int32)),
+         "modality": jnp.asarray(modality.astype(np.int32)),
+         "attention_mask": jnp.asarray(attention_mask)},
+        train=True)
+
+    mask_np = attention_mask
+    np.testing.assert_allclose(
+        np.asarray(out.nlls), per_token_ref.numpy() * mask_np,
+        rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        float(out.loss),
+        float((per_token_ref.numpy() * mask_np).sum() / mask_np.sum()),
+        rtol=2e-5)
+    # the constant weight really is log1p(-exp(-sigma_min))
+    c = math.log1p(-math.exp(-EPS))
+    assert (np.asarray(out.nlls)[mask_np] != 0).any()
+    assert np.all(np.sign(np.asarray(out.nlls)[mask_np]) >= 0) or c < 0
+
+
+def test_q_xt_uniform_mode_parity_vs_reference_code():
+    """discrete_diffusion_mode='uniform' (model.py:567-578): corrupted
+    positions get random in-vocab tokens, modality-restricted under
+    force_argmax_valid_indices — token-for-token with injected randints.
+    (The reference's non-force_argmax branch reads an UNDEFINED bare
+    `vocab_size` — a latent NameError; it is injected as self.vocab_size,
+    the only runnable reading, which is what we implement.)"""
+    rng_np = np.random.RandomState(47)
+    x0, modality, _ = _make_batch(rng_np)
+    move_chance = np.full((B, 1), 0.6, np.float32)
+
+    rng_q = jax.random.PRNGKey(60)
+    k_move, _, _ = jax.random.split(rng_q, 3)
+    u_move = np.asarray(jax.random.uniform(k_move, (B, L)))
+    k_rand = jax.random.fold_in(rng_q, 9)
+
+    # --- force_argmax branch: modality-restricted draws ---
+    k_t, k_i = jax.random.split(k_rand)
+    txt_rand = np.asarray(jax.random.randint(k_t, (B, L), 0, TEXT_V - 1))
+    img_rand = np.asarray(jax.random.randint(k_i, (B, L), TEXT_V, V))
+    ns = extract_functions(
+        MODEL, ["q_xt"],
+        extra_globals={"torch": TorchShim(
+            [], [u_move],
+            int_queue=[(0, TEXT_V - 1, txt_rand), (TEXT_V, V, img_rand)])})
+    ref = _ref_self(ns, multimodal=False, softmin_snr=None, text_w=None,
+                    img_w=None)
+    ref.config.trainer.mask_entire_modality = None
+    ref.config.trainer.discrete_diffusion_mode = "uniform"
+    ref.config.model.force_argmax_valid_indices = True
+    ref.text_vocab_size = TEXT_V
+    ref.vocab_size = V
+    batch = {"modality_mask": torch.stack(
+        [torch.as_tensor(modality) == 0,
+         torch.as_tensor(modality) == 1], dim=-1)}
+    xt_ref = ns["q_xt"](ref, torch.as_tensor(x0),
+                        torch.as_tensor(move_chance), batch=batch)
+
+    corr = our_q_xt(rng_q, jnp.asarray(x0.astype(np.int32)),
+                    jnp.asarray(move_chance), MASK,
+                    modality=jnp.asarray(modality.astype(np.int32)),
+                    diffusion_mode="uniform", text_vocab_size=TEXT_V,
+                    vocab_size=V)
+    np.testing.assert_array_equal(np.asarray(corr.xt), xt_ref.numpy())
+    assert not (np.asarray(corr.xt) == MASK).any()
+    assert (np.asarray(corr.xt) != x0).any()
+
+    # --- full-vocab branch (vocab_size injected) ---
+    full_rand = np.asarray(jax.random.randint(k_rand, (B, L), 0, V))
+    ns2 = extract_functions(
+        MODEL, ["q_xt"],
+        extra_globals={"torch": TorchShim(
+            [], [u_move], int_queue=[(0, V, full_rand)]),
+            "vocab_size": V})
+    ref2 = _ref_self(ns2, multimodal=False, softmin_snr=None, text_w=None,
+                     img_w=None)
+    ref2.config.trainer.mask_entire_modality = None
+    ref2.config.trainer.discrete_diffusion_mode = "uniform"
+    xt_ref2 = ns2["q_xt"](ref2, torch.as_tensor(x0),
+                          torch.as_tensor(move_chance))
+    corr2 = our_q_xt(rng_q, jnp.asarray(x0.astype(np.int32)),
+                     jnp.asarray(move_chance), MASK,
+                     diffusion_mode="uniform", vocab_size=V)
+    np.testing.assert_array_equal(np.asarray(corr2.xt), xt_ref2.numpy())
+
+
+def test_rand_ar_modality_dropout_parity_vs_reference_code():
+    """trainer.rand_ar_modality_dropout (model.py:897-907): with prob p
+    per row, the row's FIRST modality is masked out and dropped from
+    attention — the AR analog of CFG-unconditional training. Extracted
+    with is_xla_available=False (the branch asserts it) and injected
+    uniforms."""
+    from unidisc_tpu.training.train_state import compute_batch_loss
+
+    rng_np = np.random.RandomState(53)
+    x0, modality, attention_mask = _make_batch(rng_np)
+    torch_fn, jax_fn = _logits_table(31)
+
+    rng = jax.random.PRNGKey(70)
+    u_drop = np.asarray(jax.random.uniform(
+        jax.random.fold_in(rng, 17), (B,)))
+
+    ns, backbone = _extract_ar_ns([u_drop], torch_fn, xla=False)
+    ref = _ar_ref(ns, ar_inpainting=False)
+    ref.config.trainer.rand_ar_modality_dropout = 0.5
+    ref.current_run_fwd_bwd_pass = 1  # skip visualize_samples gate
+    ref.backbone = backbone
+
+    batch = {
+        "input_ids": torch.as_tensor(x0),
+        "attention_mask": torch.as_tensor(attention_mask),
+        "modality": torch.as_tensor(modality),
+        "modality_mask": torch.stack(
+            [torch.as_tensor(modality) == 0,
+             torch.as_tensor(modality) == 1], dim=-1),
+    }
+    losses = ns["compute_loss"](ref, batch, prefix="train")
+
+    def apply_fn(params, x, sigma, modality_, rng_, train, **extra):
+        return jax_fn(x)
+
+    cfg = _our_ar_cfg(ar_inpainting=False)
+    from dataclasses import replace as _replace
+    cfg = _replace(cfg, trainer=_replace(cfg.trainer,
+                                         rand_ar_modality_dropout=0.5))
+    out = compute_batch_loss(
+        cfg, apply_fn, None, rng,
+        {"input_ids": jnp.asarray(x0.astype(np.int32)),
+         "modality": jnp.asarray(modality.astype(np.int32)),
+         "attention_mask": jnp.asarray(attention_mask)},
+        train=True)
+    assert (u_drop < 0.5).any() and (u_drop >= 0.5).any()
+    np.testing.assert_allclose(float(out.loss), float(losses.loss),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.nlls), losses.nlls.numpy(),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.token_mask),
+                                  losses.token_mask.numpy())
+
+
+def test_rand_flip_ar_prob_flips_batch():
+    """trainer.rand_flip_ar_prob (model.py:352-370): per-row
+    [txt|img] -> [img|txt] reorder. With p=1 every row flips, so the loss
+    must equal the unflipped path fed a pre-flipped batch (the flip draw
+    uses its own fold_in key, leaving all other draws unchanged)."""
+    from dataclasses import replace as _replace
+
+    from unidisc_tpu.training.train_state import compute_batch_loss
+
+    rng_np = np.random.RandomState(59)
+    x0, modality, attention_mask = _make_batch(rng_np)
+    _, jax_fn = _logits_table(33)
+
+    def apply_fn(params, x, sigma, modality_, rng_, train, **extra):
+        return jax_fn(x)
+
+    rng = jax.random.PRNGKey(80)
+    cfg = _our_ar_cfg(ar_inpainting=False)
+    cfg_flip = _replace(cfg, trainer=_replace(cfg.trainer,
+                                              rand_flip_ar_prob=1.0))
+
+    out_flip = compute_batch_loss(
+        cfg_flip, apply_fn, None, rng,
+        {"input_ids": jnp.asarray(x0.astype(np.int32)),
+         "modality": jnp.asarray(modality.astype(np.int32)),
+         "attention_mask": jnp.asarray(attention_mask)},
+        train=True)
+
+    flipped = {
+        "input_ids": jnp.asarray(np.concatenate(
+            [x0[:, TXT_L:], x0[:, :TXT_L]], 1).astype(np.int32)),
+        "modality": jnp.asarray(np.concatenate(
+            [modality[:, TXT_L:], modality[:, :TXT_L]], 1).astype(np.int32)),
+        "attention_mask": jnp.asarray(np.concatenate(
+            [attention_mask[:, TXT_L:], attention_mask[:, :TXT_L]], 1)),
+    }
+    out_pre = compute_batch_loss(cfg, apply_fn, None, rng, flipped,
+                                 train=True)
+    np.testing.assert_allclose(float(out_flip.loss), float(out_pre.loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_flip.nlls),
+                               np.asarray(out_pre.nlls), rtol=1e-6)
+
+
+MODEL_EVAL = "/root/reference/model_eval.py"
+
+
+@pytest.mark.parametrize("cfg_w,unweighed,do_uncond", [
+    (None, False, False), (2.0, False, False), (None, True, True)])
+def test_zero_shot_similarity_parity_vs_reference_code(cfg_w, unweighed,
+                                                       do_uncond):
+    """The zero-shot similarity scorer (get_similarity, nested inside
+    zero_shot_eval_step model_eval.py:268-340): interior t-grid, q_xt
+    corruption, conditioning clamp, optional annealed CFG combine
+    (cfg(), model_eval.py:2630-2640), pad/cond zeroing, std weighting,
+    per-row normalization, mean over timesteps — value-for-value with
+    injected uniforms. (The reference site unpacks q_xt into FIVE names
+    while q_xt returns six values — a latent ValueError; the harness
+    q_xt wrapper returns the first five, the only runnable reading.)"""
+    from unidisc_tpu.eval.harness import zero_shot_similarity
+    from unidisc_tpu.config import Config as OurConfig
+    from unidisc_tpu.config import (ModelConfig, SamplingConfig,
+                                    TrainerConfig)
+
+    STEPS = 4
+    PAD = 2
+    rng_np = np.random.RandomState(61)
+    x0, modality, _ = _make_batch(rng_np)
+    x0[1, TXT_L - 2:TXT_L] = PAD  # a padded text tail on one row
+    torch_fn, jax_fn = _logits_table(35)
+
+    rng = jax.random.PRNGKey(90)
+    u_moves = []
+    for i in range(STEPS):
+        k_move, _, _ = jax.random.split(jax.random.fold_in(rng, i), 3)
+        u_moves.append(np.asarray(jax.random.uniform(k_move, (B, L))))
+
+    ns = extract_functions(
+        MODEL_EVAL, ["get_similarity", "cfg"],
+        extra_globals={"torch": TorchShim([], list(u_moves))})
+    ns_model = extract_functions(
+        MODEL, ["q_xt", "_subs_parameterization"],
+        extra_globals={"torch": TorchShim([], list(u_moves))})
+
+    ref = _ref_self(ns_model, multimodal=False, softmin_snr=None,
+                    text_w=None, img_w=None)
+    ref.backbone.training = False
+    ref.config.trainer.mask_entire_modality = None
+    ref.config.model.txt_length = TXT_L
+    ref.config.model.img_length = IMG_L
+    ref.config.sampling = types.SimpleNamespace(steps=STEPS)
+    ref.config.eval = types.SimpleNamespace(cfg=cfg_w)
+    ref.tokenizer = types.SimpleNamespace(pad_token_id=PAD)
+    ref.parameterization = "subs"
+
+    def q_xt5(*a, **k):
+        return ns_model["q_xt"](ref, *a, **k)[:5]
+
+    ref.q_xt = q_xt5
+
+    def forward(x, cond, return_additional_loss=False, batch=None,
+                x_img_emb=None, joint_ar_nar_mask=None, modality=None,
+                return_logits=False):
+        logits = torch_fn(x)
+        if return_logits:
+            return logits
+        return ns_model["_subs_parameterization"](ref, logits, xt=x)
+
+    ref.forward = forward
+    ns["self"] = ref
+
+    batch = {"modality": torch.as_tensor(modality)}
+    sim_ref = ns["get_similarity"](
+        torch.as_tensor(x0), batch, txt_cond=True,
+        return_unweighed=unweighed, do_unconditional=do_uncond)
+
+    def apply_fn(params, x, sigma, modality_):
+        return jax_fn(x)
+
+    cfg = OurConfig(
+        model=ModelConfig(hidden_size=8, n_blocks=1, n_heads=1, cond_dim=8,
+                          length=L, txt_length=TXT_L, img_length=IMG_L,
+                          text_vocab_size=TEXT_V, image_vocab_size=IMG_V),
+        trainer=TrainerConfig(sampling_eps=EPS),
+        sampling=SamplingConfig(steps=STEPS))
+    sim_ours = zero_shot_similarity(
+        cfg, apply_fn, None,
+        {"input_ids": jnp.asarray(x0.astype(np.int32)),
+         "modality": jnp.asarray(modality.astype(np.int32))},
+        rng, cfg_w=cfg_w, unweighed=unweighed, do_unconditional=do_uncond,
+        pad_id=PAD)
+    np.testing.assert_allclose(np.asarray(sim_ours), sim_ref.numpy(),
+                               rtol=2e-4, atol=1e-6)

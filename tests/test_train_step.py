@@ -249,3 +249,95 @@ def test_sharded_sampling_8dev():
     assert not (tokens == m.mask_index).any()
     np.testing.assert_array_equal(tokens[:, :m.txt_length],
                                   np.asarray(batch["input_ids"])[:, :m.txt_length])
+
+
+def test_add_label_training_and_prior():
+    """Label-as-token conditioning (reference: trainer.add_label
+    model.py:322-334/553-563): the class token occupies position 0 with
+    id label + label_shift, is excluded from the loss, never corrupted,
+    and first_token_dropout re-masks it for label-CFG."""
+    from unidisc_tpu.sampling.extras import class_conditional_prior
+    from unidisc_tpu.training.train_state import compute_batch_loss
+
+    n_labels = 10
+    cfg = tiny_config(**{"model.add_labels": n_labels,
+                         "trainer.add_label": True,
+                         "trainer.first_token_dropout": 0.2}).validate()
+    m = cfg.model
+    assert m.vocab_size == m.text_vocab_size + m.image_vocab_size + n_labels
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    batch = make_batch(cfg, rng, batch_size=4)
+    # keep data ids out of the label slice
+    batch["input_ids"] = jnp.minimum(batch["input_ids"], m.label_shift - 1)
+    batch["label"] = jnp.asarray([0, 3, 7, 9], jnp.int32)
+
+    from unidisc_tpu.training.train_state import make_apply_fn
+    apply_fn = make_apply_fn(cfg, model)
+
+    out = jax.jit(lambda r: compute_batch_loss(
+        cfg, apply_fn, params, r, batch, train=True))(jax.random.PRNGKey(2))
+    assert np.isfinite(float(out.loss))
+    # position 0 excluded from the loss
+    assert not np.asarray(out.token_mask)[:, 0].any()
+
+    # full train step jits and learns with the label batch
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics.loss))
+
+    # class-conditional sampling prior
+    label = jnp.asarray([1, 5], jnp.int32)
+    x0, x0_unmask = class_conditional_prior(label, cfg)
+    assert x0.shape == (2, m.length) and x0_unmask.shape == (2, m.length)
+    np.testing.assert_array_equal(np.asarray(x0[:, 0]),
+                                  np.asarray(label) + m.label_shift)
+    assert bool(x0_unmask[:, 0].all()) and not bool(x0_unmask[:, 1:].any())
+    assert (np.asarray(x0[:, 1:]) == m.mask_index).all()
+
+
+def test_add_label_config_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tiny_config(**{"trainer.add_label": True}).validate()
+    with _pytest.raises(ValueError):
+        tiny_config(**{"model.add_labels": 4,
+                       "trainer.add_label": True,
+                       "trainer.first_token_dropout": 0.1,
+                       "trainer.mask_entire_modality": 0.15}).validate()
+
+
+def test_remat_policy_loss_identical():
+    """model.remat_policy selects WHAT the backward recomputes, never the
+    math: loss under remat none/dots/dots_all must match the un-remat step
+    exactly (same params/batch/rng)."""
+    from unidisc_tpu.training.train_state import compute_batch_loss, \
+        make_apply_fn
+
+    losses = {}
+    for policy in (None, "none", "dots", "dots_all"):
+        over = {} if policy is None else {"model.remat_policy": policy}
+        cfg = tiny_config(**over)
+        model, params = init_dit(jax.random.PRNGKey(0), cfg.model,
+                                 remat=policy is not None)
+        apply_fn = make_apply_fn(cfg, model)
+
+        def loss_fn(p):
+            return compute_batch_loss(cfg, apply_fn, p,
+                                      jax.random.PRNGKey(7),
+                                      make_batch(cfg, jax.random.PRNGKey(1),
+                                                 batch_size=4),
+                                      train=True).loss
+
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params)
+        leaves = jax.tree_util.tree_leaves(grad)
+        gnorm = float(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                          for g in leaves) ** 0.5)
+        losses[policy] = (float(val), gnorm)
+
+    base = losses[None]
+    for policy in ("none", "dots", "dots_all"):
+        np.testing.assert_allclose(losses[policy][0], base[0], rtol=1e-5)
+        np.testing.assert_allclose(losses[policy][1], base[1], rtol=1e-4)

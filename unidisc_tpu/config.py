@@ -43,6 +43,11 @@ class ModelConfig:
     # vocab
     text_vocab_size: int = DEFAULT_TEXT_VOCAB
     image_vocab_size: int = DEFAULT_IMAGE_VOCAB
+    # class-label conditioning as extra VOCAB tokens (reference:
+    # model.add_labels, model_setup.py:104-106 vocab_size += add_labels;
+    # trainer.add_label writes label+shift at position 0, model.py:322-334).
+    # Distinct from cond_label (adaLN class embedding).
+    add_labels: Optional[int] = None
     # architecture flags (reference: configs/config.yaml model section)
     norm_type: str = "layernorm"  # layernorm | rms
     qk_norm: bool = False
@@ -110,6 +115,15 @@ class ModelConfig:
     # rescales — ops/quant.py int8_kv helpers). Halves the cache reads
     # that dominate large-batch decode.
     kv_cache_dtype: str = "bf16"
+    # gradient-checkpointing (remat) policy for the scanned block stack
+    # when trainer.use_gradient_checkpointing is on:
+    #   "none" — recompute everything in the backward (max memory saving)
+    #   "dots" — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #            keep matmul outputs, recompute elementwise chains — trades
+    #            a little HBM for skipping the MXU recompute
+    #   "dots_all" — jax.checkpoint_policies.dots_saveable (incl. batched
+    #            dots, i.e. attention score/value products)
+    remat_policy: str = "none"
     # muP (maximal-update parameterization) hyperparameter transfer: scale
     # per-matrix learning rates by mup_base_width/hidden_size (the MuAdam
     # rule; reference: model.mup flag + mup.MuAdam, model_setup.py:163/416)
@@ -118,7 +132,15 @@ class ModelConfig:
 
     @property
     def vocab_size(self) -> int:
-        return self.text_vocab_size + self.image_vocab_size
+        return (self.text_vocab_size + self.image_vocab_size
+                + (self.add_labels or 0))
+
+    @property
+    def label_shift(self) -> int:
+        """First label token id (reference: model.py:327 shift_index =
+        vocab_size - add_labels)."""
+        assert self.add_labels
+        return self.vocab_size - self.add_labels
 
     @property
     def mask_index(self) -> int:
@@ -189,6 +211,39 @@ class TrainerConfig:
     # and the AR loss applied to the clean half only — the AR model learns
     # to reproduce a sequence given a partially-masked copy as prefix.
     ar_inpainting: bool = False
+    # label-as-token class conditioning (reference: trainer.add_label,
+    # model.py:322-334/553-554): batch["label"]+model.label_shift is
+    # written at position 0, excluded from the loss (attention_mask[0] =
+    # False) and never corrupted. first_token_dropout masks the label
+    # token with this probability during training — the label-CFG
+    # unconditional branch (reference: model.py:556-563, asserts
+    # model_setup.py:450-455).
+    add_label: bool = False
+    first_token_dropout: Optional[float] = None
+    # change-of-variables training objective (reference:
+    # trainer.change_of_variables, model.py:850-857 + 969-970): the
+    # backbone is conditioned on t itself, move_chance interpolates in
+    # log space between sigma_min and sigma_max, and the per-token loss
+    # uses the CONSTANT weight log1p(-exp(-sigma_min)) instead of
+    # dsigma/expm1(sigma). importance_sampling shares the constant-weight
+    # loss (model.py:969) with the t-transform instead. Mutually
+    # exclusive (reference assert, model_setup.py:436).
+    change_of_variables: bool = False
+    # corruption mode: "absorbing" (default, mask token) | "uniform"
+    # (random in-vocab tokens; reference trainer.discrete_diffusion_mode,
+    # model.py:567-580)
+    discrete_diffusion_mode: str = "absorbing"
+    # AR-training batch transforms (reference: model.py:352-370 per-row
+    # [txt|img] -> [img|txt] flip; model.py:897-907 first-modality
+    # masking dropout)
+    rand_flip_ar_prob: Optional[float] = None
+    rand_ar_modality_dropout: Optional[float] = None
+    # debug/eval overrides (reference: trainer.force_timestep and
+    # eval.ar_inpainting_force_val, model.py:611-614 / 892-893): pin the
+    # pre-eps uniform draw (force_timestep, t = (1-eps)*v + eps) or the
+    # ar_inpainting mask rate to a fixed value
+    force_timestep: Optional[float] = None
+    ar_inpainting_force_val: Optional[float] = None
     # batch / precision
     global_batch_size: int = 512
     dtype: str = "bfloat16"
@@ -336,6 +391,26 @@ class Config:
         if s.cfg is not None and s.cfg < 0 and s.cfg != -1:
             errs.append("sampling.cfg must be >= 0 or the sweep "
                         "sentinel -1")
+        if t.change_of_variables and t.importance_sampling:
+            errs.append("change_of_variables excludes importance_sampling "
+                        "(reference model_setup.py:436)")
+        if t.discrete_diffusion_mode not in ("absorbing", "uniform"):
+            errs.append(f"unknown discrete_diffusion_mode "
+                        f"{t.discrete_diffusion_mode!r}")
+        if t.add_label and not m.add_labels:
+            errs.append("trainer.add_label needs model.add_labels > 0 "
+                        "(reference model.py:323)")
+        if t.first_token_dropout is not None:
+            # reference asserts, model_setup.py:450-455
+            if not t.add_label or not m.add_labels:
+                errs.append("first_token_dropout needs trainer.add_label "
+                            "and model.add_labels > 0")
+            if t.joint_ar_nar_prob is not None:
+                errs.append("first_token_dropout excludes "
+                            "joint_ar_nar_prob")
+            if t.mask_entire_modality is not None:
+                errs.append("first_token_dropout excludes "
+                            "mask_entire_modality")
         if m.mup and m.mup_base_width > m.hidden_size:
             errs.append(f"mup_base_width {m.mup_base_width} > hidden_size "
                         f"{m.hidden_size} (transfer goes small -> large)")

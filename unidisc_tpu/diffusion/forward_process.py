@@ -14,13 +14,18 @@ import jax.numpy as jnp
 
 
 def sample_t(rng: jax.Array, batch_size: int, *, antithetic: bool = True,
-             sampling_eps: float = 1e-3) -> jax.Array:
+             sampling_eps: float = 1e-3,
+             force_timestep: Optional[float] = None) -> jax.Array:
     """Sample diffusion times t in [eps, 1], optionally antithetic
-    (low-discrepancy) across the batch (reference: model.py:589-619)."""
+    (low-discrepancy) across the batch (reference: model.py:589-619).
+    force_timestep pins the pre-eps uniform draw (debug/eval override,
+    reference model.py:611-612)."""
     eps_t = jax.random.uniform(rng, (batch_size,))
     if antithetic:
         offset = jnp.arange(batch_size, dtype=jnp.float32) / batch_size
         eps_t = (eps_t / batch_size + offset) % 1.0
+    if force_timestep is not None:
+        eps_t = jnp.full_like(eps_t, force_timestep)
     return (1 - sampling_eps) * eps_t + sampling_eps
 
 
@@ -41,7 +46,12 @@ def q_xt(rng: jax.Array,
          mask_entire_modality: Optional[float] = None,
          allow_move_mask: Optional[jax.Array] = None,
          multimodal: bool = True,
-         sample_ids: Optional[jax.Array] = None) -> CorruptionResult:
+         sample_ids: Optional[jax.Array] = None,
+         protect_first: bool = False,
+         first_token_dropout: Optional[float] = None,
+         diffusion_mode: str = "absorbing",
+         text_vocab_size: Optional[int] = None,
+         vocab_size: Optional[int] = None) -> CorruptionResult:
     """Corrupt x -> xt by masking each token independently w.p. move_chance.
 
     Args:
@@ -110,10 +120,46 @@ def q_xt(rng: jax.Array,
                                      move_indices)
         batch_ignore = (should_mask_txt | should_mask_img).squeeze(-1)
 
+    if protect_first:
+        # label-as-token conditioning: the position-0 label is never
+        # corrupted (reference: model.py:553-554 add_label)
+        move_indices = move_indices.at[:, 0].set(False)
+    if first_token_dropout is not None:
+        # label-CFG: mask the label with prob p and exclude those rows
+        # from the NELBO metrics (reference: model.py:556-563)
+        dropped = jax.random.uniform(
+            jax.random.fold_in(rng, 5), (b,)) < first_token_dropout
+        move_indices = move_indices.at[:, 0].set(
+            jnp.where(dropped, True, move_indices[:, 0]))
+        batch_ignore = batch_ignore | dropped
+
     if allow_move_mask is not None:
         move_indices = move_indices & allow_move_mask
 
-    xt = jnp.where(move_indices, mask_index, x)
+    if diffusion_mode == "uniform":
+        # uniform corruption: random in-vocab tokens instead of the
+        # absorbing mask (reference: trainer.discrete_diffusion_mode,
+        # model.py:567-578). With modality + vocab split given, draws stay
+        # within each position's modality vocab and never hit mask_index
+        # (the reference's force_argmax_valid_indices branch); otherwise
+        # a full-vocab draw with mask_index bumped to mask_index+1.
+        assert vocab_size is not None, "uniform mode needs vocab_size"
+        k_rand = jax.random.fold_in(rng, 9)
+        if modality is not None and text_vocab_size is not None:
+            k_t, k_i = jax.random.split(k_rand)
+            txt_rand = jax.random.randint(k_t, x.shape, 0,
+                                          text_vocab_size - 1)
+            img_rand = jax.random.randint(k_i, x.shape, text_vocab_size,
+                                          vocab_size)
+            random_tokens = jnp.where(modality == 0, txt_rand, img_rand)
+        else:
+            random_tokens = jax.random.randint(k_rand, x.shape, 0,
+                                               vocab_size)
+            random_tokens = jnp.where(random_tokens == mask_index,
+                                      random_tokens + 1, random_tokens)
+        xt = jnp.where(move_indices, random_tokens.astype(x.dtype), x)
+    else:
+        xt = jnp.where(move_indices, mask_index, x)
     return CorruptionResult(xt=xt, move_indices=move_indices, batch_ignore=batch_ignore)
 
 

@@ -43,6 +43,7 @@ def diffusion_loss(log_probs: jax.Array,
                    modality: Optional[jax.Array] = None,
                    batch_ignore: Optional[jax.Array] = None,
                    softmin_snr: Optional[float] = None,
+                   cov_weight: Optional[float] = None,
                    text_loss_weight: Optional[float] = None,
                    img_loss_weight: Optional[float] = None) -> LossOutput:
     """Compute the NELBO training loss.
@@ -67,9 +68,20 @@ def diffusion_loss(log_probs: jax.Array,
 
     log_p_theta = jnp.take_along_axis(log_probs, x0[..., None], axis=-1).squeeze(-1)
 
-    std_w = (dsigma / jnp.expm1(sigma))[:, None]
-    std_loss = -log_p_theta * std_w  # per-token std NLL (metrics)
-    loss = -log_p_theta * nelbo_weighting(sigma, dsigma, softmin_snr)[:, None]
+    if cov_weight is not None:
+        # change-of-variables / importance-sampling objective: CONSTANT
+        # per-token weight log1p(-exp(-sigma_min)) replaces the time-
+        # dependent NELBO weighting — the reference returns the raw
+        # per-token tensor log_p * c early (model.py:969-970), bypassing
+        # its own Loss plumbing; here it flows through the standard
+        # masked-mean reduction (c < 0, so loss = -log_p * |c| >= 0)
+        std_loss = log_p_theta * cov_weight
+        loss = std_loss
+    else:
+        std_w = (dsigma / jnp.expm1(sigma))[:, None]
+        std_loss = -log_p_theta * std_w  # per-token std NLL (metrics)
+        loss = -log_p_theta * nelbo_weighting(sigma, dsigma,
+                                              softmin_snr)[:, None]
 
     txt_loss_out = jnp.zeros((), loss.dtype)
     img_loss_out = jnp.zeros((), loss.dtype)

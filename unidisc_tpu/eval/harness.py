@@ -123,18 +123,97 @@ def sequence_nll(config: Config, apply_fn, params, batch, rng,
     return total / n_timesteps
 
 
+def zero_shot_similarity(config: Config, apply_fn, params, batch, rng,
+                         *, n_timesteps: Optional[int] = None,
+                         txt_cond: bool = True, cfg_w: Optional[float] = None,
+                         force_cfg_value: bool = False,
+                         do_unconditional: bool = False,
+                         unweighed: bool = False,
+                         pad_id: int = 0) -> jax.Array:
+    """The reference's zero-shot similarity scorer, exactly
+    (get_similarity, model_eval.py:268-340): per timestep on the interior
+    grid linspace(0, 1, steps+2)[1:-1], corrupt with q_xt, clamp the
+    conditioning span (text or image; skipped when do_unconditional),
+    optionally CFG-combine raw logits with the annealed weight
+    w = cfg*(1-t) (model_eval.py:2630-2640), SUBS log-probs, gather at x0,
+    zero out pad + conditioned positions, weight by dsigma/expm1(sigma)
+    (or not, `return_unweighed`), normalize per row by the non-pad count,
+    and average over timesteps. Returns (B,) NLL-like scores (lower =
+    more likely pairing).
+
+    Path-faithful subtlety kept: the non-CFG path applies the SUBS
+    carry-over against the CLAMPED input (forward(cond) uses xt=cond),
+    while the CFG path applies it against the unclamped xt
+    (model_eval.py:330-333 vs :318-323).
+    """
+    m = config.model
+    noise = get_noise(config.noise)
+    x0 = batch["input_ids"]
+    modality = batch.get("modality")
+    b = x0.shape[0]
+    steps = n_timesteps or config.sampling.steps
+    times = jnp.linspace(0.0, 1.0, steps + 2)[1:-1]
+
+    pos = jnp.arange(x0.shape[1])[None, :]
+    cond_mask = (pos < m.txt_length) if txt_cond else (pos >= m.txt_length)
+    cond_mask = jnp.broadcast_to(cond_mask, x0.shape)
+    pad_mask = x0 == pad_id
+
+    def subs(logits, xt):
+        return subs_parameterization(
+            logits, xt, m.mask_index,
+            modality=modality if m.force_argmax_valid_indices else None,
+            text_vocab_size=m.text_vocab_size)
+
+    def one_step(total, i):
+        t = jnp.full((b,), times[i])
+        sigma = noise.total(t)
+        dsigma = noise.rate(t)
+        mc = 1 - jnp.exp(-sigma)
+        corr = q_xt(jax.random.fold_in(rng, i), x0, mc, m.mask_index,
+                    modality=modality)
+        xt = corr.xt
+        cond = xt if do_unconditional else jnp.where(cond_mask, x0, xt)
+        if cfg_w is not None:
+            uncond = jnp.where(cond_mask, m.mask_index, xt)
+            logit_c = apply_fn(params, cond, None, modality)
+            logit_u = apply_fn(params, uncond, None, modality)
+            w = cfg_w if force_cfg_value else (cfg_w * (1 - t))[:, None,
+                                                                None]
+            log_p = subs((1 + w) * logit_c - w * logit_u, xt)
+        else:
+            log_p = subs(apply_fn(params, cond, None, modality), cond)
+        tok = jnp.take_along_axis(log_p, x0[..., None], -1).squeeze(-1)
+        tok = jnp.where(pad_mask, 0.0, tok)
+        if not do_unconditional:
+            tok = jnp.where(cond_mask, 0.0, tok)
+        w_std = 1.0 if unweighed else (dsigma / jnp.expm1(sigma))[:, None]
+        loss = (-tok * w_std).sum(-1) / (~pad_mask).sum(-1)
+        return total + loss, None
+
+    total, _ = jax.lax.scan(one_step, jnp.zeros(b), jnp.arange(steps))
+    return total / steps
+
+
 def zero_shot_accuracy(config: Config, apply_fn, params, rng,
-                       pair_batches: List[dict]) -> float:
+                       pair_batches: List[dict], *,
+                       scorer: str = "similarity", **scorer_kw) -> float:
     """Image-text matching: for each item, candidate 0 is the true pairing;
     accuracy = fraction where the model assigns it the lowest NLL
-    (reference: winoground/datacomp zero-shot evals)."""
+    (reference: winoground/datacomp zero-shot evals, zero_shot_eval_step
+    model_eval.py:264+). scorer: "similarity" (the reference's
+    get_similarity estimator) or "nelbo" (sequence_nll)."""
     correct = 0
     total = 0
     for batch_set in pair_batches:
         nlls = []
         for cand in batch_set["candidates"]:
-            nlls.append(np.asarray(sequence_nll(
-                config, apply_fn, params, cand, rng)))
+            if scorer == "similarity":
+                score = zero_shot_similarity(config, apply_fn, params,
+                                             cand, rng, **scorer_kw)
+            else:
+                score = sequence_nll(config, apply_fn, params, cand, rng)
+            nlls.append(np.asarray(score))
         nlls = np.stack(nlls, 1)  # (B, n_candidates)
         correct += (nlls.argmin(1) == 0).sum()
         total += nlls.shape[0]

@@ -750,7 +750,18 @@ class DIT(nn.Module):
         else:
             block_cls = DDiTBlock
             if self.remat:
-                block_cls = nn.remat(DDiTBlock, prevent_cse=False)
+                # remat policy: what the backward may KEEP instead of
+                # recomputing (model.remat_policy; "none" = classic full
+                # recompute). Saving the dots skips the MXU share of the
+                # recompute at the cost of per-block activation HBM.
+                policy = {
+                    "none": None,
+                    "dots": jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable,
+                    "dots_all": jax.checkpoint_policies.dots_saveable,
+                }[cfg.remat_policy]
+                block_cls = nn.remat(DDiTBlock, prevent_cse=False,
+                                     policy=policy)
             blocks = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},

@@ -286,3 +286,24 @@ def build_tweedie_sampler(forward_logits: Callable, config: Config,
             + 1))
 
     return sample
+
+
+def class_conditional_prior(label, config: Config):
+    """Build (x0, x0_unmask) for label-as-token class-conditional
+    generation (reference: trainer.add_label — the class id +
+    model.label_shift sits at position 0 and is the only conditioning;
+    sampling re-masks it on the CFG unconditional branch like any other
+    conditioning token).
+
+    label: (B,) int class ids in [0, model.add_labels).
+    Returns x0 (B, L) int32 (mask everywhere except position 0) and
+    x0_unmask (B, L) bool.
+    """
+    m = config.model
+    assert m.add_labels, "class_conditional_prior needs model.add_labels"
+    label = jnp.asarray(label, jnp.int32)
+    b = label.shape[0]
+    x0 = jnp.full((b, m.length), m.mask_index, jnp.int32)
+    x0 = x0.at[:, 0].set(label + m.label_shift)
+    x0_unmask = jnp.zeros((b, m.length), bool).at[:, 0].set(True)
+    return x0, x0_unmask

@@ -426,8 +426,12 @@ class InferenceEngine:
         results = []
         decode_imgs = self.codec is not None
         if decode_imgs:
+            # clamp out-of-codebook ids (negatives = text leakage; above
+            # image_vocab_size = label tokens when model.add_labels is set
+            # — reference invalid_img_mask, model_eval.py:2887-2888)
             imgs = np.asarray(self.codec.decode(
-                self.codec.params, jnp.asarray(np.maximum(img_ids, 0))))
+                self.codec.params,
+                jnp.asarray(np.clip(img_ids, 0, m.image_vocab_size - 1))))
         for i, p in enumerate(prepared):
             r = {"task": p["task"], "text": texts[i], "texts": [texts[i]],
                  "image_ids": img_ids[i:i + 1], "nfe": int(nfe)}
@@ -559,7 +563,8 @@ class InferenceEngine:
                                            tokens[None, start:end])[0]
                 result_segments.append({"kind": "text", "text": txt})
             else:
-                ids = np.maximum(tokens[start:end] - m.text_vocab_size, 0)
+                ids = np.clip(tokens[start:end] - m.text_vocab_size, 0,
+                              m.image_vocab_size - 1)
                 seg_out = {"kind": "image", "ids": ids, "grid": g}
                 if self.codec is not None:
                     try:

@@ -175,7 +175,35 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
 
     rng_t, rng_mask, rng_drop = jax.random.split(rng, 3)
 
+    if t_cfg.add_label and "label" in batch:
+        # label-as-token class conditioning (reference: model.py:322-334):
+        # the class id + label_shift is written at position 0 and excluded
+        # from the loss via the attention mask; q_xt never corrupts it
+        # (first_token_dropout re-masks it for label-CFG training)
+        label_tok = batch["label"].astype(x0.dtype) + m_cfg.label_shift
+        x0 = x0.at[:, 0].set(label_tok)
+        if attention_mask is None:
+            attention_mask = jnp.ones(x0.shape, dtype=bool)
+        attention_mask = attention_mask.at[:, 0].set(False)
+
     if t_cfg.parameterization == "ar":
+        if train and t_cfg.rand_flip_ar_prob is not None:
+            # per-row [txt|img] -> [img|txt] flip so the AR model learns
+            # both orderings (reference: model.py:352-370; static
+            # non-interleaved layout required there too)
+            flip = jax.random.uniform(
+                jax.random.fold_in(rng, 13), (b,)) < t_cfg.rand_flip_ar_prob
+            tl = m_cfg.txt_length
+
+            def _flip(a):
+                return jnp.where(flip[:, None],
+                                 jnp.concatenate([a[:, tl:], a[:, :tl]], 1),
+                                 a)
+            x0 = _flip(x0)
+            if modality is not None:
+                modality = _flip(modality)
+            if attention_mask is not None:
+                attention_mask = _flip(attention_mask)
         if t_cfg.ar_inpainting:
             # AR inpainting (reference: model.py:880-896): double the
             # sequence to [corrupted || clean]; the corrupted half is
@@ -185,6 +213,10 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             u = jax.random.uniform(rng_t, (b,))
             offset = jnp.arange(b, dtype=jnp.float32) / b
             t_inp = (u / b + offset) % 1.0
+            if t_cfg.ar_inpainting_force_val is not None:
+                # eval override (reference: eval.ar_inpainting_force_val,
+                # model.py:892-893)
+                t_inp = jnp.full_like(t_inp, t_cfg.ar_inpainting_force_val)
             x0 = jnp.concatenate([x0, x0], axis=1)
             move = jax.random.uniform(rng_mask, x0.shape) < t_inp[:, None]
             half = x0.shape[1] // 2
@@ -197,6 +229,20 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             attention_mask = jnp.concatenate(
                 [jnp.zeros_like(base_mask), jnp.ones_like(base_mask)],
                 axis=1)
+        elif train and t_cfg.rand_ar_modality_dropout is not None:
+            # mask out the row's FIRST modality entirely with prob p and
+            # drop it from attention — the AR analog of CFG-unconditional
+            # training (reference: model.py:897-907)
+            assert modality is not None
+            drop = jax.random.uniform(
+                jax.random.fold_in(rng, 17),
+                (b,)) < t_cfg.rand_ar_modality_dropout
+            first_mod_mask = (modality == modality[:, :1]) & drop[:, None]
+            x0 = jnp.where(first_mod_mask, m_cfg.mask_index, x0)
+            if attention_mask is None:
+                attention_mask = jnp.ones(x0.shape, bool)
+            attention_mask = jnp.where(first_mod_mask, False,
+                                       attention_mask)
         logits = apply_fn(params, x0, None, modality, rng_drop, train,
                           **extra)
         if mesh is not None:
@@ -209,15 +255,35 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             text_vocab_size=m_cfg.text_vocab_size if m_cfg.force_argmax_valid_indices else None)
 
     t = sample_t(rng_t, b, antithetic=t_cfg.antithetic_sampling,
-                 sampling_eps=t_cfg.sampling_eps)
+                 sampling_eps=t_cfg.sampling_eps,
+                 force_timestep=t_cfg.force_timestep)
     if t_cfg.importance_sampling and hasattr(
             noise, "importance_sampling_transformation"):
         # low-variance t distribution (reference: noise_schedule.py:42-46,
         # applied in _sample_t model.py:589-619)
         t = noise.importance_sampling_transformation(t)
-    sigma = noise.total(t)
-    dsigma = noise.rate(t)
-    move_chance = 1 - jnp.exp(-sigma)
+    cov_weight = None
+    if t_cfg.change_of_variables:
+        # change-of-variables objective (reference: model.py:850-857): the
+        # backbone is conditioned on t itself, move_chance interpolates in
+        # log space, and the loss weight is a constant (set below). Python
+        # math on the config-derived scalars so they stay jit-static.
+        import math
+        f_T = math.log1p(-math.exp(-float(noise.sigma_max)))
+        f_0 = math.log1p(-math.exp(-float(noise.sigma_min)))
+        move_chance = jnp.exp(f_0 + t * (f_T - f_0))
+        sigma = t
+        dsigma = noise.rate(t)
+    else:
+        sigma = noise.total(t)
+        dsigma = noise.rate(t)
+        move_chance = 1 - jnp.exp(-sigma)
+    if t_cfg.change_of_variables or t_cfg.importance_sampling:
+        # constant per-token weight log1p(-exp(-sigma_min)) — the
+        # t-distribution (importance sampling) or the variable change
+        # absorbs the dsigma/expm1 factor (reference: model.py:969-970)
+        import math
+        cov_weight = math.log1p(-math.exp(-float(noise.sigma_min)))
 
     corrupted = q_xt(rng_mask, x0, move_chance, m_cfg.mask_index,
                      modality=modality,
@@ -226,7 +292,14 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
                      # interleaved batches get per-BLOCK CFG masking
                      # (reference: model.py:483-522)
                      sample_ids=extra.get("sample_ids")
-                     if t_cfg.interleaved else None)
+                     if t_cfg.interleaved else None,
+                     protect_first=t_cfg.add_label,
+                     first_token_dropout=t_cfg.first_token_dropout
+                     if train else None,
+                     diffusion_mode=t_cfg.discrete_diffusion_mode,
+                     text_vocab_size=m_cfg.text_vocab_size
+                     if m_cfg.force_argmax_valid_indices else None,
+                     vocab_size=m_cfg.vocab_size)
 
     xt = corrupted.xt
     batch_ignore = corrupted.batch_ignore
@@ -298,6 +371,7 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
         log_p, x0, sigma, dsigma,
         attention_mask=attention_mask, modality=modality,
         batch_ignore=batch_ignore,
+        cov_weight=cov_weight,
         softmin_snr=t_cfg.softmin_snr,
         # the joint combine defers/ignores the modality loss weights
         # (reference: model.py:1034-1035)
