@@ -76,7 +76,41 @@ def install_torch_stubs() -> None:
             out = torch.softmax(scores.float(), dim=-1).to(v.dtype) @ v
             return out.transpose(1, 2).reshape(total, h, d)
 
+        def flash_attn_func(q, k, v, dropout_p=0.0, softmax_scale=None,
+                            causal=False):
+            # q (B, Sq, H, D), k/v (B, Sk, H, D) -> (B, Sq, H, D); the
+            # form the reference cross-attention uses
+            # (models/dit.py:834-835 with k_cond/v_cond)
+            d = q.shape[-1]
+            scale = softmax_scale if softmax_scale is not None else d ** -0.5
+            qh = q.transpose(1, 2)
+            kh = k.transpose(1, 2)
+            vh = v.transpose(1, 2)
+            scores = (qh @ kh.transpose(-2, -1)) * scale
+            if causal:
+                i = torch.arange(q.shape[1])[:, None]
+                j = torch.arange(k.shape[1])[None, :]
+                scores = scores.masked_fill(j > i, float("-inf"))
+            out = torch.softmax(scores.float(), dim=-1).to(vh.dtype) @ vh
+            return out.transpose(1, 2)
+
+        def flash_attn_qkvpacked_func(qkv, dropout_p=0.0,
+                                      softmax_scale=None, causal=False):
+            # qkv (B, S, 3, H, D)
+            return flash_attn_func(qkv[:, :, 0], qkv[:, :, 1],
+                                   qkv[:, :, 2], dropout_p,
+                                   softmax_scale, causal)
+
+        def flash_attn_varlen_func(q, k, v, cu_seqlens, max_seqlen,
+                                   dropout_p=0.0, softmax_scale=None,
+                                   causal=False):
+            raise NotImplementedError("varlen flash stub not needed")
+
         rotary.apply_rotary_emb_qkv_ = apply_rotary_emb_qkv_
+        rotary.apply_rotary_emb = flash_torch_apply_rotary_emb_torch
+        iface.flash_attn_func = flash_attn_func
+        iface.flash_attn_qkvpacked_func = flash_attn_qkvpacked_func
+        iface.flash_attn_varlen_func = flash_attn_varlen_func
         iface.flash_attn_varlen_qkvpacked_func = \
             flash_attn_varlen_qkvpacked_func
         fa.layers = layers

@@ -456,20 +456,24 @@ PV, PTVS = 32, 16
 def _prod_ref_config(*, length, txt_length, img_length,
                      require_sample_ids=False, production=True,
                      use_pretrained_img_emb=False,
-                     multimodal_batches=True):
+                     multimodal_batches=True, time_conditioning=True,
+                     img_cond=False, cond_image_vocab_size=None,
+                     use_spda_attn=True):
     return types.SimpleNamespace(
-        time_conditioning=True, parameterization="subs",
+        time_conditioning=time_conditioning, parameterization="subs",
         model=types.SimpleNamespace(
             hidden_size=PHID, cond_dim=PHID, n_heads=PHEADS,
             n_blocks=PBLOCKS, dropout=0.0, attn_type="flash",
             force_varlen_attn=False,
             norm_type="rms" if production else "layernorm",
-            qk_norm=production, use_flash_attn_3=False, use_spda_attn=True,
+            qk_norm=production, use_flash_attn_3=False,
+            use_spda_attn=use_spda_attn,
             sandwich_normalization=production, full_attention=True,
             modality_embed=production, rope_2d=production,
             zero_linear_init=True, scale_by_sigma=False,
             length=length, txt_length=txt_length, img_length=img_length,
             use_pretrained_img_emb=use_pretrained_img_emb,
+            img_cond=img_cond, cond_image_vocab_size=cond_image_vocab_size,
             force_optimized_native_attn=False),
         trainer=types.SimpleNamespace(
             use_gradient_checkpointing=False, compile=False,
@@ -673,6 +677,83 @@ def test_production_dit_split_embed_parity():
             _sys.modules.pop("model", None)
         else:
             _sys.modules["model"] = old
+
+
+def test_production_dit_img_cond_parity():
+    """img_cond cross-attention conditioning (reference
+    models/dit.py:1147-1183 cond trunk + 910-911/998-1010 per-block
+    cross-attention + 651-735/834-835 cross Attention): a conditioning
+    token stream runs through its own encoder blocks, then every main
+    block cross-attends to it (Q main / K,V cond) with the cross output
+    added to the BLOCK INPUT residual.
+
+    Latent reference bugs worked around with the only runnable reading
+    (the established convention for paths the reference cannot execute
+    as written):
+      * img_cond_rotary_emb is called with the x_cond TENSOR
+        (models/dit.py:1392) but Rotary.forward takes a seq_len int
+        (models/dit.py:316) and caches legacy 5-dim tables no current
+        apply path accepts — patched to plain (S, d/2) 1D tables, the
+        same form the main stream uses;
+      * the cond-block arg tuple passes the main attention_mask into
+        the cond stream at the wrong arity (models/dit.py:1393) — only
+        runnable with attention_mask=None;
+      * cross attention requires the raw flash path (use_spda_attn
+        routes cross into the self-attn sdpa branch and ignores
+        K_cond/V_cond, models/dit.py:758-835) — so use_spda_attn=False.
+    """
+    install_torch_stubs()
+    import models.dit as ref_dit
+
+    T, I, LC, CV = 8, 16, 12, 20
+    L = T + I
+    torch.manual_seed(0)
+    ref = ref_dit.DIT(
+        _prod_ref_config(length=L, txt_length=T, img_length=I,
+                         production=False, multimodal_batches=False,
+                         time_conditioning=False, img_cond=True,
+                         cond_image_vocab_size=CV, use_spda_attn=False),
+        vocab_size=PV, text_vocab_size=PTVS, mask_index=PTVS - 1)
+    ref = _randomize(ref)
+
+    # only runnable reading of the cond rotary (see docstring): plain 1D
+    # tables over the cond positions, (S, d/2) form
+    from models.standalone_rotary import flash_torch_apply_rotary_emb_torch  # noqa: F401
+    cos_1d = ref.rotary_cos_emb.clone()
+    sin_1d = ref.rotary_sin_emb.clone()
+    class _CondRotary(torch.nn.Module):
+        def forward(self, x_cond):
+            return cos_1d[:x_cond.shape[1]], sin_1d[:x_cond.shape[1]]
+
+    ref.img_cond_rotary_emb = _CondRotary()
+
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, PV, (2, L)).astype(np.int64)
+    x_cond = rng.randint(0, CV, (2, LC)).astype(np.int64)
+    sigma = rng.rand(2).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(idx), torch.tensor(sigma),
+                         x_cond=torch.tensor(x_cond)).numpy()
+
+    cfg = ModelConfig(
+        name="prod-imgcond", hidden_size=PHID, cond_dim=PHID,
+        n_blocks=PBLOCKS, n_heads=PHEADS, dropout=0.0, length=L,
+        txt_length=T, img_length=I, text_vocab_size=PTVS,
+        image_vocab_size=PV - PTVS, norm_type="layernorm",
+        qk_norm=False, sandwich_normalization=False,
+        modality_embed=False, rope_2d=False, time_conditioning=False,
+        attn_backend="xla", img_cond=True, cond_image_vocab_size=CV,
+        cond_length=LC, n_cond_blocks=8)
+    _port_and_compare(ref, cfg, idx, sigma, ref_logits, atol=5e-4,
+                      x_cond=jnp.asarray(x_cond.astype(np.int32)))
+
+    # checkpoint-drop protocol: img_cond architecture is shape-inferable
+    from unidisc_tpu.models.port import infer_dit_overrides
+    over = infer_dit_overrides(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    assert over["model.img_cond"]
+    assert over["model.cond_image_vocab_size"] == CV
+    assert over["model.n_cond_blocks"] == 8
 
 
 # ---------------------------------------------------------------------------

@@ -70,7 +70,7 @@ def _extract_ns(rand_queue):
 
 
 def _ref_self(ns, *, multimodal, softmin_snr, text_w, img_w,
-              log_separate=True):
+              log_separate=True, no_ce_weighting=False):
     import models.noise_schedule as ref_noise
 
     self = types.SimpleNamespace()
@@ -111,6 +111,7 @@ def _ref_self(ns, *, multimodal, softmin_snr, text_w, img_w,
             img_loss_weight=img_w,
             log_seperate_modal_losses=log_separate,
             softmin_snr=softmin_snr,
+            no_ce_weighting=no_ce_weighting,
         ),
         model=types.SimpleNamespace(
             flex_attention_img_masking_prob=None,
@@ -173,7 +174,8 @@ def _draw_injected_uniforms(seed):
 
 
 def _run_ours(rng_t, rng_q, x0, modality, attention_mask, jax_fn, *,
-              multimodal, softmin_snr, text_w, img_w):
+              multimodal, softmin_snr, text_w, img_w,
+              no_ce_weighting=False):
     t = our_sample_t(rng_t, B, antithetic=True, sampling_eps=EPS)
     noise = OurLogLinear()
     sigma, dsigma = noise.total(t), noise.rate(t)
@@ -186,7 +188,7 @@ def _run_ours(rng_t, rng_q, x0, modality, attention_mask, jax_fn, *,
                    dsigma, attention_mask=jnp.asarray(attention_mask),
                    modality=jnp.asarray(modality.astype(np.int32)),
                    batch_ignore=corr.batch_ignore,
-                   softmin_snr=softmin_snr,
+                   softmin_snr=softmin_snr, no_ce_weighting=no_ce_weighting,
                    text_loss_weight=text_w, img_loss_weight=img_w)
     return t, corr, out
 
@@ -1183,4 +1185,29 @@ def test_zero_shot_similarity_parity_vs_reference_code(cfg_w, unweighed,
         rng, cfg_w=cfg_w, unweighed=unweighed, do_unconditional=do_uncond,
         pad_id=PAD)
     np.testing.assert_allclose(np.asarray(sim_ours), sim_ref.numpy(),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_compute_loss_parity_no_ce_weighting():
+    """trainer.no_ce_weighting (model.py:972/989): constant per-token CE
+    weight — std_weighting = 1 AND the softmin-SNR override is skipped
+    even when softmin_snr is set."""
+    rng = np.random.RandomState(17)
+    x0, modality, attention_mask = _make_batch(rng)
+    torch_fn, jax_fn = _logits_table(9)
+    rng_t, rng_q, queue = _draw_injected_uniforms(7)
+
+    ns = _extract_ns(queue)
+    ref = _wire(ns, _ref_self(ns, multimodal=False, softmin_snr=5.0,
+                              text_w=None, img_w=None, log_separate=False,
+                              no_ce_weighting=True))
+    losses = _run_reference(ref, x0, modality, attention_mask, torch_fn)
+
+    t, corr, ours = _run_ours(rng_t, rng_q, x0, modality, attention_mask,
+                              jax_fn, multimodal=False, softmin_snr=5.0,
+                              text_w=None, img_w=None, no_ce_weighting=True)
+
+    np.testing.assert_allclose(float(ours.loss), float(losses.loss),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(ours.nlls), losses.nlls.numpy(),
                                rtol=2e-4, atol=1e-6)

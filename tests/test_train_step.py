@@ -341,3 +341,113 @@ def test_remat_policy_loss_identical():
     for policy in ("none", "dots", "dots_all"):
         np.testing.assert_allclose(losses[policy][0], base[0], rtol=1e-5)
         np.testing.assert_allclose(losses[policy][1], base[1], rtol=1e-4)
+
+
+def test_img_cond_training_and_sampling():
+    """Cross-attention image conditioning (reference model.img_cond,
+    models/dit.py:1147-1183/1385-1400 + cond_input_ids plumbing,
+    model.py:262-263/399-400): the cond stream reaches the loss through
+    batch["x_cond"], gradients flow into the cond trunk, and samplers
+    condition through a closed-over x_cond."""
+    cfg = tiny_config(**{
+        "model.time_conditioning": False,
+        "model.img_cond": True,
+        "model.cond_image_vocab_size": 24,
+        "model.cond_length": 12,
+        "model.n_cond_blocks": 2,
+        # a zero-init output head gives zero upstream grads at step 1,
+        # hiding whether the cond trunk is trainable
+        "model.zero_linear_init": False,
+    }).validate()
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    step = jax.jit(make_train_step(cfg, model))
+    batch = dict(make_batch(cfg, rng, batch_size=4))
+    batch["x_cond"] = jax.random.randint(
+        jax.random.PRNGKey(3), (4, cfg.model.cond_length), 0, 24)
+
+    state1 = state
+    for i in range(3):   # warmup_lr_init is 0.0 — step past it
+        state1, metrics = step(state1, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
+    # cond-trunk and cross-attention weights actually move
+    import flax
+    d0 = flax.traverse_util.flatten_dict(state.params, sep="/")
+    d1 = flax.traverse_util.flatten_dict(state1.params, sep="/")
+    for key in ("img_cond_blocks/attention/attn_qkv/kernel",
+                "blocks/cross_attention/attn_qkv_cond/kernel",
+                "cond_img_vocab_embed"):
+        assert float(np.abs(np.asarray(d1[key] - d0[key])).max()) > 0, key
+
+    # the conditioning changes the loss (not a dead input)
+    from unidisc_tpu.training.train_state import make_eval_step
+    ev = jax.jit(make_eval_step(cfg, model, use_ema=False))
+    m1 = ev(state1, batch, jax.random.PRNGKey(2))
+    batch2 = dict(batch)
+    batch2["x_cond"] = (batch["x_cond"] + 7) % 24
+    m2 = ev(state1, batch2, jax.random.PRNGKey(2))
+    assert abs(float(m1.loss) - float(m2.loss)) > 1e-6
+
+    # sampling: x_cond rides the forward closure; different conditions
+    # give different generations at a fixed seed
+    from unidisc_tpu.sampling.sampler import build_sampler
+
+    def fwd_with(xc):
+        def f(p, x, sigma, modality):
+            return model.apply({"params": p}, x, sigma, modality=modality,
+                               x_cond=xc)
+        return f
+
+    cfg_s = cfg.override(**{"sampling.predictor": "maskgit",
+                            "sampling.steps": 4, "sampling.cfg": None})
+    B, L = 2, cfg.model.length
+    x0 = jnp.zeros((B, L), jnp.int32)
+    unmask = jnp.zeros((B, L), bool)
+    modality = jnp.concatenate(
+        [jnp.zeros((B, cfg.model.txt_length), jnp.int32),
+         jnp.ones((B, cfg.model.img_length), jnp.int32)], axis=-1)
+    xc1 = batch["x_cond"][:B]
+    xc2 = batch2["x_cond"][:B]
+    out1 = jax.jit(build_sampler(fwd_with(xc1), cfg_s))(
+        state1.params, jax.random.PRNGKey(5), x0, unmask, modality)
+    out2 = jax.jit(build_sampler(fwd_with(xc2), cfg_s))(
+        state1.params, jax.random.PRNGKey(5), x0, unmask, modality)
+    assert out1.tokens.shape == (B, L)
+    assert int((out1.tokens != cfg.model.mask_index).sum()) == B * L
+    assert int((out1.tokens != out2.tokens).sum()) > 0
+
+
+def test_scale_lr_by_batch_size():
+    """trainer.scale_lr_by_batch_size (reference main.py:320-322):
+    lr *= global_batch_size / 512."""
+    from unidisc_tpu.training.train_state import make_lr_schedule
+    cfg = tiny_config(**{"trainer.warmup_steps": 0,
+                         "trainer.lr": 1e-3,
+                         "trainer.global_batch_size": 128,
+                         "trainer.scale_lr_by_batch_size": True})
+    sched = make_lr_schedule(cfg)
+    np.testing.assert_allclose(float(sched(1)), 1e-3 * 128 / 512,
+                               rtol=1e-6)
+    base = make_lr_schedule(tiny_config(**{"trainer.warmup_steps": 0,
+                                           "trainer.lr": 1e-3}))
+    np.testing.assert_allclose(float(base(1)), 1e-3, rtol=1e-6)
+
+
+def test_low_precision_params():
+    """trainer.low_precision_params (reference model_setup.py:119/294):
+    bf16 parameters/EMA; the step still runs with a finite loss."""
+    cfg = tiny_config(**{"trainer.low_precision_params": True})
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_train_state(cfg, params)
+    leaves = [p for p in jax.tree_util.tree_leaves(state.params)
+              if hasattr(p, "dtype")]
+    assert all(p.dtype == jnp.bfloat16 for p in leaves)
+    assert all(p.dtype == jnp.bfloat16
+               for p in jax.tree_util.tree_leaves(state.ema_params))
+    step = jax.jit(make_train_step(cfg, model))
+    state2, metrics = step(state, make_batch(cfg, rng, 4),
+                           jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
+    assert jax.tree_util.tree_leaves(state2.params)[0].dtype == jnp.bfloat16

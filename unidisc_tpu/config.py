@@ -54,6 +54,22 @@ class ModelConfig:
     sandwich_normalization: bool = False
     time_conditioning: bool = False
     cond_label: bool = False
+    # cross-attention image conditioning (reference model.img_cond,
+    # models/dit.py:1147-1183, 1385-1400): a second token stream (e.g. a
+    # low-resolution conditioning image encoded by a cond VAE at
+    # data.cond_resolution, model.py:262-263) runs through its own
+    # n_cond_blocks-deep encoder trunk, then every main block
+    # cross-attends to it (Q from the main stream, K/V from the cond
+    # stream) after self-attention. Used for super-resolution-style
+    # image-conditioned generation.
+    img_cond: bool = False
+    cond_image_vocab_size: Optional[int] = None
+    cond_length: Optional[int] = None
+    n_cond_blocks: int = 8  # reference hardcodes 8 (models/dit.py:1156)
+    # width of the cond embedding table when the cond VAE codebook is
+    # reused (reference use_pretrained_img_emb cond branch,
+    # models/dit.py:1148-1151); None = learned table at hidden_size
+    cond_img_embed_dim: Optional[int] = None
     rope_2d: bool = False
     # interleaved variable-resolution batches: 2D rope table per grid size
     # (reference per-resolution buffers, models/dit.py:1203-1232);
@@ -188,6 +204,16 @@ class TrainerConfig:
     sampling_eps: float = 1e-3
     importance_sampling: bool = False
     softmin_snr: Optional[float] = None  # gamma; production uses 5
+    # constant per-token CE weight in place of the NELBO
+    # dsigma/expm1(sigma) weighting; also bypasses softmin-SNR
+    # (reference trainer.no_ce_weighting, model.py:972/989)
+    no_ce_weighting: bool = False
+    # lr *= global_batch_size / 512 (reference main.py:320-322)
+    scale_lr_by_batch_size: bool = False
+    # keep parameters (and therefore optimizer/EMA state) in bf16 —
+    # halves parameter HBM at a small quality cost (reference
+    # trainer.low_precision_params, model_setup.py:119/294)
+    low_precision_params: bool = False
     text_loss_weight: Optional[float] = None  # production: 1.0
     img_loss_weight: Optional[float] = None  # production: 0.6
     mask_entire_modality: Optional[float] = None  # production: 0.15
@@ -423,6 +449,27 @@ class Config:
         if m.cond_label and m.time_conditioning:
             errs.append("cond_label and time_conditioning are exclusive "
                         "conditioning paths")
+        if m.img_cond:
+            if not m.cond_image_vocab_size or not m.cond_length:
+                errs.append("img_cond needs cond_image_vocab_size and "
+                            "cond_length")
+            if m.sandwich_normalization:
+                # reference asserts (models/dit.py:931)
+                errs.append("img_cond excludes sandwich_normalization")
+            if m.qk_norm:
+                # reference asserts (models/dit.py:688 "Not yet supported")
+                errs.append("img_cond excludes qk_norm")
+            if m.rope_2d or m.img_resolutions is not None:
+                # the runnable reference reading uses plain 1D rotary for
+                # the cond stream; 2D main rope would make the cross-attn
+                # K rope ill-defined (models/dit.py:730-734 applies the
+                # MAIN table's first cond_length rows to K_cond)
+                errs.append("img_cond supports 1D rope only (rope_2d / "
+                            "img_resolutions off)")
+            if self.mesh.pp > 1 or self.mesh.seq > 1:
+                errs.append("img_cond is not wired through pipeline/"
+                            "sequence parallelism (the cond stream is "
+                            "replicated, not L-sharded)")
         if self.mesh.seq > 1 and m.length % self.mesh.seq != 0:
             errs.append(f"model.length {m.length} not divisible by "
                         f"mesh.seq {self.mesh.seq} (sequence parallelism "

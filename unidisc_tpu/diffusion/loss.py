@@ -44,6 +44,7 @@ def diffusion_loss(log_probs: jax.Array,
                    batch_ignore: Optional[jax.Array] = None,
                    softmin_snr: Optional[float] = None,
                    cov_weight: Optional[float] = None,
+                   no_ce_weighting: bool = False,
                    text_loss_weight: Optional[float] = None,
                    img_loss_weight: Optional[float] = None) -> LossOutput:
     """Compute the NELBO training loss.
@@ -76,6 +77,13 @@ def diffusion_loss(log_probs: jax.Array,
         # its own Loss plumbing; here it flows through the standard
         # masked-mean reduction (c < 0, so loss = -log_p * |c| >= 0)
         std_loss = log_p_theta * cov_weight
+        loss = std_loss
+    elif no_ce_weighting:
+        # plain cross-entropy: constant per-token weight, softmin-SNR
+        # bypassed too (reference trainer.no_ce_weighting,
+        # model.py:972/989 — std_weighting = 1 and the softmin override
+        # is skipped)
+        std_loss = -log_p_theta
         loss = std_loss
     else:
         std_w = (dsigma / jnp.expm1(sigma))[:, None]

@@ -174,15 +174,20 @@ def zero_shot_similarity(config: Config, apply_fn, params, batch, rng,
                     modality=modality)
         xt = corr.xt
         cond = xt if do_unconditional else jnp.where(cond_mask, x0, xt)
+        # the reference passes unet_conditioning=None here (model_eval.py
+        # :316 "sigma[:, None] -> This causes CUDA OOM") — which only
+        # runs for untimed models; for a time-conditioned model the real
+        # sigma is the only runnable reading
+        sig_in = sigma if m.time_conditioning else None
         if cfg_w is not None:
             uncond = jnp.where(cond_mask, m.mask_index, xt)
-            logit_c = apply_fn(params, cond, None, modality)
-            logit_u = apply_fn(params, uncond, None, modality)
+            logit_c = apply_fn(params, cond, sig_in, modality)
+            logit_u = apply_fn(params, uncond, sig_in, modality)
             w = cfg_w if force_cfg_value else (cfg_w * (1 - t))[:, None,
                                                                 None]
             log_p = subs((1 + w) * logit_c - w * logit_u, xt)
         else:
-            log_p = subs(apply_fn(params, cond, None, modality), cond)
+            log_p = subs(apply_fn(params, cond, sig_in, modality), cond)
         tok = jnp.take_along_axis(log_p, x0[..., None], -1).squeeze(-1)
         tok = jnp.where(pad_mask, 0.0, tok)
         if not do_unconditional:

@@ -379,6 +379,48 @@ class Attention(nn.Module):
         return out, new_cache
 
 
+class CrossAttention(nn.Module):
+    """Cross-attention to the conditioning stream (reference img_cond:
+    models/dit.py:516-735 cross_attn branches + 834-835).
+
+    Q comes from the main stream (the reference stores a full 3*dim
+    ``attn_qkv`` projection on the cross module and consumes only the Q
+    third — models/dit.py:651-735; we keep the full parameter for
+    checkpoint parity and slice, letting XLA narrow the dot). K/V come
+    from ``attn_qkv_cond`` over the cond trunk output; K gets plain 1D
+    rotary at cond positions, Q the main-stream rotary.
+    """
+
+    cfg: ModelConfig
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, x_cond, rope_cos, rope_sin, cond_rope):
+        c = self.cfg
+        h, d = c.n_heads, c.head_dim
+        dim = c.hidden_size
+        qkv = nn.Dense(3 * dim, use_bias=False, dtype=self.compute_dtype,
+                       kernel_init=torch_linear_init(),
+                       name="attn_qkv")(x)
+        qkv_cond = nn.Dense(3 * dim, use_bias=False,
+                            dtype=self.compute_dtype,
+                            kernel_init=torch_linear_init(),
+                            name="attn_qkv_cond")(x_cond)
+        b, l = x.shape[0], x.shape[1]
+        lc = x_cond.shape[1]
+        q = qkv[..., :dim].reshape(b, l, h, d)
+        k = qkv_cond[..., dim:2 * dim].reshape(b, lc, h, d)
+        v = qkv_cond[..., 2 * dim:].reshape(b, lc, h, d)
+        cond_cos, cond_sin = cond_rope
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, cond_cos, cond_sin)
+        out = multihead_attention(q, k, v, causal=False, backend="xla")
+        out = out.reshape(b, l, dim)
+        return nn.Dense(dim, use_bias=False, dtype=self.compute_dtype,
+                        kernel_init=torch_linear_init(),
+                        name="attn_out")(out)
+
+
 class DDiTBlock(nn.Module):
     """Transformer block with optional adaLN-zero time conditioning and
     sandwich normalization (reference: models/dit.py:890-1033)."""
@@ -389,7 +431,8 @@ class DDiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, rope_cos, rope_sin, modality, attn_mask,
-                 kv_cache, cache_index, segment_ids):
+                 kv_cache, cache_index, segment_ids, x_cond=None,
+                 cond_rope=None):
         cfg = self.cfg
         dim = cfg.hidden_size
 
@@ -458,6 +501,19 @@ class DDiTBlock(nn.Module):
                               name="pre_residual_norm")(attn_out)
         else:
             x = gate_residual(x_skip, attn_out, gate_msa, modality,
+                              dropout_fn=dropout_fn)
+
+        if cfg.img_cond and x_cond is not None:
+            # Faithful to the reference residual wiring
+            # (models/dit.py:996-1010): the cross output is added to
+            # x_skip — the BLOCK INPUT — so the self-attention branch
+            # contributes only through the cross-attention queries. The
+            # cross epilogue never sees modality (the reference calls it
+            # without the modality arg).
+            cross_out = CrossAttention(cfg, self.compute_dtype,
+                                       name="cross_attention")(
+                x, x_cond, rope_cos, rope_sin, cond_rope)
+            x = gate_residual(x_skip, cross_out, gate_msa, None,
                               dropout_fn=dropout_fn)
 
         norm2 = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm2")
@@ -548,7 +604,7 @@ class DIT(nn.Module):
     def __call__(self, indices, sigma=None, *, modality=None, attn_mask=None,
                  label=None, kv_cache=None, cache_index=None,
                  sample_ids=None, rope_index=None, extra_embed=None,
-                 img_block_index=None, return_hidden=False,
+                 img_block_index=None, x_cond=None, return_hidden=False,
                  deterministic=True):
         cfg = self.cfg
         if cfg.split_embed:
@@ -663,6 +719,55 @@ class DIT(nn.Module):
             rope_cos = rope_cos[:indices.shape[1]]
             rope_sin = rope_sin[:indices.shape[1]]
 
+        x_cond_repr = None
+        cond_rope = None
+        if cfg.img_cond and x_cond is not None:
+            # Conditioning-image encoder trunk (reference img_cond,
+            # models/dit.py:1147-1183, 1385-1400): embed the cond token
+            # stream, run it through n_cond_blocks plain blocks with 1D
+            # rotary, and hand the result to every main block's
+            # cross-attention. The reference constructs the cond blocks
+            # with the model's time_conditioning but calls them with
+            # c=None (models/dit.py:1393 passes None) — the only runnable
+            # reading is unconditioned cond blocks, which is what we
+            # build. Incompatible with KV-cache decode (reference asserts,
+            # models/dit.py:1386).
+            assert kv_cache is None, "img_cond excludes KV-cache decode"
+            import dataclasses as _dc
+            if cfg.cond_img_embed_dim is not None:
+                # cond VQ codebook reuse + projection (reference
+                # models/dit.py:1148-1151)
+                cond_table = self.param(
+                    "cond_img_vocab_embed", embedding_init(),
+                    (cfg.cond_image_vocab_size, cfg.cond_img_embed_dim))
+                ce = jnp.take(cond_table, x_cond, axis=0)
+                ce = nn.Dense(cfg.hidden_size,
+                              name="cond_img_vocab_proj")(ce)
+            else:
+                cond_table = self.param(
+                    "cond_img_vocab_embed", embedding_init(),
+                    (cfg.cond_image_vocab_size, cfg.hidden_size))
+                ce = jnp.take(cond_table, x_cond, axis=0)
+            ce = ce.astype(self.compute_dtype)
+            from unidisc_tpu.models.rotary import rope_1d
+            ccos, csin = rope_1d(x_cond.shape[1], cfg.head_dim,
+                                 base=cfg.rope_base)
+            cond_rope = (jnp.asarray(ccos), jnp.asarray(csin))
+            cond_cfg = _dc.replace(cfg, time_conditioning=False,
+                                   img_cond=False)
+            cond_blocks = nn.scan(
+                DDiTBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 10,
+                length=cfg.n_cond_blocks,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cond_cfg, self.compute_dtype, deterministic,
+              name="img_cond_blocks")
+            x_cond_repr, _ = cond_blocks(ce, None, cond_rope[0],
+                                         cond_rope[1], None, None, None,
+                                         None, None, None, None)
+
         if sample_ids is not None and attn_mask is None:
             # packed interleaved batches: the pallas kernel and the
             # sequence-parallel ring take structured segment ids directly
@@ -768,14 +873,14 @@ class DIT(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, nn.broadcast, 0, nn.broadcast,
-                         nn.broadcast),
+                         nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.n_blocks,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, self.compute_dtype, deterministic, name="blocks")
 
             x, new_cache = blocks(x, c, rope_cos, rope_sin, modality,
                                   attn_mask, kv_cache, cache_index,
-                                  segment_ids)
+                                  segment_ids, x_cond_repr, cond_rope)
 
         logits = DDitFinalLayer(cfg, self.compute_dtype, name="output_layer")(
             x, c, modality)
@@ -798,6 +903,9 @@ def init_dit(rng: jax.Array, cfg: ModelConfig, *, compute_dtype=jnp.bfloat16,
     dummy_sigma = jnp.zeros((batch_size,), jnp.float32)
     dummy_modality = jnp.zeros((batch_size, cfg.length), jnp.int32)
     label = jnp.zeros((batch_size,), jnp.int32) if cfg.cond_label else None
+    x_cond = (jnp.zeros((batch_size, cfg.cond_length), jnp.int32)
+              if cfg.img_cond else None)
     params = model.init({"params": rng}, dummy_tokens, dummy_sigma,
-                        modality=dummy_modality, label=label)["params"]
+                        modality=dummy_modality, label=label,
+                        x_cond=x_cond)["params"]
     return model, params

@@ -96,10 +96,11 @@ def port_dit_state_dict(params: Dict, state_dict: Dict,
         n_blocks += 1
     assert n_blocks > 0, "no blocks.* keys found"
 
-    def stack(tname: str, transpose: bool = False) -> np.ndarray:
+    def stack(tname: str, transpose: bool = False, *,
+              prefix: str = "blocks", count: int = 0) -> np.ndarray:
         arrs = []
-        for i in range(n_blocks):
-            a = take(f"blocks.{i}.{tname}")
+        for i in range(count or n_blocks):
+            a = take(f"{prefix}.{i}.{tname}")
             arrs.append(a.T if (transpose and a.ndim == 2) else a)
         return np.stack(arrs, 0)
 
@@ -122,6 +123,48 @@ def port_dit_state_dict(params: Dict, state_dict: Dict,
         put("blocks/pre_residual_norm/weight",
             stack("pre_residual_norm.weight"))
         put("blocks/post_ff_norm/weight", stack("post_ff_norm.weight"))
+
+    # img_cond cross-attention conditioning (reference models/dit.py:
+    # 1147-1183 cond trunk + 910-911 per-block cross_attention modules)
+    if "blocks.0.cross_attention.attn_qkv.weight" in sd:
+        for nm in ("attn_qkv", "attn_qkv_cond", "attn_out"):
+            put(f"blocks/cross_attention/{nm}/kernel",
+                stack(f"cross_attention.{nm}.weight", True))
+        if "cond_img_vocab_embed.embedding" in sd:
+            put("cond_img_vocab_embed",
+                take("cond_img_vocab_embed.embedding"))
+        else:
+            # pretrained cond VQ codebook + projection
+            # (models/dit.py:1148-1151; nn.Embedding saves .weight)
+            put("cond_img_vocab_embed", take("cond_img_vocab_embed.weight"))
+            put("cond_img_vocab_proj/kernel",
+                take("cond_img_vocab_proj.weight"), transpose=True)
+            put("cond_img_vocab_proj/bias", take("cond_img_vocab_proj.bias"))
+        n_cond = 0
+        while f"img_cond_blocks.{n_cond}.attn_qkv.weight" in sd:
+            n_cond += 1
+        assert n_cond > 0, "img_cond ckpt without img_cond_blocks.*"
+        cb = dict(prefix="img_cond_blocks", count=n_cond)
+        put("img_cond_blocks/attention/attn_qkv/kernel",
+            stack("attn_qkv.weight", True, **cb))
+        put("img_cond_blocks/attention/attn_out/kernel",
+            stack("attn_out.weight", True, **cb))
+        put("img_cond_blocks/norm1/weight", stack("norm1.weight", **cb))
+        put("img_cond_blocks/norm2/weight", stack("norm2.weight", **cb))
+        for i in (0, 2):
+            put(f"img_cond_blocks/mlp_{i}/kernel",
+                stack(f"mlp.{i}.weight", True, **cb))
+            put(f"img_cond_blocks/mlp_{i}/bias",
+                stack(f"mlp.{i}.bias", **cb))
+        # the reference builds the cond blocks with the model's
+        # time_conditioning flag, so adaLN tables exist in such
+        # checkpoints even though the runtime passes c=None
+        # (models/dit.py:1393) — drop them (our cond blocks are
+        # unconditioned, the only runnable reading)
+        for i in range(n_cond):
+            for nm in ("adaLN_modulation.weight", "adaLN_modulation.bias"):
+                if f"img_cond_blocks.{i}.{nm}" in sd:
+                    used.add(f"img_cond_blocks.{i}.{nm}")
 
     # output layer
     put("output_layer/norm_final/weight",
@@ -231,6 +274,22 @@ def infer_dit_overrides(state_dict: Dict) -> Dict:
         # dit.py creates it only without cond_label) — cond_dim is the
         # label table's width
         over["model.cond_dim"] = shp["y_embedder.embedding_table.weight"][1]
+
+    over["model.img_cond"] = \
+        "blocks.0.cross_attention.attn_qkv.weight" in shp
+    if over["model.img_cond"]:
+        key = ("cond_img_vocab_embed.embedding"
+               if "cond_img_vocab_embed.embedding" in shp
+               else "cond_img_vocab_embed.weight")
+        over["model.cond_image_vocab_size"] = shp[key][0]
+        if "cond_img_vocab_proj.weight" in shp:
+            over["model.cond_img_embed_dim"] = shp[key][1]
+        n_cond = 0
+        while f"img_cond_blocks.{n_cond}.attn_qkv.weight" in shp:
+            n_cond += 1
+        over["model.n_cond_blocks"] = n_cond
+        # cond_length is positional (rotary tables are position-free) —
+        # stays with the preset/CLI
 
     if "img_vocab_embed.weight" in shp:
         # split-embed (use_pretrained_img_emb): the vocab split is exact

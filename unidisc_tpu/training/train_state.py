@@ -82,6 +82,11 @@ def make_lr_schedule(config: Config):
     warmup_prefix + lr_min floor), cosine_hard_restarts
     (get_cosine_with_hard_restarts_schedule_with_warmup, num_cycles)."""
     t = config.trainer
+    if t.scale_lr_by_batch_size:
+        # linear batch-size LR scaling against the 512 production batch
+        # (reference main.py:320-322)
+        import dataclasses as _dc
+        t = _dc.replace(t, lr=t.lr * t.global_batch_size / 512)
     total = max(t.max_steps, t.warmup_steps + 1)
     warmup = optax.linear_schedule(t.warmup_lr_init, t.lr, t.warmup_steps)
     if t.lr_schedule == "constant_warmup":
@@ -145,6 +150,16 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
 
 def init_train_state(config: Config, params: Any) -> TrainState:
     opt = make_optimizer(config)
+    if config.trainer.low_precision_params:
+        # bf16 parameters (and therefore bf16 optimizer/EMA state) —
+        # halves parameter HBM (reference trainer.low_precision_params,
+        # model_setup.py:119/294 keeps the module in self.dtype instead
+        # of upcasting to fp32)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if hasattr(p, "dtype") and jnp.issubdtype(p.dtype,
+                                                      jnp.floating) else p,
+            params)
     # EMA starts as a *copy* of params (aliased buffers would break jit
     # donation: the same buffer cannot be donated twice)
     ema = jax.tree_util.tree_map(jnp.copy, params)
@@ -170,7 +185,10 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
     x0 = batch["input_ids"]
     modality = batch.get("modality")
     attention_mask = batch.get("attention_mask")
-    extra = {k: batch[k] for k in ("sample_ids", "rope_index") if k in batch}
+    # x_cond: the conditioning-image token stream for img_cond models
+    # (reference cond_input_ids, model.py:262-263/399-400)
+    extra = {k: batch[k] for k in ("sample_ids", "rope_index", "x_cond")
+             if k in batch}
     b = x0.shape[0]
 
     rng_t, rng_mask, rng_drop = jax.random.split(rng, 3)
@@ -372,6 +390,7 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
         attention_mask=attention_mask, modality=modality,
         batch_ignore=batch_ignore,
         cov_weight=cov_weight,
+        no_ce_weighting=t_cfg.no_ce_weighting,
         softmin_snr=t_cfg.softmin_snr,
         # the joint combine defers/ignores the modality loss weights
         # (reference: model.py:1034-1035)
@@ -395,8 +414,11 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             # implemented as 0, the only runnable reading)
             log_p_theta = jnp.take_along_axis(
                 log_p, x0[..., None], axis=-1).squeeze(-1)
-            nar_tok = -log_p_theta * nelbo_weighting(
-                sigma, dsigma, t_cfg.softmin_snr)[:, None]
+            if t_cfg.no_ce_weighting:
+                nar_tok = -log_p_theta
+            else:
+                nar_tok = -log_p_theta * nelbo_weighting(
+                    sigma, dsigma, t_cfg.softmin_snr)[:, None]
             ar_w = joint_mask.mean()
             mixed = jnp.where(joint_mask[:, None],
                               ar_tok * ar_w, nar_tok * (1.0 - ar_w))
