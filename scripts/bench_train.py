@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--remat-policy", default="none",
                     help="none | dots | dots_all (model.remat_policy)")
+    ap.add_argument("--low-precision", action="store_true",
+                    help="trainer.low_precision_params: bf16 params + "
+                    "EMA + optimizer state — halves the train-state "
+                    "HBM; the mode that fits 1.4B training on ONE v5e "
+                    "chip (fp32-master training stays the FSDP "
+                    "workload)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -57,6 +63,8 @@ def main():
         over = {"trainer.use_gradient_checkpointing": True,
                 "model.remat_policy": args.remat_policy,
                 "model.dropout": 0.0}
+        if args.low_precision:
+            over["trainer.low_precision_params"] = True
         B = args.batch
         if scale == "1p4b":
             # fp32 AdamW m/v + EMA at 1.4B is ~22GB — a multi-chip

@@ -451,3 +451,136 @@ def test_low_precision_params():
                            jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
     assert jax.tree_util.tree_leaves(state2.params)[0].dtype == jnp.bfloat16
+
+
+def test_offload_fused_update_matches_optax():
+    """The offload step's hand-fused flat optimizer update must match
+    optax element-for-element — adamw and lion, across several steps
+    with schedule + weight decay active."""
+    import optax
+
+    from unidisc_tpu.training.offload import _fused_update
+    for opt_name in ("adamw", "lion"):
+        cfg = tiny_config(**{"trainer.optimizer": opt_name,
+                             "trainer.warmup_steps": 2,
+                             "trainer.lr": 3e-3,
+                             "trainer.weight_decay": 0.01})
+        t = cfg.trainer
+        from unidisc_tpu.training.train_state import make_lr_schedule
+        sched = make_lr_schedule(cfg)
+        if opt_name == "adamw":
+            opt = optax.adamw(sched, b1=t.beta1, b2=t.beta2, eps=t.opt_eps,
+                              weight_decay=t.weight_decay)
+        else:
+            opt = optax.lion(sched, b1=t.beta1, b2=t.beta2,
+                             weight_decay=t.weight_decay)
+        rng = jax.random.PRNGKey(0)
+        m = jax.random.normal(rng, (513,), jnp.float32)
+        opt_state = opt.init(m)
+        mu = jnp.zeros_like(m)
+        nu = jnp.zeros_like(m)
+        for step in range(4):
+            g = jax.random.normal(jax.random.fold_in(rng, step), (513,))
+            updates, opt_state = opt.update(g, opt_state, m)
+            m_ref = optax.apply_updates(m, updates)
+            m, mu, nu = _fused_update(cfg, m, mu, nu, g,
+                                      jnp.int32(step))
+            np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                                       rtol=1e-6, atol=1e-7)
+            m = m_ref  # keep trajectories pinned together
+
+
+def test_offload_flat_roundtrip():
+    """tree -> [K,C] rows -> tree is an exact round trip (incl. the
+    zero-padded tail) and chunk_row agrees with the packed rows."""
+    from unidisc_tpu.training.offload import (chunk_row, make_flat_spec,
+                                              rows_to_tree, tree_to_rows)
+    cfg = tiny_config()
+    _, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    spec = make_flat_spec(params, 3)
+    rows = tree_to_rows(params, spec, jnp.float32)
+    assert rows.shape == (3, spec.chunk_size)
+    back = rows_to_tree(rows, spec, jnp.float32)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b))
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(chunk_row(params, spec, k, jnp.float32)),
+            np.asarray(rows[k]))
+
+
+def test_offload_train_step_math_cpu():
+    """Host-offloaded fp32-master training (training/offload.py), math
+    path (annotate=False — the pinned_host placements need a TPU
+    runtime, measured in scripts/bench_offload.py): bf16 working
+    weights + fp32 master/moments/EMA, loss learns, the working weights
+    are exactly bf16(master), chunked (K=4) and unchunked trajectories
+    agree, and the non-finite guard skips updates."""
+    from unidisc_tpu.training.offload import (gather_ema, gather_master,
+                                              init_offload_state,
+                                              make_offload_train_step)
+    cfg = tiny_config(**{"trainer.warmup_steps": 0, "trainer.lr": 2e-3})
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+    state = init_offload_state(cfg, params, annotate=False, chunks=1)
+    state4 = init_offload_state(cfg, params, annotate=False, chunks=4)
+    assert len(state4.masters) == 4 and len(state.masters) == 1
+    step = make_offload_train_step(cfg, model, annotate=False)
+    batch = make_batch(cfg, rng, batch_size=8)
+
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        state4, metrics4 = step(state4, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics.loss))
+        np.testing.assert_allclose(float(metrics4.loss), losses[-1],
+                                   rtol=1e-6)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+    # chunked == unchunked: same math, different staging — identical up
+    # to fp32 fusion/FMA rounding (different chunk sizes compile
+    # different executables)
+    m1 = gather_master(state)
+    m4 = gather_master(state4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-7)
+
+    leaves_w = jax.tree_util.tree_leaves(state.params)
+    leaves_m = jax.tree_util.tree_leaves(m1)
+    assert all(w.dtype == jnp.bfloat16 for w in leaves_w)
+    assert all(m.dtype == jnp.float32 for m in leaves_m)
+    for w, m in zip(leaves_w, leaves_m):
+        np.testing.assert_array_equal(np.asarray(w),
+                                      np.asarray(m.astype(jnp.bfloat16)))
+    # EMA is a convex combination, not a copy
+    e0 = jax.tree_util.tree_leaves(gather_ema(state))[0]
+    mm0 = leaves_m[0]
+    assert float(np.abs(np.asarray(e0 - mm0)).max()) > 0
+
+    # fp32 master keeps moving step to step
+    m_before = np.asarray(leaves_m[0])
+    state2, _ = step(state, batch, jax.random.PRNGKey(2))
+    m_after = np.asarray(jax.tree_util.tree_leaves(
+        gather_master(state2))[0])
+    assert np.abs(m_after - m_before).max() > 0
+
+    # NaN guard: poison the WORKING weights -> NaN loss -> master and
+    # moments must stay bit-equal, and the returned working weights are
+    # re-derived from the untouched master (self-repair)
+    poisoned = state2.replace(params=jax.tree_util.tree_map(
+        lambda w: (w * jnp.nan).astype(w.dtype)
+        if jnp.issubdtype(w.dtype, jnp.floating) else w, state2.params))
+    state3, metrics3 = step(poisoned, batch, jax.random.PRNGKey(3))
+    assert not np.isfinite(float(metrics3.loss))
+    for a, b in zip(state3.masters + state3.mus + state3.nus + state3.emas,
+                    state2.masters + state2.mus + state2.nus + state2.emas):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for w, m in zip(jax.tree_util.tree_leaves(state3.params),
+                    jax.tree_util.tree_leaves(gather_master(state3))):
+        np.testing.assert_array_equal(np.asarray(w),
+                                      np.asarray(m.astype(jnp.bfloat16)))

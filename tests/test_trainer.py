@@ -146,3 +146,63 @@ def test_resume_completed_run_is_noop(tmp_path):
     out = t2.fit(SyntheticDataLoader(cfg, batch_size=8), max_steps=4)
     t2.close()
     assert out["step"] == step1
+
+
+def test_trainer_host_offload_fit_resume_validate(tmp_path):
+    """Trainer wiring for host-offloaded fp32-master training
+    (trainer.host_offload_optimizer, training/offload.py): single-device
+    mode — fit runs the chunked offload step (annotate=False on the CPU
+    backend; the pinned_host placement itself is TPU-probed in
+    scripts/bench_offload.py), loss learns, working weights are bf16,
+    checkpoints round-trip the chunked state (incl. the '@lo:hi'
+    layer-split keys through orbax), and validation evaluates the live
+    bf16 weights."""
+    from unidisc_tpu.parallel.mesh import make_mesh
+    from unidisc_tpu.training.offload import OffloadTrainState, gather_master
+
+    cfg = tiny_config().override(**{
+        "trainer.host_offload_optimizer": True,
+        "trainer.host_offload_chunks": 3,
+        "trainer.warmup_steps": 0,
+    }).validate()
+    mesh1 = make_mesh(cfg.mesh, devices=jax.devices()[:1])
+    run_dir = str(tmp_path / "run")
+
+    tr = Trainer(cfg, run_dir, mesh=mesh1, log_every=5, ckpt_every=5,
+                 val_use_ema=False)
+    assert isinstance(tr.state, OffloadTrainState)
+    assert len(tr.state.masters) == 3
+    loader = SyntheticDataLoader(cfg, batch_size=8)
+    out = tr.fit(loader, max_steps=10)
+    assert out["step"] == 10 and np.isfinite(out["loss"])
+    leaves_w = jax.tree_util.tree_leaves(tr.state.params)
+    assert all(w.dtype == "bfloat16" for w in leaves_w)
+    master_after_10 = jax.device_get(gather_master(tr.state))
+    val = tr.validate(SyntheticDataLoader(cfg, batch_size=8, seed=9),
+                      step=10, max_batches=2)
+    assert np.isfinite(val["val/bpd"])
+    tr.close()
+
+    # resume: restored masters bit-match the saved run, training continues
+    tr2 = Trainer(cfg, run_dir, mesh=mesh1, log_every=5, ckpt_every=5,
+                  val_use_ema=False)
+    start = tr2.maybe_restore()
+    assert start == 10
+    for a, b in zip(jax.tree_util.tree_leaves(gather_master(tr2.state)),
+                    jax.tree_util.tree_leaves(master_after_10)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out2 = tr2.fit(SyntheticDataLoader(cfg, batch_size=8), max_steps=14)
+    assert out2["step"] == 14 and np.isfinite(out2["loss"])
+    tr2.close()
+
+
+def test_host_offload_config_validation():
+    base = {"trainer.host_offload_optimizer": True}
+    for bad in ({"model.mup": True},
+                {"trainer.grad_accum_steps": 2},
+                {"model.lora_rank": 4},
+                {"trainer.low_precision_params": True}):
+        cfg = tiny_config().override(**base, **bad)
+        with pytest.raises(ValueError):
+            cfg.validate()
+    tiny_config().override(**base).validate()

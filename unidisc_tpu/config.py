@@ -214,6 +214,13 @@ class TrainerConfig:
     # halves parameter HBM at a small quality cost (reference
     # trainer.low_precision_params, model_setup.py:119/294)
     low_precision_params: bool = False
+    # host-offloaded fp32-master training (training/offload.py): bf16
+    # working weights in HBM, fp32 master + optimizer moments + EMA in
+    # pinned_host memory, streamed through HBM one chunk at a time —
+    # fits 1.4B fp32-master AdamW on ONE 16G v5e chip. Single-device by
+    # design (multi-chip memory scaling is the FSDP mesh).
+    host_offload_optimizer: bool = False
+    host_offload_chunks: int = 8
     text_loss_weight: Optional[float] = None  # production: 1.0
     img_loss_weight: Optional[float] = None  # production: 0.6
     mask_entire_modality: Optional[float] = None  # production: 0.15
@@ -437,6 +444,25 @@ class Config:
             if t.mask_entire_modality is not None:
                 errs.append("first_token_dropout excludes "
                             "mask_entire_modality")
+        if t.host_offload_optimizer:
+            if m.mup:
+                errs.append("host_offload_optimizer excludes model.mup "
+                            "(per-path LR multipliers don't survive the "
+                            "flat chunk re-keying, training/offload.py)")
+            if t.grad_accum_steps != 1:
+                errs.append("host_offload_optimizer excludes grad "
+                            "accumulation — raise the per-step batch "
+                            "instead (the freed HBM is the point)")
+            if m.lora_rank > 0:
+                errs.append("host_offload_optimizer excludes LoRA (the "
+                            "adapter state is small — offload solves a "
+                            "problem LoRA doesn't have)")
+            if t.low_precision_params:
+                errs.append("host_offload_optimizer excludes "
+                            "low_precision_params (the offload keeps the "
+                            "fp32 master that mode gives up)")
+            if t.host_offload_chunks < 1:
+                errs.append("host_offload_chunks must be >= 1")
         if m.mup and m.mup_base_width > m.hidden_size:
             errs.append(f"mup_base_width {m.mup_base_width} > hidden_size "
                         f"{m.hidden_size} (transfer goes small -> large)")

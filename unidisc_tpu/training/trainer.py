@@ -156,15 +156,48 @@ class Trainer:
                   f"{self.n_params:,} total params")
             params = adapter
 
-        state = init_train_state(config, params)
-        step_fn = make_train_step(config, self.model, mesh=self.mesh,
-                                  param_map=self.param_map)
-        self.train_step, self.state, self.data_sharding = shard_train_step(
-            step_fn, state, self.mesh)
-        self.eval_step = jax.jit(make_eval_step(config, self.model,
-                                                mesh=self.mesh,
-                                                use_ema=val_use_ema,
-                                                param_map=self.param_map))
+        self.host_offload = bool(config.trainer.host_offload_optimizer)
+        if self.host_offload:
+            # Host-offloaded fp32-master training (training/offload.py):
+            # single-device by design — multi-chip memory scaling is the
+            # FSDP mesh, this is the one-chip answer for models whose
+            # fp32 state exceeds HBM (1.4B on a 16G v5e).
+            from unidisc_tpu.training.offload import (
+                init_offload_state, make_offload_train_step)
+            assert self.mesh.devices.size == 1, (
+                "host_offload_optimizer is a single-device mode; use the "
+                "FSDP mesh for multi-chip memory scaling")
+            # pinned_host memory kinds + compute_on need a TPU runtime;
+            # the CPU backend runs the same math un-annotated (tested
+            # exactly equivalent, tests/test_train_step.py)
+            self._offload_annotate = jax.default_backend() not in ("cpu",)
+            self.state = init_offload_state(
+                config, params, annotate=self._offload_annotate,
+                chunks=config.trainer.host_offload_chunks)
+            # a PYTHON pipeline of jitted programs, not one jit — see
+            # training/offload.py's design notes for why
+            self.train_step = make_offload_train_step(
+                config, self.model, annotate=self._offload_annotate)
+            from unidisc_tpu.parallel.mesh import batch_sharding
+            self.data_sharding = batch_sharding(self.mesh)
+            if val_use_ema:
+                print("[trainer] host_offload_optimizer: validation uses "
+                      "the LIVE bf16 working weights (the EMA lives on "
+                      "the host in chunks; gather_ema() for offline "
+                      "EMA eval)")
+            self.eval_step = jax.jit(make_eval_step(config, self.model,
+                                                    mesh=self.mesh,
+                                                    use_ema=False))
+        else:
+            state = init_train_state(config, params)
+            step_fn = make_train_step(config, self.model, mesh=self.mesh,
+                                      param_map=self.param_map)
+            self.train_step, self.state, self.data_sharding = \
+                shard_train_step(step_fn, state, self.mesh)
+            self.eval_step = jax.jit(make_eval_step(config, self.model,
+                                                    mesh=self.mesh,
+                                                    use_ema=val_use_ema,
+                                                    param_map=self.param_map))
 
         self.ckpt = CheckpointManager(
             f"{run_dir}/checkpoints", max_to_keep=max_ckpts,
