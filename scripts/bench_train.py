@@ -41,9 +41,14 @@ def main():
     ap.add_argument("--low-precision", action="store_true",
                     help="trainer.low_precision_params: bf16 params + "
                     "EMA + optimizer state — halves the train-state "
-                    "HBM; the mode that fits 1.4B training on ONE v5e "
-                    "chip (fp32-master training stays the FSDP "
-                    "workload)")
+                    "HBM. At 1.4B, bf16 AdamW still OOMs (measured); "
+                    "combine with --optimizer adafactor for the "
+                    "resident single-chip cell, or use "
+                    "scripts/bench_offload.py for fp32-master AdamW")
+    ap.add_argument("--optimizer", default=None,
+                    help="override the trainer optimizer (default: "
+                    "preset's adamw; the 1p4b fp32 cell forces "
+                    "adafactor to fit)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -66,12 +71,22 @@ def main():
         if args.low_precision:
             over["trainer.low_precision_params"] = True
         B = args.batch
+        if args.optimizer:
+            over["trainer.optimizer"] = args.optimizer
         if scale == "1p4b":
-            # fp32 AdamW m/v + EMA at 1.4B is ~22GB — a multi-chip
-            # (FSDP) workload; the single-chip bench uses adafactor
-            # (factored second moment) and a smaller batch
-            over["trainer.optimizer"] = "adafactor"
-            B = min(B, 8)
+            if args.low_precision:
+                # bf16 params/EMA/moments: full AdamW state is ~11.2G —
+                # measured NOT to fit next to grads+activations (B8 and
+                # B16 both OOM); --optimizer adafactor is the resident
+                # bf16 cell, the fp32-master AdamW path is
+                # scripts/bench_offload.py
+                B = min(B, 16)
+            else:
+                # fp32 AdamW m/v + EMA at 1.4B is ~22GB — a multi-chip
+                # (FSDP) workload; the single-chip fp32 bench uses
+                # adafactor (factored second moment) + a smaller batch
+                over["trainer.optimizer"] = "adafactor"
+                B = min(B, 8)
         cfg = Config.make(preset).apply_experiments("vq16_t2i").override(
             **over)
         if args.cpu:

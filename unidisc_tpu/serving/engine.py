@@ -860,12 +860,37 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
             params = merge_lora(base, state.ema_params,
                                 alpha=snap.model.lora_alpha,
                                 rank=snap.model.lora_rank)
+        elif snap.trainer.host_offload_optimizer:
+            # a host-offload run dir (training/offload.py): its
+            # checkpoints hold the CHUNKED flat fp32 state, not a
+            # TrainState. Rebuild the chunked template (host-resident on
+            # a TPU runtime so 1.4B-class state never lands in HBM),
+            # restore, and serve the gathered fp32 EMA weights — the
+            # same weights the resident path serves.
+            from unidisc_tpu.training.offload import (gather_ema,
+                                                      init_offload_state)
+            # template from the SNAPSHOT architecture (the run's model
+            # config wins over the preset's — e.g. time_conditioning
+            # adds adaLN parameters the preset may not have)
+            _, snap_params = init_dit(jax.random.PRNGKey(snap.seed),
+                                      snap.model)
+            tmpl = init_offload_state(
+                snap, snap_params,
+                annotate=jax.default_backend() not in ("cpu",),
+                chunks=snap.trainer.host_offload_chunks)
+            ostate, _ = mgr.restore(tmpl)
+            params = gather_ema(ostate)
         else:
             # template optimizer state from the SNAPSHOT config (the run
             # may have trained with a non-default optimizer)
             state, _ = mgr.restore(init_train_state(snap, params))
             params = state.ema_params
         config = snap
+        # rebuild the module from the snapshot architecture too — flag
+        # differences like time_conditioning change the module's
+        # parameter tree, not just its shapes
+        from unidisc_tpu.models.dit import DIT
+        model = DIT(config.model, compute_dtype=jnp.bfloat16)
         # experiment overlays and CLI overrides both beat the checkpoint's
         # config snapshot (the snapshot records what was TRAINED, not what
         # is being served — an --experiments fast_nfe serve must survive
