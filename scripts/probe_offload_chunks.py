@@ -12,6 +12,15 @@ at once), then one jitted program that updates them in a dependency
 chain. OOM => staging is NOT bounded; success => build the chunked
 offload trainer on this pattern.
 
+POSTSCRIPT (round 4, after building it): the conclusion did NOT hold
+at 1.4B — scalar-token chaining orders the section COMPUTE but not the
+operand stagings, and optimization_barrier doesn't either (XLA's
+host-offload legalize walks through barriers; 25.5G of hoisted
+copy-starts, see training/offload.py's design notes and
+probe_offload_scan.py). The shipped offload uses one small jitted
+program per chunk instead. This probe's "success" at small sizes was
+buffer slack, not serialization.
+
 Run: python scripts/probe_offload_chunks.py [--chunks 8] [--gb 1.5]
 """
 import argparse
