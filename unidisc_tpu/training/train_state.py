@@ -161,8 +161,15 @@ def init_train_state(config: Config, params: Any) -> TrainState:
                                                       jnp.floating) else p,
             params)
     # EMA starts as a *copy* of params (aliased buffers would break jit
-    # donation: the same buffer cannot be donated twice)
-    ema = jax.tree_util.tree_map(jnp.copy, params)
+    # donation: the same buffer cannot be donated twice). It stays fp32
+    # even under low_precision_params: at decay 0.9999 the (1-decay)
+    # increment is far below bf16's ~2^-8 relative ulp, so a bf16 EMA
+    # accumulator would round back to itself every step and never leave
+    # initialization.
+    ema = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(p, dtype=jnp.float32)
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+        else jnp.copy(p), params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=opt.init(params), ema_params=ema)
 
@@ -189,6 +196,12 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
     # (reference cond_input_ids, model.py:262-263/399-400)
     extra = {k: batch[k] for k in ("sample_ids", "rope_index", "x_cond")
              if k in batch}
+    if m_cfg.img_cond and "x_cond" not in batch:
+        # without this, DIT's `x_cond is not None` gate would silently
+        # skip the cond trunk and every cross-attention block — the
+        # conditioning params would train to nothing with no error
+        raise ValueError(
+            "model.img_cond=True but the batch has no 'x_cond' stream")
     b = x0.shape[0]
 
     rng_t, rng_mask, rng_drop = jax.random.split(rng, 3)
@@ -205,6 +218,25 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
         attention_mask = attention_mask.at[:, 0].set(False)
 
     if t_cfg.parameterization == "ar":
+        if (t_cfg.ar_inpainting
+                or (train and t_cfg.rand_flip_ar_prob is not None)) \
+                and "rope_index" not in extra \
+                and m_cfg.img_resolutions is None:
+            # The backbone's static rope table matches only the canonical
+            # [txt|img] layout; row flips and the [corrupted||clean]
+            # doubling re-arrange it, so pass explicit per-token
+            # within-block rope indices (the DIT rope_index path). The
+            # reference's own non-interleaved doubled path is unrunnable
+            # as written (the first image block reads NaN-padded rope
+            # rows, models/dit.py:1447-1455) — block-restarting positions
+            # are the defined behavior here.
+            base = jnp.concatenate([
+                jnp.arange(m_cfg.txt_length, dtype=jnp.int32),
+                jnp.arange(max(m_cfg.img_length, 0), dtype=jnp.int32)])
+            extra["rope_index"] = jnp.broadcast_to(
+                base[None, :], (b, base.shape[0]))
+            if modality is None:
+                modality = jnp.zeros_like(x0)
         if train and t_cfg.rand_flip_ar_prob is not None:
             # per-row [txt|img] -> [img|txt] flip so the AR model learns
             # both orderings (reference: model.py:352-370; static
@@ -222,6 +254,8 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
                 modality = _flip(modality)
             if attention_mask is not None:
                 attention_mask = _flip(attention_mask)
+            if "rope_index" in extra:
+                extra["rope_index"] = _flip(extra["rope_index"])
         if t_cfg.ar_inpainting:
             # AR inpainting (reference: model.py:880-896): double the
             # sequence to [corrupted || clean]; the corrupted half is
@@ -242,6 +276,9 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             x0 = jnp.where(move, m_cfg.mask_index, x0)
             if modality is not None:
                 modality = jnp.concatenate([modality, modality], axis=1)
+            if "rope_index" in extra:
+                extra["rope_index"] = jnp.concatenate(
+                    [extra["rope_index"], extra["rope_index"]], axis=1)
             base_mask = attention_mask if attention_mask is not None else \
                 jnp.ones((b, half), bool)
             attention_mask = jnp.concatenate(
@@ -529,7 +566,9 @@ def make_train_step(config: Config, model, mesh=None, param_map=None):
         # EMA of parameters (reference: models/ema.py:10-115; update at
         # model.py:1540-1545)
         new_ema = jax.tree_util.tree_map(
-            lambda e, p: e * ema_decay + p * (1 - ema_decay),
+            lambda e, p: e * ema_decay
+            + (p.astype(e.dtype) if hasattr(p, "astype") else p)
+            * (1 - ema_decay),
             state.ema_params, new_params)
         metrics = _split_metrics(out, batch.get("modality"), loss,
                                  optax.global_norm(grads))
