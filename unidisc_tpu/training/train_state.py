@@ -167,7 +167,7 @@ def init_train_state(config: Config, params: Any) -> TrainState:
     # accumulator would round back to itself every step and never leave
     # initialization.
     ema = jax.tree_util.tree_map(
-        lambda p: jnp.asarray(p, dtype=jnp.float32)
+        lambda p: jnp.copy(p).astype(jnp.float32)
         if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
         else jnp.copy(p), params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
