@@ -510,6 +510,65 @@ def test_experiments_survive_checkpoint_restore(tmp_path):
     assert eng.config.model.hidden_size == cfg.model.hidden_size
 
 
+def test_behavioral_model_overrides_reach_module_after_restore(tmp_path):
+    """ADVICE r4 (low): build_engine rebuilt the module from the
+    SNAPSHOT's model config before serve-time overlays/overrides were
+    re-applied, so behavioral model.* fields (kv_cache_dtype, quant
+    flags) were silently dropped from the module while eng.config
+    claimed them. The module must be rebuilt from the FINAL config."""
+    from unidisc_tpu.config import Config
+    from unidisc_tpu.serving.engine import build_engine
+    from unidisc_tpu.training.checkpoint import CheckpointManager
+    from unidisc_tpu.training.train_state import init_train_state
+
+    cfg = Config.make("tiny")
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(cfg, params)
+    mgr = CheckpointManager(str(tmp_path / "checkpoints"),
+                            save_interval_steps=1)
+    mgr.save(1, state, cfg)
+    mgr.wait()
+    mgr.close()
+
+    eng = build_engine(preset="tiny", checkpoint=str(tmp_path),
+                       kv_cache="int8")
+    assert eng.config.model.kv_cache_dtype == "int8"
+    # the MODULE itself must carry the override, not just the config
+    assert eng.model.cfg.kv_cache_dtype == "int8"
+    # snapshot architecture still wins for parametric fields
+    assert eng.model.cfg.hidden_size == cfg.model.hidden_size
+
+
+def test_engine_refuses_img_cond_checkpoint(tmp_path):
+    """ADVICE r4 (low): an img_cond checkpoint served via build_engine
+    (which never supplies x_cond) silently skipped the cond trunk and
+    every cross-attention block, producing UNCONDITIONED samples. The
+    engine must refuse loudly, mirroring compute_batch_loss's guard."""
+    from unidisc_tpu.config import Config
+    from unidisc_tpu.serving.engine import build_engine
+    from unidisc_tpu.training.checkpoint import CheckpointManager
+    from unidisc_tpu.training.train_state import init_train_state
+
+    cfg = Config.make("tiny", **{
+        "model.img_cond": True,
+        "model.cond_image_vocab_size": 24,
+        "model.cond_length": 12,
+        "model.n_cond_blocks": 2,
+        "model.sandwich_normalization": False,
+        "model.qk_norm": False,
+    }).validate()
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    state = init_train_state(cfg, params)
+    mgr = CheckpointManager(str(tmp_path / "checkpoints"),
+                            save_interval_steps=1)
+    mgr.save(1, state, cfg)
+    mgr.wait()
+    mgr.close()
+
+    with pytest.raises(ValueError, match="img_cond"):
+        build_engine(preset="tiny", checkpoint=str(tmp_path))
+
+
 def _tiny_serving_cfg():
     return Config.make("tiny").override(**{
         "model.text_vocab_size": 261, "model.image_vocab_size": 64,

@@ -584,3 +584,13 @@ def test_offload_train_step_math_cpu():
                     jax.tree_util.tree_leaves(gather_master(state3))):
         np.testing.assert_array_equal(np.asarray(w),
                                       np.asarray(m.astype(jnp.bfloat16)))
+    # opt_count semantics (resident-path parity): step counts ATTEMPTS,
+    # opt_count counts APPLIED updates — the NaN step advances step but
+    # not opt_count, so lr/bias-correction stay aligned with optax's
+    # restored count; the next good step advances both again
+    assert int(state3.step) == int(state2.step) + 1
+    assert int(state3.opt_count) == int(state2.opt_count)
+    assert int(state2.opt_count) == int(state2.step)  # all prior steps ok
+    state5, metrics5 = step(state3, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics5.loss))
+    assert int(state5.opt_count) == int(state3.opt_count) + 1

@@ -886,11 +886,6 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
             state, _ = mgr.restore(init_train_state(snap, params))
             params = state.ema_params
         config = snap
-        # rebuild the module from the snapshot architecture too — flag
-        # differences like time_conditioning change the module's
-        # parameter tree, not just its shapes
-        from unidisc_tpu.models.dit import DIT
-        model = DIT(config.model, compute_dtype=jnp.bfloat16)
         # experiment overlays and CLI overrides both beat the checkpoint's
         # config snapshot (the snapshot records what was TRAINED, not what
         # is being served — an --experiments fast_nfe serve must survive
@@ -899,6 +894,26 @@ def build_engine(*, preset: str = "small", checkpoint: Optional[str] = None,
             config = config.apply_experiments(*experiments)
         if over:
             config = config.override(**over)
+        # rebuild the module from the FINAL config — the snapshot
+        # architecture wins by default (config started as snap: flag
+        # differences like time_conditioning change the parameter tree,
+        # not just shapes), but behavioral model.* fields from serve-time
+        # overlays/overrides (attn_backend, kv_cache_dtype, quant flags)
+        # must reach the module too; a rebuild from snap alone silently
+        # dropped them. Parametric drift from an overlay fails loudly at
+        # apply time (restored params no longer match the module).
+        from unidisc_tpu.models.dit import DIT
+        model = DIT(config.model, compute_dtype=jnp.bfloat16)
+    if config.model.img_cond:
+        # mirror compute_batch_loss's guard (train_state.py): the serving
+        # request path has no conditioning-image stream, so an img_cond
+        # model would silently skip its cond trunk and every
+        # cross-attention block (models/dit.py gates on x_cond is not
+        # None) and produce UNCONDITIONED samples. Fail loudly instead.
+        raise ValueError(
+            "model.img_cond=True checkpoint cannot be served: the engine "
+            "supplies no x_cond conditioning stream (use the sampling "
+            "API with an explicit x_cond, or serve a non-img_cond model)")
     if lora:
         # serve a LoRA fine-tune: merge the rank-r adapter saved by
         # training/lora.save_lora into the base weights ONCE at build

@@ -166,7 +166,9 @@ def _fused_update(config: Config, m, mu, nu, g32, step):
     """One flat-chunk optimizer update. Matches optax.adamw / optax.lion
     applied at optax count==step element-for-element (asserted in
     tests/test_train_step.py::test_offload_fused_update_matches_optax).
-    Returns (new_master, new_mu, new_nu)."""
+    `step` is the state's opt_count — the count of APPLIED updates, not
+    attempted steps — so lr and bias correction track optax across
+    NaN-skips. Returns (new_master, new_mu, new_nu)."""
     t = config.trainer
     lr = make_lr_schedule(config)(step)
     s1 = (step + 1).astype(jnp.float32)
@@ -194,6 +196,12 @@ def _fused_update(config: Config, m, mu, nu, g32, step):
 
 class OffloadTrainState(struct.PyTreeNode):
     step: jax.Array
+    # optimizer update count: advances only on a FINITE loss, like the
+    # resident path's optax count (which is restored wholesale on a
+    # NaN-skip) — _fused_update derives lr and bias correction from it,
+    # so after a NaN-skip both trajectories stay aligned. `step` keeps
+    # counting every attempted step (rng fold-in, logging).
+    opt_count: jax.Array
     params: Any                       # structured bf16 tree, device HBM
     masters: Tuple[jax.Array, ...]    # K x f32[C], pinned_host
     mus: Tuple[jax.Array, ...]        # first moment, pinned_host
@@ -253,7 +261,8 @@ def init_offload_state(config: Config, params: Any, *,
     mus = [zeros() for _ in range(K)]
     nus = [zeros() for _ in range(K)]
     return OffloadTrainState(
-        step=jnp.zeros((), jnp.int32), params=work,
+        step=jnp.zeros((), jnp.int32),
+        opt_count=jnp.zeros((), jnp.int32), params=work,
         masters=tuple(masters), mus=tuple(mus), nus=tuple(nus),
         emas=tuple(emas), spec=spec)
 
@@ -305,9 +314,10 @@ def make_offload_train_step(config: Config, model, *, annotate: bool = True):
             # tree+vec+rows triple was the runtime-OOM, measured)
             return grads, scale, ok, metrics
 
-        def update_program(k, m, mu, nu, e, grads, scale, ok, step):
+        def update_program(k, m, mu, nu, e, grads, scale, ok, count):
             g32 = chunk_row(grads, spec, k, jnp.float32) * scale
-            n_m, n_mu, n_nu = _fused_update(config, m, mu, nu, g32, step)
+            n_m, n_mu, n_nu = _fused_update(config, m, mu, nu, g32,
+                                            count)
             # NaN-skip guard: a non-finite loss leaves master/moments/
             # EMA untouched and re-derives the working weights from the
             # untouched master
@@ -316,7 +326,10 @@ def make_offload_train_step(config: Config, model, *, annotate: bool = True):
             n_nu = jnp.where(ok, n_nu, nu)
             n_e = jnp.where(ok, e * ema_decay + n_m * (1.0 - ema_decay),
                             e)
-            return n_m, n_mu, n_nu, n_e, n_m.astype(jnp.bfloat16)
+            # the new optimizer count rides out of the (tiny) update
+            # program — computing it on the host would cost a dispatch
+            n_count = count + ok.astype(jnp.int32)
+            return n_m, n_mu, n_nu, n_e, n_m.astype(jnp.bfloat16), n_count
 
         def assemble_program(w_rows):
             return rows_to_tree(w_rows, spec, jnp.bfloat16)
@@ -327,7 +340,8 @@ def make_offload_train_step(config: Config, model, *, annotate: bool = True):
             donate_argnums=(1, 2, 3, 4) if annotate else (),
             in_shardings=((host,) * 4 + (None,) * 4) if annotate
             else None,
-            out_shardings=((host,) * 4 + (dev,)) if annotate else None)
+            out_shardings=((host,) * 4 + (dev, dev)) if annotate
+            else None)
         return (jax.jit(grad_program), jit_update,
                 jax.jit(assemble_program,
                         donate_argnums=0 if annotate else ()))
@@ -342,10 +356,11 @@ def make_offload_train_step(config: Config, model, *, annotate: bool = True):
         grads, scale, ok, metrics = grad_fn(state.params, batch, rng,
                                             state.step)
         n_masters, n_mus, n_nus, n_emas, w_rows = [], [], [], [], []
+        n_count = state.opt_count
         for k in range(spec.chunks):
-            n_m, n_mu, n_nu, n_e, w = update_fn(
+            n_m, n_mu, n_nu, n_e, w, n_count = update_fn(
                 k, state.masters[k], state.mus[k], state.nus[k],
-                state.emas[k], grads, scale, ok, state.step)
+                state.emas[k], grads, scale, ok, state.opt_count)
             n_masters.append(n_m)
             n_mus.append(n_mu)
             n_nus.append(n_nu)
@@ -353,7 +368,8 @@ def make_offload_train_step(config: Config, model, *, annotate: bool = True):
             w_rows.append(w)
         del grads  # free the gradient tree before the assemble copy
         params = assemble_fn(tuple(w_rows))
-        return state.replace(step=state.step + 1, params=params,
+        return state.replace(step=state.step + 1, opt_count=n_count,
+                             params=params,
                              masters=tuple(n_masters), mus=tuple(n_mus),
                              nus=tuple(n_nus),
                              emas=tuple(n_emas)), metrics
