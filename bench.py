@@ -92,6 +92,22 @@ def main():
                                txt).tokens)
     bf16_tps = gen_tokens / ((time.perf_counter() - t0) / ITERS)
 
+    # ---- conditioning-frozen t2i (sampling/t2i_fast.py cached_cond):
+    # text K/V cached once at step 0, every denoise step runs the trunk
+    # over the image rows only — an APPROXIMATE fast path (frozen text
+    # representations; quality-A/B'd on the trained synthetic task,
+    # scripts/nfe_quality_ab.py --mode cached), reported as its own field
+    # so the headline stays the exact-math sampler --
+    frozen_sample = jax.jit(build_t2i_sampler(qmodel, qcfg,
+                                              cached_cond=True))
+    for _ in range(WARMUP):
+        np.asarray(frozen_sample(qparams, rng, txt).tokens)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        np.asarray(frozen_sample(qparams, jax.random.fold_in(rng, i),
+                                 txt).tokens)
+    frozen_tps = gen_tokens / ((time.perf_counter() - t0) / ITERS)
+
     # ---- baseline: per-step host-synced loop (reference architecture) ---
     step_cfg = cfg.override(**{"sampling.steps": 1,
                                "sampling.noise_removal": False})
@@ -123,6 +139,9 @@ def main():
         # no quantization) — the int8 lever is value/bf16_scan
         "vs_baseline_arch_bf16": round(bf16_tps / base_tps, 3),
         "bf16_scan_tok_per_s": round(bf16_tps, 2),
+        # conditioning-frozen fast path (approximate; quality-A/B-gated)
+        "frozen_cond_tok_per_s": round(frozen_tps, 2),
+        "frozen_cond_vs_baseline": round(frozen_tps / base_tps, 3),
     }))
 
 

@@ -64,6 +64,18 @@ def main():
     fast_sample = jax.jit(build_t2i_sampler(model, fast_cfg))
     fast_tps = BATCH * m.img_length / timed(fast_sample, params)
 
+    # conditioning-frozen fast path (round 5, sampling/t2i_fast.py
+    # cached_cond): text K/V once, image-rows-only denoise steps —
+    # approximate (quality-A/B'd, nfe_quality_ab.py --mode cached);
+    # measured alone at 32 steps and composed with fast_nfe (8-NFE)
+    frozen_sample = jax.jit(build_t2i_sampler(model, cfg,
+                                              cached_cond=True))
+    frozen_tps = BATCH * m.img_length / timed(frozen_sample, params)
+    frozen_fast_sample = jax.jit(build_t2i_sampler(model, fast_cfg,
+                                                   cached_cond=True))
+    frozen_fast_tps = BATCH * m.img_length / timed(frozen_fast_sample,
+                                                   params)
+
     # ---- baseline: per-step host-synced loop in bf16 (the reference's
     # serving architecture: one sampler step per dispatch with a host
     # round-trip between steps, model_eval.py:2309; bf16 because the
@@ -125,6 +137,11 @@ def main():
         "bf16_scan_tok_per_s": round(bf16_tps, 2),
         "fast_nfe_tok_per_s": round(fast_tps, 2),
         "fast_nfe_vs_baseline": round(fast_tps / base_tps, 3),
+        "frozen_cond_tok_per_s": round(frozen_tps, 2),
+        "frozen_cond_vs_baseline": round(frozen_tps / base_tps, 3),
+        "frozen_fast_nfe_tok_per_s": round(frozen_fast_tps, 2),
+        "frozen_fast_nfe_vs_baseline": round(frozen_fast_tps / base_tps,
+                                             3),
     }))
 
 

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--scenes", type=int, default=64)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (default: whatever platform is up)")
+    ap.add_argument("--mode", default="dilation",
+                    choices=["dilation", "cached"],
+                    help="dilation: the NFE/dilation sweep; cached: "
+                    "conditioning-frozen (cached text K/V) vs plain A/B "
+                    "at the same trained model")
     args = ap.parse_args()
 
     import jax
@@ -148,28 +153,43 @@ def main():
     apply_fn = lambda p, x, s, m: model.apply({"params": p}, x, s,
                                               modality=m)
 
-    for dilation in (0, 2, 4):
-        for steps in (4, 8, 16, 32):
-            scfg = cfg.override(**{"sampling.steps": steps,
-                                   "sampling.maskgit_dilation": dilation})
-            sample = jax.jit(build_t2i_sampler(model, scfg))
-            out = sample(state.params, jax.random.PRNGKey(5),
-                         jnp.asarray(txts))
-            toks = np.asarray(out.tokens)
-            img_pred = toks[:, TXT:] - cfg.model.text_vocab_size
-            acc = float((img_pred == gt).mean())
-            modality = np.concatenate(
-                [np.zeros_like(txts), np.ones((len(txts), IMG), np.int32)],
-                -1)
-            nll = float(np.mean(np.asarray(sequence_nll(
-                cfg, apply_fn, state.params,
-                {"input_ids": jnp.asarray(toks),
-                 "modality": jnp.asarray(modality)},
-                jax.random.PRNGKey(6), n_timesteps=4))))
-            print(json.dumps({"steps": steps, "dilation": dilation,
-                              "token_acc_vs_truth": round(acc, 4),
-                              "model_nll": round(nll, 4),
-                              "nfe": int(out.nfe)}), flush=True)
+    def eval_cell(sample, extra):
+        out = sample(state.params, jax.random.PRNGKey(5),
+                     jnp.asarray(txts))
+        toks = np.asarray(out.tokens)
+        img_pred = toks[:, TXT:] - cfg.model.text_vocab_size
+        acc = float((img_pred == gt).mean())
+        modality = np.concatenate(
+            [np.zeros_like(txts), np.ones((len(txts), IMG), np.int32)],
+            -1)
+        nll = float(np.mean(np.asarray(sequence_nll(
+            cfg, apply_fn, state.params,
+            {"input_ids": jnp.asarray(toks),
+             "modality": jnp.asarray(modality)},
+            jax.random.PRNGKey(6), n_timesteps=4))))
+        print(json.dumps({**extra,
+                          "token_acc_vs_truth": round(acc, 4),
+                          "model_nll": round(nll, 4),
+                          "nfe": int(out.nfe)}), flush=True)
+
+    if args.mode == "dilation":
+        for dilation in (0, 2, 4):
+            for steps in (4, 8, 16, 32):
+                scfg = cfg.override(**{
+                    "sampling.steps": steps,
+                    "sampling.maskgit_dilation": dilation})
+                sample = jax.jit(build_t2i_sampler(model, scfg))
+                eval_cell(sample, {"steps": steps, "dilation": dilation})
+    else:
+        # conditioning-frozen A/B: same trained model, cached text K/V
+        # (image-rows-only steps) vs the plain full-forward sampler
+        for cached, refresh in ((False, 0), (True, 8), (True, 0)):
+            for steps in (8, 32):
+                scfg = cfg.override(**{"sampling.steps": steps})
+                sample = jax.jit(build_t2i_sampler(
+                    model, scfg, cached_cond=cached, cond_refresh=refresh))
+                eval_cell(sample, {"steps": steps, "cached": cached,
+                                   "cond_refresh": refresh})
 
 
 if __name__ == "__main__":

@@ -146,3 +146,89 @@ def test_caching_sampler_int8_kv_cache():
     assert not (toks == m.mask_index).any()
     np.testing.assert_array_equal(toks[:, :TXT], x0[:, :TXT])
     assert nfe >= 1
+
+def run_img_sampler(cfg, seed=0, ratio=0, steps=None):
+    """t2i workload through the conditioning-frozen (recompute='img')
+    mode: text fully given, image generated by img-only steps."""
+    model, params = init_dit(jax.random.PRNGKey(42), cfg.model)
+    m = cfg.model
+    sample = jax.jit(build_caching_sampler(
+        model, cfg, txt_to_img_ratio=ratio, recompute="img",
+        num_steps=steps))
+    rngnp = np.random.RandomState(seed)
+    x0 = np.concatenate([
+        rngnp.randint(0, m.text_vocab_size - 1, (B, TXT)),
+        np.zeros((B, IMG), np.int64)], 1).astype(np.int32)
+    x0_unmask = np.zeros((B, L), bool)
+    x0_unmask[:, :TXT] = True
+    modality = np.concatenate([np.zeros((B, TXT)), np.ones((B, IMG))],
+                              1).astype(np.int32)
+    out = sample(params, jax.random.PRNGKey(seed), jnp.asarray(x0),
+                 jnp.asarray(x0_unmask), jnp.asarray(modality))
+    return x0, np.asarray(out.tokens), int(out.nfe), m
+
+
+def test_img_caching_sampler_completes_and_respects_conditioning():
+    """recompute='img' (conditioning-frozen t2i): text K/V computed once
+    at step 0, every denoise step recomputes only the image rows."""
+    cfg = cache_config()
+    x0, tokens, nfe, m = run_img_sampler(cfg, ratio=0)
+    assert not (tokens == m.mask_index).any()
+    np.testing.assert_array_equal(tokens[:, :TXT], x0[:, :TXT])
+    assert (tokens[:, TXT:] >= m.text_vocab_size).all()
+    # 1 full (step 0) + 7 img steps + final full:
+    # eff = 2 + (7 * IMG) // L
+    assert nfe == 2 + (7 * IMG) // L
+
+
+def test_img_caching_sampler_with_cfg_and_refresh():
+    cfg = cache_config(**{"sampling.cfg": 1.5})
+    x0, tokens, nfe, m = run_img_sampler(cfg, seed=3, ratio=4)
+    assert not (tokens == m.mask_index).any()
+    np.testing.assert_array_equal(tokens[:, :TXT], x0[:, :TXT])
+    # 8 steps at ratio 4 -> 2 full + 6 img + 1 final full
+    assert nfe == 3 + (6 * IMG) // L
+
+
+def test_img_only_steps_freeze_text_tokens():
+    """Mirror of the txt-mode invariant: with text PARTIALLY masked and
+    refresh only at step 0, img-only steps must never reveal a text
+    position (their stale cached p_x0 is ineligible), while image
+    positions make progress every step."""
+    cfg = cache_config(**{"sampling.steps": 6})
+    model, params = init_dit(jax.random.PRNGKey(42), cfg.model)
+    m = cfg.model
+    sample = jax.jit(build_caching_sampler(
+        model, cfg, txt_to_img_ratio=0, recompute="img",
+        return_trajectory=True))
+    x0 = np.zeros((B, L), np.int32)
+    unmask = np.zeros((B, L), bool)  # nothing conditioned: joint gen
+    modality = np.concatenate([np.zeros((B, TXT)), np.ones((B, IMG))],
+                              1).astype(np.int32)
+    out, traj = sample(params, jax.random.PRNGKey(0), jnp.asarray(x0),
+                       jnp.asarray(unmask), jnp.asarray(modality))
+    traj = np.asarray(traj)  # (steps, B, L)
+    # text tokens after step 0 (the only full step) stay frozen through
+    # every img-only step
+    for i in range(1, traj.shape[0]):
+        np.testing.assert_array_equal(traj[i, :, :TXT], traj[0, :, :TXT])
+    # img-only steps make progress on the image side
+    assert (traj[-1, :, TXT:] != m.mask_index).sum() > \
+        (traj[0, :, TXT:] != m.mask_index).sum()
+    # the final full pass completes everything
+    assert not (np.asarray(out.tokens) == m.mask_index).any()
+
+
+def test_img_caching_sampler_int8_kv():
+    cfg = cache_config(**{"model.kv_cache_dtype": "int8"})
+    x0, toks, nfe, m = run_img_sampler(cfg, ratio=0)
+    assert not (toks == m.mask_index).any()
+    np.testing.assert_array_equal(toks[:, :TXT], x0[:, :TXT])
+
+
+def test_caching_sampler_rejects_bad_recompute():
+    import pytest
+    cfg = cache_config()
+    model, params = init_dit(jax.random.PRNGKey(42), cfg.model)
+    with pytest.raises(ValueError, match="recompute"):
+        build_caching_sampler(model, cfg, recompute="both")

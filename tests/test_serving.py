@@ -738,3 +738,22 @@ def test_metrics_endpoint():
                 assert line.startswith(fam), (fam, line)
     finally:
         server.shutdown()
+
+
+def test_engine_with_frozen_cond_experiment():
+    """--experiments frozen_cond serves the conditioning-frozen t2i fast
+    path (cached text K/V, image-rows-only denoise steps) through the
+    engine's span-factored sampler."""
+    cfg = Config.make("tiny").override(**{
+        "model.text_vocab_size": 261, "model.image_vocab_size": 64,
+        "model.length": 48, "model.txt_length": 16,
+        "model.img_length": 32, "model.dropout": 0.0,
+        "model.force_argmax_valid_indices": True,
+        "sampling.steps": 4,
+    }).apply_experiments("frozen_cond")
+    assert cfg.sampling.cached_cond
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    eng = InferenceEngine(cfg, model, params)
+    out = eng.run(text="a dog", task="gen_image", seed=2)
+    assert ("t2i", 4) in eng._samplers
+    assert (out["image_ids"] >= 0).all() and (out["image_ids"] < 64).all()

@@ -138,3 +138,82 @@ def test_cfg_window_weights_respected():
     b = np.asarray(jax.jit(build_t2i_sampler(model, windowed))(
         params, rng, txt).tokens)
     assert (a != b).any()
+
+
+def _run_t2i(config, seed=0, **build_kw):
+    m = config.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    sample = jax.jit(build_t2i_sampler(model, config, **build_kw))
+    txt = jnp.asarray(np.random.RandomState(seed).randint(
+        0, m.text_vocab_size - 1, (B, TXT)), jnp.int32)
+    out = sample(params, jax.random.PRNGKey(seed), txt)
+    return txt, out
+
+
+def test_cached_cond_refresh1_matches_uncached_exactly():
+    """cond_refresh=1 runs cache_full every step: same trunk math
+    (cache-write + full-attention read over identical values), same
+    factored head, same RNG stream — tokens must match the uncached
+    sampler bit-for-bit."""
+    config = cfg(**{"sampling.cfg": 1.5})
+    txt, plain = _run_t2i(config)
+    txt2, cached = _run_t2i(config, cached_cond=True, cond_refresh=1)
+    np.testing.assert_array_equal(np.asarray(plain.tokens),
+                                  np.asarray(cached.tokens))
+
+
+def test_cached_cond_frozen_text_kv_completes():
+    """cond_refresh=0: text K/V cached at step 0, every denoise step is
+    image-rows-only. Output must be fully unmasked, respect the prompt,
+    and stay in the image vocab."""
+    for cfg_over in ({}, {"sampling.cfg": 1.5}):
+        config = cfg(**cfg_over)
+        m = config.model
+        txt, out = _run_t2i(config, cached_cond=True, cond_refresh=0)
+        tokens = np.asarray(out.tokens)
+        assert not (tokens == m.mask_index).any()
+        np.testing.assert_array_equal(tokens[:, :TXT], np.asarray(txt))
+        assert (tokens[:, TXT:] >= m.text_vocab_size).all()
+        assert (tokens[:, TXT:] < m.vocab_size).all()
+
+
+def test_cached_cond_int8_kv_cache():
+    config = cfg(**{"sampling.cfg": 1.5, "model.kv_cache_dtype": "int8"})
+    m = config.model
+    txt, out = _run_t2i(config, cached_cond=True, cond_refresh=0)
+    tokens = np.asarray(out.tokens)
+    assert not (tokens == m.mask_index).any()
+    np.testing.assert_array_equal(tokens[:, :TXT], np.asarray(txt))
+
+
+def test_frozen_step_matches_cache_step_math():
+    """The frozen (read-only concat) path and the write-back kv_cache path
+    compute the same attention over [txt K/V || fresh img K/V] — raw
+    log-weights must agree to float tolerance on the same state."""
+    from unidisc_tpu.diffusion.noise import get_noise
+    from unidisc_tpu.sampling.t2i_fast import img_log_weights_cached_fn
+
+    config = cfg(**{"sampling.cfg": 1.5})
+    m = config.model
+    model, params = init_dit(jax.random.PRNGKey(0), m)
+    cache_full, cache_step, frozen_txt_kv, frozen_step = \
+        img_log_weights_cached_fn(model, config)
+
+    rng = np.random.RandomState(0)
+    txt = jnp.asarray(rng.randint(0, m.text_vocab_size - 1, (B, TXT)),
+                      jnp.int32)
+    x0 = jnp.concatenate(
+        [txt, jnp.full((B, IMG), m.mask_index, jnp.int32)], -1)
+    modality = jnp.concatenate([jnp.zeros((B, TXT), jnp.int32),
+                                jnp.ones((B, IMG), jnp.int32)], -1)
+    t0 = jnp.full((B,), 1.0)
+    raw0, kv = jax.jit(cache_full)(params, x0, t0, modality, None)
+    frozen = frozen_txt_kv(kv)
+
+    # a later state: some image tokens revealed
+    x1 = x0.at[:, TXT + 3].set(m.text_vocab_size + 5)
+    t1 = jnp.full((B,), 0.6)
+    raw_cache, _ = jax.jit(cache_step)(params, x1, t1, modality, kv)
+    raw_frozen = jax.jit(frozen_step)(params, x1, t1, modality, frozen)
+    np.testing.assert_allclose(np.asarray(raw_frozen),
+                               np.asarray(raw_cache), atol=2e-3, rtol=2e-3)

@@ -310,6 +310,18 @@ class SamplingConfig:
     # apart in both grid axes), weakening intra-step independence errors
     # so fewer steps reach equal quality. 0 = off.
     maskgit_dilation: int = 0
+    # conditioning-frozen t2i sampling (sampling/t2i_fast.py cached_cond +
+    # models/dit.py frozen_kv): text K/V computed once at step 0 and held
+    # READ-ONLY; every denoise step runs the trunk over the image rows
+    # alone (img_length/L of the FLOPs). Approximation: frozen text
+    # representations go stale w.r.t. the evolving image between
+    # refreshes — quality-A/B'd on the trained synthetic task
+    # (scripts/nfe_quality_ab.py --mode cached), measured 1.2-1.3x at
+    # 1.4B (BASELINE.md). cached_cond_refresh > 0 rebuilds the cache
+    # every that-many steps (1 = exact, tested token-identical to the
+    # plain sampler); 0 = cache once.
+    cached_cond: bool = False
+    cached_cond_refresh: int = 0
     top_p: Optional[float] = None
     temperature: float = 1.0
     sampling_eps: float = 1e-5
@@ -610,6 +622,14 @@ EXPERIMENTS = {
     "fast_nfe": {
         "sampling.steps": 8,
         "sampling.maskgit_dilation": 2,
+        "sampling.predictor": "maskgit",
+    },
+    # conditioning-frozen t2i serving: text K/V computed once, denoise
+    # steps run image rows only (measured 1.2-1.3x at 1.4B, BASELINE.md;
+    # composes with fast_nfe and int8)
+    "frozen_cond": {
+        "sampling.cached_cond": True,
+        "sampling.cached_cond_refresh": 0,
         "sampling.predictor": "maskgit",
     },
     # 8192-token long-context stress layout (reference:

@@ -223,7 +223,7 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, attn_mask=None,
                  kv_cache=None, cache_index=None, segment_ids=None,
-                 qkv_prologue=None, out_prologue=None):
+                 qkv_prologue=None, out_prologue=None, frozen_kv=None):
         c = self.cfg
         h, d = c.n_heads, c.head_dim
         dim = c.hidden_size
@@ -311,6 +311,21 @@ class Attention(nn.Module):
             else:
                 out = multihead_attention(q, ck, cv, mask=mask,
                                           causal=False, backend="xla")
+        elif frozen_kv is not None:
+            # READ-ONLY frozen-prefix attention (conditioning-frozen
+            # sampling, sampling/t2i_fast.py cached_cond): keys/values are
+            # [frozen conditioning K/V || fresh rows]. Unlike the kv_cache
+            # path there is no dynamic_update_slice write-back — the
+            # frozen prefix is a loop-invariant HBM read and the fresh
+            # K/V stay a fused temp, so per-step cost is the txt-prefix
+            # read instead of a full-cache copy (measured: the write-back
+            # variant was throughput-neutral at 115M, BASELINE.md).
+            assert c.full_attention, "frozen_kv needs full attention"
+            fk, fv = frozen_kv
+            k = jnp.concatenate([fk.astype(k.dtype), k], axis=1)
+            v = jnp.concatenate([fv.astype(v.dtype), v], axis=1)
+            out = multihead_attention(q, k, v, mask=None,
+                                      causal=False, backend="xla")
         elif _ring_ctx() is not None and attn_mask is None:
             # sequence-parallel training (parallel/seq_parallel.py): L is
             # sharded over the 'seq' mesh axis; run attention as an exact
@@ -432,7 +447,7 @@ class DDiTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, c, rope_cos, rope_sin, modality, attn_mask,
                  kv_cache, cache_index, segment_ids, x_cond=None,
-                 cond_rope=None):
+                 cond_rope=None, frozen_kv=None):
         cfg = self.cfg
         dim = cfg.hidden_size
 
@@ -485,14 +500,15 @@ class DDiTBlock(nn.Module):
                 x, rope_cos, rope_sin, attn_mask, kv_cache, cache_index,
                 segment_ids,
                 qkv_prologue=adaln_prologue(norm1(None, return_weight=True),
-                                            shift_msa, scale_msa))
+                                            shift_msa, scale_msa),
+                frozen_kv=frozen_kv)
         else:
             hidden = norm1(x)
             if cfg.time_conditioning:
                 hidden = modulate(hidden, shift_msa, scale_msa, modality)
             attn_out, new_cache = attention(
                 hidden, rope_cos, rope_sin, attn_mask, kv_cache,
-                cache_index, segment_ids)
+                cache_index, segment_ids, frozen_kv=frozen_kv)
 
         if cfg.sandwich_normalization:
             # pre-residual norm replaces the gate on the attention branch
@@ -590,6 +606,12 @@ class DIT(nn.Module):
       label: optional (B,) class labels (cond_label mode).
       kv_cache: optional (k, v) tuple, each (n_blocks, B, max_len, H, D),
         for AR decode; cache_index is the write/read position.
+      frozen_kv: optional READ-ONLY (fk, fv) tuple, each
+        (n_blocks, B, Lf, H, D) bf16 — attention keys/values become
+        [frozen prefix || fresh rows] with NO cache write-back
+        (conditioning-frozen sampling, sampling/t2i_fast.py cached_cond;
+        the fresh rows' rope offset comes from cache_index). Mutually
+        exclusive with kv_cache; full-attention models only.
       deterministic: disables dropout.
 
     Returns fp32 logits (B, L, vocab); with kv_cache, returns
@@ -605,7 +627,7 @@ class DIT(nn.Module):
                  label=None, kv_cache=None, cache_index=None,
                  sample_ids=None, rope_index=None, extra_embed=None,
                  img_block_index=None, x_cond=None, return_hidden=False,
-                 deterministic=True):
+                 frozen_kv=None, deterministic=True):
         cfg = self.cfg
         if cfg.split_embed:
             # reference use_pretrained_img_emb (models/dit.py:1343-1359):
@@ -710,7 +732,7 @@ class DIT(nn.Module):
             pos = jnp.clip(pos, 0, rope_cos.shape[0] - 1)
             rope_cos = jnp.take(rope_cos, pos, axis=0)        # (B, l, d2)
             rope_sin = jnp.take(rope_sin, pos, axis=0)
-        elif kv_cache is not None:
+        elif kv_cache is not None or frozen_kv is not None:
             rope_cos = jax.lax.dynamic_slice_in_dim(
                 rope_cos, cache_index, indices.shape[1], axis=0)
             rope_sin = jax.lax.dynamic_slice_in_dim(
@@ -787,7 +809,7 @@ class DIT(nn.Module):
         from unidisc_tpu.parallel.pipeline import current_pp
         pp_ctx = current_pp()
         stacked = None
-        if (pp_ctx is not None and kv_cache is None
+        if (pp_ctx is not None and kv_cache is None and frozen_kv is None
                 and not self.is_initializing()
                 and (deterministic or cfg.dropout == 0.0)):
             stacked = self.get_variable("params", "blocks")
@@ -873,18 +895,25 @@ class DIT(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, nn.broadcast, 0, nn.broadcast,
-                         nn.broadcast, nn.broadcast, nn.broadcast),
+                         nn.broadcast, nn.broadcast, nn.broadcast, 0),
                 length=cfg.n_blocks,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, self.compute_dtype, deterministic, name="blocks")
 
             x, new_cache = blocks(x, c, rope_cos, rope_sin, modality,
                                   attn_mask, kv_cache, cache_index,
-                                  segment_ids, x_cond_repr, cond_rope)
+                                  segment_ids, x_cond_repr, cond_rope,
+                                  frozen_kv)
 
         logits = DDitFinalLayer(cfg, self.compute_dtype, name="output_layer")(
             x, c, modality)
         if return_hidden:
+            if kv_cache is not None:
+                # span-factored samplers with a conditioning KV cache
+                # (sampling/t2i_fast.py cached_cond): hidden for the
+                # factored head AND the updated cache. The full-vocab
+                # `logits` are dead in those callers and DCE'd by XLA.
+                return logits, x, new_cache
             return logits, x
         if kv_cache is not None:
             return logits, new_cache

@@ -16,6 +16,20 @@ branches with identical carry structure:
     cache (live txt + stale img). Image p_x0 comes from the cache.
     (txt_length/L of a full NFE)
 
+`recompute="img"` is the MIRROR mode for text→image generation (no direct
+reference counterpart — the reference's schedule only exists for the
+interleaved-editing direction): the text tokens are fixed CONDITIONING, so
+their K/V are computed on full-refresh steps and every other step runs the
+forward over only the image rows (`cache_index=txt_length` writes the
+cache's image region; full attention reads the whole cache, so image
+queries see the frozen text K/V). The approximation is symmetric: frozen
+text representations go stale w.r.t. the evolving image between refreshes.
+With the production modality-gated modulation only image rows carry time
+conditioning, so the cached text K/V have no stale-sigma component. Cost
+per img step is (img_length/L) of a full NFE in trunk matmuls and an
+(img × L) score block instead of (L × L). `txt_to_img_ratio <= 0` means
+refresh ONLY at step 0 (pure conditioning-frozen sampling).
+
 Works with the maskgit confidence updater (the FID-eval path).
 """
 
@@ -38,7 +52,8 @@ from unidisc_tpu.diffusion.subs import subs_parameterization
 def build_caching_sampler(model, config: Config, *,
                           txt_to_img_ratio: int = 4,
                           num_steps=None,
-                          return_trajectory: bool = False) -> Callable:
+                          return_trajectory: bool = False,
+                          recompute: str = "txt") -> Callable:
     """Returns sample(params, rng, x0, x0_unmask, modality) -> SampleResult.
 
     The model must be a DIT with full (non-causal) attention; kv_cache
@@ -48,6 +63,9 @@ def build_caching_sampler(model, config: Config, *,
     (SampleResult, (steps, B, L) per-step token states) — used by tests to
     enforce the txt-only-freeze invariant and by viz denoise strips.
     """
+    if recompute not in ("txt", "img"):
+        raise ValueError(f"recompute must be 'txt' or 'img', got "
+                         f"{recompute!r}")
     m = config.model
     s = config.sampling
     noise = get_noise(config.noise)
@@ -66,6 +84,15 @@ def build_caching_sampler(model, config: Config, *,
         logits, kv = model.apply({"params": params}, x_txt, sigma,
                                  modality=modality_txt, kv_cache=kv,
                                  cache_index=0)
+        return logits, kv
+
+    def forward_img(params, x_img, sigma, modality_img, kv):
+        # image rows live at positions [Lt, L): cache_index=Lt writes the
+        # cache's image region and slices the multimodal rope table at the
+        # image offset (2D rope rows under rope_2d)
+        logits, kv = model.apply({"params": params}, x_img, sigma,
+                                 modality=modality_img, kv_cache=kv,
+                                 cache_index=Lt)
         return logits, kv
 
     def cfg_weight(t):
@@ -126,16 +153,33 @@ def build_caching_sampler(model, config: Config, *,
             p = jnp.concatenate([p_txt, p_cache[:, Lt:]], axis=1)
             return p, kv, jnp.int32(1)  # partial NFE counted as 1 txt pass
 
+        def img_step(x, t, kv, p_cache):
+            sigma = sigma_batch(t)
+            x_img = x[:, Lt:]
+            logits, kv = forward_img(params,
+                                     model_batch(x_img, x0_unmask[:, Lt:]),
+                                     sigma, mod_batch(modality[:, Lt:]), kv)
+            p_img = p_from_logits(logits.astype(jnp.float32), x_img,
+                                  modality[:, Lt:], t)
+            p = jnp.concatenate([p_cache[:, :Lt], p_img], axis=1)
+            return p, kv, jnp.int32(1)
+
+        partial_step = img_step if recompute == "img" else txt_step
+
         def body(carry, i):
             x, kv, p_cache, rng, nfe, txt_nfe = carry
             rng, k_tok, k_g = jax.random.split(rng, 3)
             t = jnp.full((b,), timesteps[i])
-            is_full = (i % txt_to_img_ratio) == 0
+            if txt_to_img_ratio > 0:
+                is_full = (i % txt_to_img_ratio) == 0
+            else:
+                # refresh only at step 0: pure conditioning-frozen sampling
+                is_full = i == 0
 
             p, kv, _ = jax.lax.cond(
                 is_full,
                 lambda args: full_step(*args),
-                lambda args: txt_step(*args),
+                lambda args: partial_step(*args),
                 (x, t, kv, p_cache))
 
             # maskgit confidence update (reference: model_eval.py:3045-3114)
@@ -146,7 +190,8 @@ def build_caching_sampler(model, config: Config, *,
             # would otherwise make thresh=-inf and -inf>=-inf unmask every
             # masked position from stale cached p_x0 at once).
             img_pos = jnp.arange(L) >= Lt
-            eligible = (~copy) & (is_full | ~img_pos[None, :])
+            part_ok = img_pos if recompute == "img" else ~img_pos
+            eligible = (~copy) & (is_full | part_ok[None, :])
             num_unmask = jnp.minimum(schedule[:, i], eligible.sum(-1))
             pred = sample_categorical(k_tok, p)
             conf = jnp.take_along_axis(p, pred[..., None], -1).squeeze(-1)
@@ -174,8 +219,10 @@ def build_caching_sampler(model, config: Config, *,
         p, kv, _ = full_step(x, t, kv, p)
         x = jnp.where(x == mask_index, jnp.argmax(p, -1), x)
         x = jnp.where(x0_unmask, x0, x)
-        # effective NFE: full passes + txt passes weighted by length share
-        eff = nfe + 1 + (txt_nfe * Lt) // L
+        # effective NFE: full passes + partial passes weighted by length
+        # share (txt mode recomputes Lt rows, img mode L - Lt rows)
+        part_len = (L - Lt) if recompute == "img" else Lt
+        eff = nfe + 1 + (txt_nfe * part_len) // L
         result = SampleResult(tokens=x, nfe=eff)
         if return_trajectory:
             return result, traj

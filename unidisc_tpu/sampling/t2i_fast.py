@@ -158,10 +158,117 @@ def img_log_weights_fn(model, config: Config) -> Callable:
     return img_log_weights
 
 
+def img_log_weights_cached_fn(model, config: Config):
+    """Conditioning-frozen variant of img_log_weights_fn: text rows are
+    fixed conditioning in t2i, so their K/V are computed on cache-refresh
+    steps only and every other step runs the trunk over the IMAGE rows
+    alone against the cached text K/V (`cache_index=txt_length` writes the
+    cache's image region; full attention reads the whole cache). Same
+    approximation contract as sampling/caching.py recompute="img": frozen
+    text representations go stale w.r.t. the evolving image between
+    refreshes; with modality-gated modulation only image rows carry time
+    conditioning, so there is no stale-sigma component. Under CFG the two
+    halves' image rows are identical inputs — they differ only through
+    attention to the cond vs re-masked text K/V in the cache.
+
+    Returns (cache_full, cache_step), both
+    (params, x (B, L), t (B,), modality, kv) -> (raw, kv) with raw the
+    (B, Li, img_vocab) fp32 CFG-combined log-weights; cache_full rebuilds
+    the cache from a full forward, cache_step costs img_length/L of it.
+    """
+    cfg = config
+    m = cfg.model
+    s = cfg.sampling
+    noise = get_noise(cfg.noise)
+    Lt, L = m.txt_length, m.length
+    v0 = m.text_vocab_size
+    mask_index = m.mask_index
+    use_cfg = s.cfg is not None
+    from unidisc_tpu.sampling.ar_sampler import init_kv_cache_for
+
+    def _head(params, hidden_img, sigma_bb, t):
+        c = _sigma_cond(params, sigma_bb, m.time_conditioning)
+        y = _head_pre(params, hidden_img, c, cfg)
+        if use_cfg:
+            wt = guidance_weight(s, t)
+            yc, yu = jnp.split(y, 2, axis=0)
+            w = wt[:, None, None].astype(y.dtype)
+            y = (1 + w) * yc - w * yu
+        return _head_linear(params, y, cfg, v0).astype(jnp.float32)
+
+    def cache_full(params, x, t, modality, kv):
+        del kv  # rebuilt from scratch (same shapes/dtypes)
+        sigma = noise.total(t)
+        if use_cfg:
+            x_uncond = x.at[:, :Lt].set(mask_index)
+            xx = jnp.concatenate([x, x_uncond], 0)
+            ss = jnp.concatenate([sigma, sigma], 0)
+            mm = jnp.concatenate([modality, modality], 0)
+        else:
+            xx, ss, mm = x, sigma, modality
+        kv = init_kv_cache_for(m, xx.shape[0], L)
+        _, hidden, kv = model.apply({"params": params}, xx, ss,
+                                    modality=mm, kv_cache=kv,
+                                    cache_index=0, return_hidden=True)
+        return _head(params, hidden[:, Lt:], ss, t), kv
+
+    def cache_step(params, x, t, modality, kv):
+        sigma = noise.total(t)
+        x_img = x[:, Lt:]
+        mod_img = modality[:, Lt:]
+        if use_cfg:
+            xx = jnp.concatenate([x_img, x_img], 0)
+            ss = jnp.concatenate([sigma, sigma], 0)
+            mm = jnp.concatenate([mod_img, mod_img], 0)
+        else:
+            xx, ss, mm = x_img, sigma, mod_img
+        _, hidden, kv = model.apply({"params": params}, xx, ss,
+                                    modality=mm, kv_cache=kv,
+                                    cache_index=Lt, return_hidden=True)
+        return _head(params, hidden, ss, t), kv
+
+    def frozen_txt_kv(kv):
+        """Extract the READ-ONLY text-prefix K/V from a built full cache:
+        (fk, fv), each (n_blocks, BB, Lt, H, D) bf16. An int8 cache is
+        dequantized once here — the frozen path always attends in bf16
+        (the prefix is a loop-invariant read, not the bandwidth-bound
+        long-context regime int8 KV exists for)."""
+        if len(kv) == 4:
+            ckq, cks, cvq, cvs = kv
+            fk = (ckq[:, :, :Lt].astype(jnp.float32)
+                  * cks[:, :, :Lt]).astype(jnp.bfloat16)
+            fv = (cvq[:, :, :Lt].astype(jnp.float32)
+                  * cvs[:, :, :Lt]).astype(jnp.bfloat16)
+            return fk, fv
+        ck, cv = kv
+        return ck[:, :, :Lt], cv[:, :, :Lt]
+
+    def frozen_step(params, x, t, modality, frozen):
+        """Image-rows forward against the frozen text K/V — no cache
+        write-back (models/dit.py frozen_kv path). Returns raw only."""
+        sigma = noise.total(t)
+        x_img = x[:, Lt:]
+        mod_img = modality[:, Lt:]
+        if use_cfg:
+            xx = jnp.concatenate([x_img, x_img], 0)
+            ss = jnp.concatenate([sigma, sigma], 0)
+            mm = jnp.concatenate([mod_img, mod_img], 0)
+        else:
+            xx, ss, mm = x_img, sigma, mod_img
+        _, hidden = model.apply({"params": params}, xx, ss,
+                                modality=mm, frozen_kv=frozen,
+                                cache_index=Lt, return_hidden=True)
+        return _head(params, hidden, ss, t)
+
+    return cache_full, cache_step, frozen_txt_kv, frozen_step
+
+
 def build_t2i_sampler(model, config: Config,
                       num_steps: Optional[int] = None,
                       return_trajectory: bool = False,
-                      inject_noise: bool = False) -> Callable:
+                      inject_noise: bool = False,
+                      cached_cond: bool = False,
+                      cond_refresh: int = 0) -> Callable:
     """sample(params, rng, txt_tokens (B, txt_len), modality) ->
     SampleResult over the full [txt | img] sequence.
 
@@ -174,7 +281,14 @@ def build_t2i_sampler(model, config: Config,
     "gumbel_tok" (steps, B, Li, img_vocab) token-pick Gumbel noise and
     "gumbel_conf" (steps, B, Li) confidence noise, replacing the JAX
     RNG draws so the rolling t2i batcher can be matched
-    token-for-token."""
+    token-for-token.
+
+    cached_cond=True: conditioning-frozen fast path — the text K/V are
+    cached and every denoise step runs the trunk over the image rows only
+    (img_log_weights_cached_fn). cond_refresh > 0 rebuilds the cache every
+    that-many steps (cond_refresh=1 degenerates to a full forward each
+    step, which must match cached_cond=False token-for-token — tested);
+    cond_refresh=0 caches once at step 0."""
     cfg = config
     m = cfg.model
     s = cfg.sampling
@@ -182,7 +296,13 @@ def build_t2i_sampler(model, config: Config,
     Lt, Li, L = m.txt_length, m.img_length, m.length
     v0 = m.text_vocab_size
     mask_index = m.mask_index
-    img_log_weights = img_log_weights_fn(model, config)
+    if cached_cond:
+        from unidisc_tpu.sampling.ar_sampler import init_kv_cache_for
+        (cache_full, cache_step, frozen_txt_kv,
+         frozen_step) = img_log_weights_cached_fn(model, config)
+        use_cfg = s.cfg is not None
+    else:
+        img_log_weights = img_log_weights_fn(model, config)
 
     # dilated unmasking groups (PAPERS.md "Plan for Speed"): group id per
     # image-grid position = (row % d) * d + (col % d); same-group tokens
@@ -216,12 +336,13 @@ def build_t2i_sampler(model, config: Config,
         schedule = adaptive_schedule(jnp.full((b,), Li), steps,
                                      s.maskgit_mode)
         timesteps = jnp.linspace(1.0, s.sampling_eps, steps + 1)
+        kv0 = init_kv_cache_for(m, 2 * b if use_cfg else b, L) \
+            if cached_cond else None
 
-        def body(carry, i):
-            x, rng = carry
-            rng, k_tok, k_g = jax.random.split(rng, 3)
-            t = jnp.full((b,), timesteps[i])
-            raw = img_log_weights(params, x, t, modality)
+        def update(x, raw, t, i, k_tok, k_g):
+            """One maskgit confidence update from the raw image-span
+            log-weights; i may be a traced scan index or a static int."""
+            i = jnp.asarray(i)
             g = injected["gumbel_tok"][i].astype(raw.dtype) \
                 if inject_noise else \
                 jax.random.gumbel(k_tok, raw.shape, dtype=raw.dtype)
@@ -249,24 +370,72 @@ def build_t2i_sampler(model, config: Config,
             thresh = confidence_threshold(conf, num)
             img_next = jnp.where((conf >= thresh) & eligible,
                                  pred_local + v0, img)
-            x_next = x.at[:, Lt:].set(img_next)
-            return (x_next, rng), (x_next if return_trajectory else None)
+            return x.at[:, Lt:].set(img_next)
 
-        (x, rng), traj = jax.lax.scan(body, (x, rng), jnp.arange(steps))
+        frozen = None
+        if cached_cond and cond_refresh == 0:
+            # FROZEN fast path: the one full pass sees exactly the initial
+            # state, so hoist it (and step 0's update) out of the scan —
+            # the scan body is then a pure img-rows forward against the
+            # read-only text K/V: no cache write-back, no lax.cond
+            # whole-cache copies (those made the kv_cache variant
+            # throughput-neutral at 115M, BASELINE.md)
+            rng, k_tok, k_g = jax.random.split(rng, 3)
+            t0 = jnp.full((b,), timesteps[0])
+            raw0, kvfull = cache_full(params, x, t0, modality, kv0)
+            frozen = frozen_txt_kv(kvfull)
+            x = update(x, raw0, t0, 0, k_tok, k_g)
+            x0_state = x
+            scan_steps = jnp.arange(1, steps)
+        else:
+            scan_steps = jnp.arange(steps)
+
+        def step_weights(x, t, kv, i):
+            if not cached_cond:
+                return img_log_weights(params, x, t, modality), kv
+            if frozen is not None:
+                return frozen_step(params, x, t, modality, frozen), kv
+            is_full = (i % cond_refresh) == 0
+            return jax.lax.cond(
+                is_full,
+                lambda a: cache_full(params, *a),
+                lambda a: cache_step(params, *a),
+                (x, t, modality, kv))
+
+        def body(carry, i):
+            x, rng, kv = carry
+            rng, k_tok, k_g = jax.random.split(rng, 3)
+            t = jnp.full((b,), timesteps[i])
+            raw, kv = step_weights(x, t, kv, i)
+            x_next = update(x, raw, t, i, k_tok, k_g)
+            return ((x_next, rng, kv),
+                    (x_next if return_trajectory else None))
+
+        kv_carry = None if frozen is not None else kv0
+        (x, rng, kv), traj = jax.lax.scan(body, (x, rng, kv_carry),
+                                          scan_steps)
+        if return_trajectory and frozen is not None:
+            traj = jnp.concatenate([x0_state[None], traj], axis=0)
         # noise removal — the arccos schedule provably unmasks everything
         # (per-step quota >= remaining/threshold selects >= quota), so this
         # full pass only executes in the degenerate all-clamped case
         any_left = (x[:, Lt:] == mask_index).any()
 
-        def remove_noise(x):
+        def remove_noise(args):
+            x, kv = args
             t = jnp.full((b,), s.sampling_eps)
-            raw = img_log_weights(params, x, t, modality)
+            if frozen is not None:
+                raw = frozen_step(params, x, t, modality, frozen)
+            elif cached_cond:
+                raw, _ = cache_step(params, x, t, modality, kv)
+            else:
+                raw = img_log_weights(params, x, t, modality)
             img = x[:, Lt:]
             img = jnp.where(img == mask_index,
                             jnp.argmax(raw, -1) + v0, img)
             return x.at[:, Lt:].set(img)
 
-        x = jax.lax.cond(any_left, remove_noise, lambda x: x, x)
+        x = jax.lax.cond(any_left, remove_noise, lambda a: a[0], (x, kv))
         nfe = steps + jnp.where(any_left, 1, 0)
         result = SampleResult(tokens=x, nfe=nfe.astype(jnp.int32))
         return (result, traj) if return_trajectory else result

@@ -188,8 +188,11 @@ class InferenceEngine:
         key = ("t2i", steps or self.config.sampling.steps)
         if key not in self._samplers:
             from unidisc_tpu.sampling.t2i_fast import build_t2i_sampler
+            s = self.config.sampling
             self._samplers[key] = self._jit(build_t2i_sampler(
-                self.model, self.config, num_steps=key[1]))
+                self.model, self.config, num_steps=key[1],
+                cached_cond=s.cached_cond,
+                cond_refresh=s.cached_cond_refresh))
         return self._samplers[key]
 
     def enable_scaffold(self, model_small, params_small, split: int):
