@@ -66,10 +66,52 @@ def test_pixels_codec_is_self_consistent():
 
 
 def test_unknown_codec_raises():
-    with pytest.raises(NotImplementedError):
-        get_codec("maskgit-vqgan")
     with pytest.raises(ValueError):
         get_codec("nope")
+    # "chameleon" names the STREAM pipeline, not an image codec
+    with pytest.raises(ValueError, match="STREAM"):
+        get_codec("chameleon")
+
+
+@pytest.mark.parametrize("name,vocab", [
+    ("maskgit-vqgan", 64), ("chameleon-vqgan", 64)])
+def test_vqgan_preset_backends_roundtrip(name, vocab):
+    """MaskGIT-class (pure conv, no quant projections) and Chameleon/Anole
+    (taming-layout, stream-codec VQ stage) presets at tiny dims."""
+    tiny = dict(codebook_size=vocab, codebook_dim=16, ch=32,
+                ch_mult=(1, 2), num_res_blocks=1, z_channels=16)
+    codec = get_codec(name, image_size=16, **tiny)
+    assert codec.vocab_size == vocab and codec.downsample == 2
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3),
+                              minval=-1, maxval=1)
+    ids = codec.encode(codec.params, imgs)
+    assert ids.shape == (2, 64)
+    assert (np.asarray(ids) >= 0).all() and (np.asarray(ids) < vocab).all()
+    recon = codec.decode(codec.params, ids)
+    assert recon.shape == (2, 16, 16, 3)
+
+
+def test_maskgit_layout_has_no_attention_or_quant_convs():
+    """The MaskGIT layout drops every attention block and the 1x1 quant
+    projections: its encoder emits codebook_dim directly."""
+    from unidisc_tpu.tokenizers.vqgan import maskgit_config
+    cfg = maskgit_config(codebook_size=32, codebook_dim=8, ch=32,
+                         ch_mult=(1, 2), num_res_blocks=1, z_channels=8)
+    model = VQGAN(cfg)
+    imgs = jnp.zeros((1, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs)["params"]
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {"/".join(str(p) for p in path) for path, _ in flat}
+    assert not any("attn" in n for n in names), names
+    assert not any("quant_conv" in n for n in names), names
+    enc_out = params["encoder"]["conv_out"]["kernel"]
+    assert enc_out.shape[-1] == cfg.codebook_dim
+
+
+def test_showo_is_magvitv2_alias():
+    tiny = dict(bits=6, ch=32, num_res_blocks=1, ch_mult=(1, 2))
+    codec = get_codec("showo", image_size=16, **tiny)
+    assert codec.name == "magvitv2" and codec.vocab_size == 64
 
 
 def test_bsq_ids_are_latent_signs_and_corners_unit_norm():

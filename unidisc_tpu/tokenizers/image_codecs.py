@@ -9,13 +9,15 @@ other JAX computation.
 Implemented natively: LlamaGen VQ-16/VQ-8 (production codec, Flax convs),
 Open-MAGVIT2-style LFQ, BSQ-18 (binary spherical quantization),
 Cosmos-style FSQ (finite scalar quantization, mixed-radix ids),
-MAGVITv2, TiTok-1D, Taming VQGAN (CompVis naming + intra-level
-attention), a VideoGPT-style video VQVAE (get_video_codec), raw pixels,
-a deterministic dummy codec for tests, and the SD KL-VAE continuous
-codec (get_continuous_codec). The remaining torch-ecosystem-only
-backends (maskgit-vqgan, full Chameleon/Anole weights, Lumina) raise
-with guidance — the reference snapshot itself does not ship their
-model code.
+MAGVITv2 (= the Show-o backend), TiTok-1D, Taming VQGAN (CompVis naming
++ intra-level attention), MaskGIT-class pure-conv VQGAN,
+Chameleon/Anole/Lumina VQ stage (pairs with the stream codec in
+tokenizers/chameleon.py), a VideoGPT-style video VQVAE
+(get_video_codec), raw pixels, a deterministic dummy codec for tests,
+and the SD KL-VAE continuous codec (get_continuous_codec) — the full
+12-backend surface of the reference's get_vae mux (whose snapshot ships
+NO model code for maskgit/taming/chameleon; those are external
+packages there).
 """
 
 from __future__ import annotations
@@ -28,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unidisc_tpu.tokenizers.vqgan import (VQConfig, VQGAN, taming_config,
+from unidisc_tpu.tokenizers.vqgan import (VQConfig, VQGAN, chameleon_config,
+                                          maskgit_config, taming_config,
                                           vq8_config)
 
 
@@ -355,9 +358,6 @@ def get_video_codec(name: str = "video-vqvae", *, rng=None,
                       downsample=d)
 
 
-_TORCH_ONLY = {"chameleon", "anole", "showo", "maskgit-vqgan", "lumina"}
-
-
 def get_continuous_codec(name: str = "sd-vae", *, rng=None,
                          image_size: int = 256, **kw) -> ContinuousCodec:
     """Continuous (KL-VAE) codec factory — the reference's SD-VAE backend
@@ -399,6 +399,22 @@ def get_codec(name: str, *, rng=None, image_size: int = 256,
         # published taming checkpoints load via
         # vqgan.load_taming_torch_state_dict (CompVis naming)
         return _make_vqgan(taming_config(**kw), rng, image_size, "taming")
+    if name in ("maskgit-vqgan", "maskgit"):
+        # MaskGIT-class pure-conv f16 VQGAN (codebook 1024, no quant
+        # projections); foreign-named published weights load via the
+        # structural auto-remap (tokenizers/remap.py)
+        return _make_vqgan(maskgit_config(**kw), rng, image_size,
+                           "maskgit-vqgan")
+    if name in ("chameleon-vqgan", "anole", "lumina"):
+        # the VQ stage under the chameleon/anole/lumina STREAM tokenizers
+        # (Lumina-mGPT reuses Chameleon's VQ model); pair with the native
+        # stream codec in tokenizers/chameleon.py for the full pipeline
+        return _make_vqgan(chameleon_config(**kw), rng, image_size,
+                           "chameleon-vqgan")
+    if name in ("showo", "show-o"):
+        # the reference's Show-o backend IS a MAGVITv2 LFQ tokenizer
+        # (image_tokenizers.py:166-187) — alias of the native magvit codec
+        return _make_magvit(rng, image_size, **kw)
     if name == "lfq":
         return _make_lfq(rng, image_size, **kw)
     if name in ("bsq", "bsq18"):
@@ -422,11 +438,12 @@ def get_codec(name: str, *, rng=None, image_size: int = 256,
         raise ValueError(
             "video-vqvae takes clips (B, T, H, W, 3), not images — use "
             "get_video_codec('video-vqvae')")
-    if name in _TORCH_ONLY:
-        raise NotImplementedError(
-            f"codec '{name}' is a torch-ecosystem offline preprocessor in "
-            f"the reference; precompute tokens offline (see "
-            f"unidisc_tpu/data/precompute.py) or use llamagen-vq16")
+    if name == "chameleon":
+        raise ValueError(
+            "'chameleon' names the STREAM tokenizer (var-aspect crops, "
+            "grid/newline tokens) — build a ChameleonSpec over an image "
+            "codec (tokenizers/chameleon.py), e.g. "
+            "get_codec('chameleon-vqgan') for the Anole-style VQ stage")
     raise ValueError(f"unknown codec {name!r}")
 
 

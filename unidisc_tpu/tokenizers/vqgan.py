@@ -40,6 +40,10 @@ class VQConfig:
     # taming-layout VQGANs attend at low resolutions (attn_resolutions);
     # LlamaGen dropped intra-level attention so the default is none
     attn_levels: Tuple[int, ...] = ()
+    # MaskGIT's tokenizer is pure conv (no bottleneck attention) and its
+    # encoder emits the codebook dim directly (no 1x1 quant projections)
+    mid_attn: bool = True
+    use_quant_conv: bool = True
 
     @property
     def downsample(self) -> int:
@@ -56,6 +60,35 @@ def taming_config(**over) -> VQConfig:
     16px bottleneck level, raw — not L2-normalized — codes)."""
     base = dict(ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2,
                 z_channels=256, codebook_size=16384, codebook_dim=256,
+                l2_norm_codes=False, attn_levels=(4,))
+    base.update(over)
+    return VQConfig(**base)
+
+
+def maskgit_config(**over) -> VQConfig:
+    """MaskGIT-class f16 VQGAN (the reference's 'maskgit' backend,
+    unidisc/tokenizers/image_tokenizers.py:27-31, whose model code the
+    reference snapshot does not ship): pure-conv ResNet encoder/decoder
+    (no attention anywhere), 1024-entry codebook at dim 256 emitted
+    directly by the encoder (no 1x1 quant projections), raw — not
+    L2-normalized — codes. Foreign-named published weights load via the
+    structural auto-remap (tokenizers/remap.py)."""
+    base = dict(ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2,
+                z_channels=256, codebook_size=1024, codebook_dim=256,
+                l2_norm_codes=False, attn_levels=(), mid_attn=False,
+                use_quant_conv=False)
+    base.update(over)
+    return VQConfig(**base)
+
+
+def chameleon_config(**over) -> VQConfig:
+    """Chameleon/Anole f16 image VQGAN (the VQ stage under the reference's
+    chameleon/anole/lumina stream tokenizers, chameleon_tokenizers.py —
+    Lumina-mGPT reuses the same VQ model): taming-layout conv VQGAN with
+    bottleneck attention and an 8192-entry codebook. Pairs with the native
+    stream codec (tokenizers/chameleon.py), which wraps any ImageCodec."""
+    base = dict(ch_mult=(1, 1, 2, 2, 4), num_res_blocks=2,
+                z_channels=256, codebook_size=8192, codebook_dim=256,
                 l2_norm_codes=False, attn_levels=(4,))
     base.update(over)
     return VQConfig(**base)
@@ -141,12 +174,14 @@ class Encoder(nn.Module):
                 h = Downsample(name=f"down_{i}_downsample")(h)
         h = ResnetBlock(h.shape[-1], cfg.dropout, name="mid_block_1")(
             h, deterministic)
-        h = AttnBlock(name="mid_attn_1")(h)
+        if cfg.mid_attn:
+            h = AttnBlock(name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], cfg.dropout, name="mid_block_2")(
             h, deterministic)
         h = group_norm("norm_out")(h)
         h = swish(h)
-        return nn.Conv(cfg.z_channels, (3, 3), padding=1, name="conv_out")(h)
+        out_ch = cfg.z_channels if cfg.use_quant_conv else cfg.codebook_dim
+        return nn.Conv(out_ch, (3, 3), padding=1, name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -159,7 +194,8 @@ class Decoder(nn.Module):
                     name="conv_in")(z)
         h = ResnetBlock(h.shape[-1], cfg.dropout, name="mid_block_1")(
             h, deterministic)
-        h = AttnBlock(name="mid_attn_1")(h)
+        if cfg.mid_attn:
+            h = AttnBlock(name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], cfg.dropout, name="mid_block_2")(
             h, deterministic)
         for i, mult in reversed(list(enumerate(cfg.ch_mult))):
@@ -186,9 +222,16 @@ class VQGAN(nn.Module):
         cfg = self.cfg
         self.encoder = Encoder(cfg, name="encoder")
         self.decoder = Decoder(cfg, name="decoder")
-        self.quant_conv = nn.Conv(cfg.codebook_dim, (1, 1), name="quant_conv")
-        self.post_quant_conv = nn.Conv(cfg.z_channels, (1, 1),
-                                       name="post_quant_conv")
+        if cfg.use_quant_conv:
+            self.quant_conv = nn.Conv(cfg.codebook_dim, (1, 1),
+                                      name="quant_conv")
+            self.post_quant_conv = nn.Conv(cfg.z_channels, (1, 1),
+                                           name="post_quant_conv")
+        else:
+            # MaskGIT layout: the encoder emits codebook_dim directly and
+            # the decoder consumes code vectors directly
+            self.quant_conv = lambda z: z
+            self.post_quant_conv = lambda zq: zq
         self.codebook = self.param(
             "codebook", nn.initializers.uniform(2.0 / cfg.codebook_size),
             (cfg.codebook_size, cfg.codebook_dim))
