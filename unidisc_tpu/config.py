@@ -145,6 +145,17 @@ class ModelConfig:
     # rule; reference: model.mup flag + mup.MuAdam, model_setup.py:163/416)
     mup: bool = False
     mup_base_width: int = 256
+    # Mixture-of-Experts MLP (BEYOND the reference, which has no MoE):
+    # 0 = dense MLP; >0 replaces every block's MLP with moe_experts
+    # experts routed top-k with a fixed per-expert capacity
+    # (models/moe.py). Expert weights shard over the 'ep' mesh axis
+    # (expert parallelism — token routing becomes XLA all_to_alls over
+    # ICI under GSPMD).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    # per-expert slot budget C = ceil(capacity_factor * top_k * S / E)
+    # for S tokens; overflow tokens fall through to the residual stream
+    moe_capacity_factor: float = 1.25
 
     @property
     def vocab_size(self) -> int:
@@ -208,6 +219,9 @@ class TrainerConfig:
     # dsigma/expm1(sigma) weighting; also bypasses softmin-SNR
     # (reference trainer.no_ce_weighting, model.py:972/989)
     no_ce_weighting: bool = False
+    # MoE router load-balance auxiliary loss weight (Switch-Transformer
+    # style E * sum(f_e * P_e); only read when model.moe_experts > 0)
+    moe_aux_weight: float = 0.01
     # lr *= global_batch_size / 512 (reference main.py:320-322)
     scale_lr_by_batch_size: bool = False
     # keep parameters (and therefore optimizer/EMA state) in bf16 —
@@ -348,9 +362,13 @@ class MeshConfig:
     pp: int = 1
     # microbatches per pipeline round (bubble = (pp-1)/(mb+pp-1))
     pp_microbatches: int = 4
+    # expert parallelism: MoE expert weights (model.moe_experts > 0)
+    # shard their expert axis over 'ep'; token dispatch/combine become
+    # XLA all_to_alls over ICI (models/moe.py)
+    ep: int = 1
 
     def axis_names(self) -> Tuple[str, ...]:
-        return ("dcn", "fsdp", "tensor", "seq", "pp")
+        return ("dcn", "fsdp", "tensor", "seq", "pp", "ep")
 
 
 @dataclass(frozen=True)
@@ -442,6 +460,19 @@ class Config:
         if t.discrete_diffusion_mode not in ("absorbing", "uniform"):
             errs.append(f"unknown discrete_diffusion_mode "
                         f"{t.discrete_diffusion_mode!r}")
+        if m.moe_experts > 0:
+            if m.moe_top_k < 1:
+                errs.append("model.moe_top_k must be >= 1")
+            ep = self.mesh.ep
+            if ep > 1 and m.moe_experts % ep != 0:
+                errs.append(f"model.moe_experts {m.moe_experts} not "
+                            f"divisible by mesh.ep {ep}")
+            if m.quant is not None and m.quant_fused:
+                errs.append("moe_experts excludes quant_fused (the fused "
+                            "prologue has no MoE path)")
+        elif self.mesh.ep > 1:
+            errs.append("mesh.ep > 1 needs model.moe_experts > 0 (the "
+                        "'ep' axis only shards MoE expert weights)")
         if t.add_label and not m.add_labels:
             errs.append("trainer.add_label needs model.add_labels > 0 "
                         "(reference model.py:323)")

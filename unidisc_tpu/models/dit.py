@@ -533,30 +533,48 @@ class DDiTBlock(nn.Module):
                               dropout_fn=dropout_fn)
 
         norm2 = Norm(dim, cfg.norm_type, self.compute_dtype, name="norm2")
-        mlp_0 = make_dense(cfg, cfg.mlp_ratio * dim, use_bias=True,
-                           dtype=self.compute_dtype,
-                           kernel_init=torch_linear_init(),
-                           bias_init=torch_linear_init(), name="mlp_0")
-        mlp_2 = make_dense(cfg, dim, use_bias=True,
-                           dtype=self.compute_dtype,
-                           kernel_init=torch_linear_init(),
-                           bias_init=torch_linear_init(), name="mlp_2")
-        if use_fused:
-            hidden = mlp_0(x, adaln_prologue(
-                norm2(None, return_weight=True), shift_mlp, scale_mlp))
-            hidden = nn.gelu(hidden, approximate=True)
-            hidden = mlp_2(hidden)
-        else:
+        moe_aux = None
+        if cfg.moe_experts > 0:
+            # MoE MLP (models/moe.py, beyond the reference): capacity-
+            # routed experts sharded over the 'ep' mesh axis. The fused
+            # int8 prologue path doesn't apply — routing needs the
+            # normalized hidden explicitly.
+            from unidisc_tpu.models.moe import MoEMLP
             hidden = norm2(x)
             if cfg.time_conditioning:
                 hidden = modulate(hidden, shift_mlp, scale_mlp, modality)
-            hidden = mlp_0(hidden)
-            hidden = nn.gelu(hidden, approximate=True)
-            hidden = mlp_2(hidden)
+            hidden, moe_aux = MoEMLP(cfg, self.compute_dtype,
+                                     name="moe")(hidden)
+        else:
+            mlp_0 = make_dense(cfg, cfg.mlp_ratio * dim, use_bias=True,
+                               dtype=self.compute_dtype,
+                               kernel_init=torch_linear_init(),
+                               bias_init=torch_linear_init(), name="mlp_0")
+            mlp_2 = make_dense(cfg, dim, use_bias=True,
+                               dtype=self.compute_dtype,
+                               kernel_init=torch_linear_init(),
+                               bias_init=torch_linear_init(), name="mlp_2")
+            if use_fused:
+                hidden = mlp_0(x, adaln_prologue(
+                    norm2(None, return_weight=True), shift_mlp, scale_mlp))
+                hidden = nn.gelu(hidden, approximate=True)
+                hidden = mlp_2(hidden)
+            else:
+                hidden = norm2(x)
+                if cfg.time_conditioning:
+                    hidden = modulate(hidden, shift_mlp, scale_mlp,
+                                      modality)
+                hidden = mlp_0(hidden)
+                hidden = nn.gelu(hidden, approximate=True)
+                hidden = mlp_2(hidden)
         if cfg.sandwich_normalization:
             hidden = Norm(dim, cfg.norm_type, self.compute_dtype,
                           name="post_ff_norm")(hidden)
         x = gate_residual(x, hidden, gate_mlp, modality, dropout_fn=dropout_fn)
+        if cfg.moe_experts > 0:
+            # per-layer scan output carries (cache, balance-aux); DIT
+            # unpacks and sums the aux over layers
+            return x, (new_cache, moe_aux)
         return x, new_cache
 
 
@@ -627,7 +645,7 @@ class DIT(nn.Module):
                  label=None, kv_cache=None, cache_index=None,
                  sample_ids=None, rope_index=None, extra_embed=None,
                  img_block_index=None, x_cond=None, return_hidden=False,
-                 frozen_kv=None, deterministic=True):
+                 frozen_kv=None, return_moe_aux=False, deterministic=True):
         cfg = self.cfg
         if cfg.split_embed:
             # reference use_pretrained_img_emb (models/dit.py:1343-1359):
@@ -776,7 +794,7 @@ class DIT(nn.Module):
                                  base=cfg.rope_base)
             cond_rope = (jnp.asarray(ccos), jnp.asarray(csin))
             cond_cfg = _dc.replace(cfg, time_conditioning=False,
-                                   img_cond=False)
+                                   img_cond=False, moe_experts=0)
             cond_blocks = nn.scan(
                 DDiTBlock,
                 variable_axes={"params": 0},
@@ -905,8 +923,25 @@ class DIT(nn.Module):
                                   segment_ids, x_cond_repr, cond_rope,
                                   frozen_kv)
 
+        moe_aux = None
+        if cfg.moe_experts > 0 and stacked is None:
+            new_cache, aux_stack = new_cache
+            moe_aux = jnp.sum(aux_stack)
+        elif cfg.moe_experts > 0:
+            # pipeline trunk: per-layer aux is not threaded out of the
+            # GPipe stage body; the router still trains through the
+            # combine gates (the balance regularizer is skipped)
+            moe_aux = jnp.zeros((), jnp.float32)
+
         logits = DDitFinalLayer(cfg, self.compute_dtype, name="output_layer")(
             x, c, modality)
+        if return_moe_aux:
+            # training loss path (training/train_state.py): the router
+            # load-balance auxiliary rides alongside the logits
+            assert kv_cache is None and not return_hidden
+            if moe_aux is None:
+                moe_aux = jnp.zeros((), jnp.float32)
+            return logits, moe_aux
         if return_hidden:
             if kv_cache is not None:
                 # span-factored samplers with a conditioning KV cache

@@ -125,7 +125,8 @@ def quantize_dit_params(params) -> dict:
         attn[name] = _quant_leaf(attn[name], axis=1)
     blocks["attention"] = attn
     for name in ("mlp_0", "mlp_2"):
-        blocks[name] = _quant_leaf(blocks[name], axis=1)
+        if name in blocks:  # absent under MoE (models/moe.py) — expert
+            blocks[name] = _quant_leaf(blocks[name], axis=1)  # weights stay fp
     out["blocks"] = blocks
     head = dict(params["output_layer"])
     head["linear"] = _quant_leaf(head["linear"], axis=0)

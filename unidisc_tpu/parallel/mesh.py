@@ -33,7 +33,7 @@ MIN_SHARD_SIZE = 2 ** 14
 
 def resolve_mesh_shape(cfg: MeshConfig, n_devices: int) -> tuple:
     sizes = (cfg.dcn, cfg.fsdp, cfg.tensor, getattr(cfg, "seq", 1),
-             getattr(cfg, "pp", 1))
+             getattr(cfg, "pp", 1), getattr(cfg, "ep", 1))
     known = [d for d in sizes if d != -1]
     prod = math.prod(known) if known else 1
     remaining = n_devices // max(prod, 1)
@@ -102,10 +102,24 @@ def param_spec(path: str, shape: tuple, mesh: Mesh) -> P:
             # layer axis shards over 'pp' so each stage's weights are
             # resident in its own HBM (parallel/pipeline.py)
             pp_dim = 0
+    # expert parallelism: MoE expert-stacked weights (models/moe.py names
+    # them under a 'moe' module) put their leading expert axis on 'ep' so
+    # each device group owns a subset of experts; the dispatch/combine
+    # einsums then lower to all_to_alls under GSPMD
+    ep = mesh.shape.get("ep", 1)
+    ep_dim = None
+    if ep > 1 and "/moe/" in f"/{path}" and len(dims) >= 2 \
+            and path.rsplit("/", 1)[-1] in ("w1", "w2", "b1", "b2"):
+        e_dim = dims[0]
+        if shape[e_dim] % ep == 0:
+            ep_dim = e_dim
+            dims = dims[1:]  # fsdp/tensor pick from the remaining dims
 
     def finish(spec):
         if pp_dim is not None:
             spec[pp_dim] = "pp"
+        if ep_dim is not None:
+            spec[ep_dim] = "ep"
         return P(*spec)
 
     if tensor > 1 and len(dims) == 2:

@@ -204,6 +204,19 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             "model.img_cond=True but the batch has no 'x_cond' stream")
     b = x0.shape[0]
 
+    # MoE (models/moe.py): the training forward also returns the router
+    # load-balance auxiliary, added to whichever loss path returns below
+    # (eval losses stay pure NELBO/CE — the regularizer is train-only)
+    moe_aux = None
+    if getattr(m_cfg, "moe_experts", 0) > 0 and train:
+        extra["return_moe_aux"] = True
+
+    def add_moe_aux(out):
+        if moe_aux is None:
+            return out
+        return out._replace(
+            loss=out.loss + t_cfg.moe_aux_weight * moe_aux)
+
     rng_t, rng_mask, rng_drop = jax.random.split(rng, 3)
 
     if t_cfg.add_label and "label" in batch:
@@ -300,14 +313,16 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
                                        attention_mask)
         logits = apply_fn(params, x0, None, modality, rng_drop, train,
                           **extra)
+        if "return_moe_aux" in extra:
+            logits, moe_aux = logits
         if mesh is not None:
             logits = logits_constraint(logits, mesh)
         # ar_shift: predict token i+1 from prefix <= i (reference: model.py:761-782)
-        return ar_loss(
+        return add_moe_aux(ar_loss(
             logits[:, :-1], x0[:, 1:], m_cfg.mask_index,
             attention_mask=None if attention_mask is None else attention_mask[:, 1:],
             modality=None if modality is None else modality[:, 1:],
-            text_vocab_size=m_cfg.text_vocab_size if m_cfg.force_argmax_valid_indices else None)
+            text_vocab_size=m_cfg.text_vocab_size if m_cfg.force_argmax_valid_indices else None))
 
     t = sample_t(rng_t, b, antithetic=t_cfg.antithetic_sampling,
                  sampling_eps=t_cfg.sampling_eps,
@@ -379,6 +394,8 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
 
     logits = apply_fn(params, xt, sigma, modality, rng_drop, train,
                       **extra)
+    if "return_moe_aux" in extra:
+        logits, moe_aux = logits
     if mesh is not None:
         logits = logits_constraint(logits, mesh)
 
@@ -396,10 +413,11 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             attention_mask = jnp.ones((b, x0.shape[1]), dtype=bool)
         total = (loss_tok * attention_mask).sum() / jnp.maximum(
             attention_mask.sum(), 1)
-        return LossOutput(loss=total, nlls=loss_tok * attention_mask,
-                          token_mask=attention_mask,
-                          txt_loss=jnp.zeros((), total.dtype),
-                          img_loss=jnp.zeros((), total.dtype))
+        return add_moe_aux(LossOutput(
+            loss=total, nlls=loss_tok * attention_mask,
+            token_mask=attention_mask,
+            txt_loss=jnp.zeros((), total.dtype),
+            img_loss=jnp.zeros((), total.dtype)))
 
     if t_cfg.parameterization == "d3pm":
         # discrete-time D3PM loss (reference: model_utils.py:604-636)
@@ -412,10 +430,11 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             attention_mask = jnp.ones((b, x0.shape[1]), dtype=bool)
         total = (loss_tok * attention_mask).sum() / jnp.maximum(
             attention_mask.sum(), 1)
-        return LossOutput(loss=total, nlls=loss_tok * attention_mask,
-                          token_mask=attention_mask,
-                          txt_loss=jnp.zeros((), total.dtype),
-                          img_loss=jnp.zeros((), total.dtype))
+        return add_moe_aux(LossOutput(
+            loss=total, nlls=loss_tok * attention_mask,
+            token_mask=attention_mask,
+            txt_loss=jnp.zeros((), total.dtype),
+            img_loss=jnp.zeros((), total.dtype)))
 
     log_p = subs_parameterization(
         logits, xt, m_cfg.mask_index,
@@ -467,7 +486,7 @@ def compute_batch_loss(config: Config, apply_fn, params, rng, batch,
             valid = (xt == m_cfg.mask_index) & attn
             ce = (ar_tok * valid).sum() / jnp.maximum(valid.sum(), 1)
             out = out._replace(loss=ce)
-    return out
+    return add_moe_aux(out)
 
 
 # ---------------------------------------------------------------------------
