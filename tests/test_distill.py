@@ -196,6 +196,74 @@ def test_distill_hard_weight_mixes_nelbo():
     np.testing.assert_allclose(float(m0.kl), float(m1.kl), rtol=1e-5)
 
 
+def test_cfg_distill_learns_guided_posterior():
+    """guidance= distillation (CFG distillation): the student's SINGLE
+    conditional forward converges toward the teacher's CFG-COMBINED
+    logits (1+w)·cond − w·uncond, measured as argmax agreement on a
+    held-out corruption with the text clamped visible (the sampling-time
+    input distribution). Also checks the KL support excludes the
+    conditioning rows."""
+    from unidisc_tpu.diffusion.forward_process import q_xt
+    from unidisc_tpu.diffusion.noise import get_noise
+    from unidisc_tpu.sampling.sampler import guidance_weight
+    import dataclasses
+
+    cfg = _cfg(hidden=32, blocks=1)
+    W = 2.0
+    teacher_model, teacher_params = init_dit(jax.random.PRNGKey(0),
+                                             cfg.model)
+    teacher_params = _perturb(teacher_params, 1)
+    student_model, student_params = init_dit(jax.random.PRNGKey(2),
+                                             cfg.model)
+
+    def teacher_apply(p, x, sigma, modality):
+        return teacher_model.apply({"params": p}, x, sigma,
+                                   modality=modality)
+
+    step = jax.jit(make_distill_step(cfg, student_model, teacher_apply,
+                                     guidance=W))
+    state = init_train_state(cfg, student_params)
+    rng = np.random.default_rng(3)
+    batches = [_batch(rng) for _ in range(8)]
+
+    # held-out probe: text visible, images corrupted at t=0.5 — exactly
+    # the sampler's input distribution
+    hb = _batch(np.random.default_rng(99), b=8)
+    tt = jnp.full((8,), 0.5)
+    sig = get_noise(cfg.noise).total(tt)
+    cor = q_xt(jax.random.PRNGKey(100), hb["input_ids"],
+               1 - jnp.exp(-sig), cfg.model.mask_index,
+               modality=hb["modality"])
+    cond = hb["modality"] == 0
+    xt = jnp.where(cond, hb["input_ids"], cor.xt)
+    probe_move = cor.move_indices & ~cond
+
+    # the teacher target the sampler would produce (sampler.py:197-205)
+    x_u = jnp.where(cond, cfg.model.mask_index, xt)
+    lc = teacher_apply(teacher_params, xt, sig, hb["modality"])
+    lu = teacher_apply(teacher_params, x_u, sig, hb["modality"])
+    w = guidance_weight(dataclasses.replace(cfg.sampling, cfg=W),
+                        tt)[:, None, None]
+    combined = (1 + w) * lc - w * lu
+
+    def agreement(params):
+        sl = student_model.apply({"params": params}, xt, sig,
+                                 modality=hb["modality"])
+        same = (sl.argmax(-1) == combined.argmax(-1)) & probe_move
+        return float(same.sum() / probe_move.sum())
+
+    agree0 = agreement(state.params)
+    key = jax.random.PRNGKey(4)
+    for i in range(150):
+        key, k = jax.random.split(key)
+        state, m = step(state, teacher_params, batches[i % 8], k)
+        assert np.isfinite(float(m.kl))
+        # KL support is masked NON-conditioning positions only
+        assert int(m.masked_count) <= 4 * IMG
+    assert agreement(state.params) > agree0 + 0.1, \
+        (agree0, agreement(state.params))
+
+
 def test_distill_t_window_specializes():
     """A student distilled with the late-step window (t_max from a
     scaffold split) sees only low sigmas: its KL measured at HIGH noise

@@ -107,6 +107,7 @@ def make_distill_step(config: Config, student_model,
                       teacher_apply: Callable, *,
                       t_max: Optional[float] = None,
                       hard_weight: float = 0.0,
+                      guidance: Optional[float] = None,
                       mesh=None) -> Callable:
     """Build the jitted-able distillation step.
 
@@ -124,10 +125,25 @@ def make_distill_step(config: Config, student_model,
       hard_weight: optional weight on the standard NELBO of the student
         against the ground-truth x0 (keeps the student anchored to data
         where the teacher is imperfect).
+      guidance: CFG DISTILLATION (guided distillation, the standard
+        answer to CFG's 2x serving cost — no reference counterpart; the
+        reference pays both forwards every step, model_eval.py:1761-1833).
+        When set, the teacher target is the CFG-COMBINED posterior: the
+        conditioning modality (modality == 0, text) is clamped VISIBLE in
+        x_t (as at sampling time), the teacher runs a batched [cond ||
+        re-masked-uncond] forward, and logits combine as
+        (1+w)·cond − w·uncond with the serving schedule
+        w(t) = guidance_weight(sampling-config-with-cfg=`guidance`, t)
+        (sampling/sampler.py:122). The student learns to emit the GUIDED
+        posterior in ONE conditional forward, so it samples with
+        sampling.cfg=None at half the NFE cost. KL runs over masked
+        NON-conditioning positions only.
 
     Returns step(state, teacher_params, batch, rng) ->
     (state, DistillMetrics); `state` is the student's TrainState
     (init_train_state(config, student_params))."""
+    import dataclasses
+
     t_cfg = config.trainer
     m_cfg = config.model
     noise = get_noise(config.noise)
@@ -136,6 +152,9 @@ def make_distill_step(config: Config, student_model,
     ema_decay = t_cfg.ema_decay
     ceil = 1.0 if t_max is None else float(t_max)
     floor = float(t_cfg.sampling_eps)
+    if guidance is not None:
+        from unidisc_tpu.sampling.sampler import guidance_weight
+        s_cfg = dataclasses.replace(config.sampling, cfg=float(guidance))
 
     def step(state: TrainState, teacher_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -155,8 +174,29 @@ def make_distill_step(config: Config, student_model,
                          modality=modality)
 
         restrict = modality if m_cfg.force_argmax_valid_indices else None
-        teacher_logits = jax.lax.stop_gradient(
-            teacher_apply(teacher_params, corrupted.xt, sigma, modality))
+        if guidance is not None:
+            # conditioning (text) is visible at sampling time: clamp it
+            # back to x0 and exclude it from the KL support
+            assert modality is not None, "guidance distillation needs modality"
+            cond = modality == 0
+            xt = jnp.where(cond, x0, corrupted.xt)
+            move_indices = corrupted.move_indices & ~cond
+            corrupted = corrupted._replace(xt=xt,
+                                           move_indices=move_indices)
+            # batched [cond || uncond] teacher forward, uncond = the
+            # sampler's re-masked conditioning (sampler.py:198)
+            x_u = jnp.where(cond, m_cfg.mask_index, xt)
+            xx = jnp.concatenate([xt, x_u], axis=0)
+            ss = jnp.concatenate([sigma, sigma], axis=0)
+            mm = jnp.concatenate([modality, modality], axis=0)
+            logits2 = jax.lax.stop_gradient(
+                teacher_apply(teacher_params, xx, ss, mm))
+            logit_c, logit_u = jnp.split(logits2, 2, axis=0)
+            w = guidance_weight(s_cfg, t)[:, None, None]
+            teacher_logits = (1 + w) * logit_c - w * logit_u
+        else:
+            teacher_logits = jax.lax.stop_gradient(
+                teacher_apply(teacher_params, corrupted.xt, sigma, modality))
         teacher_log_p = subs_parameterization(
             teacher_logits, corrupted.xt, m_cfg.mask_index,
             modality=restrict, text_vocab_size=m_cfg.text_vocab_size)
