@@ -76,6 +76,19 @@ def main():
     frozen_fast_tps = BATCH * m.img_length / timed(frozen_fast_sample,
                                                    params)
 
+    # CFG-distilled serving stack (round 5, training/distill.py
+    # guidance=): a guided-distilled student samples with
+    # sampling.cfg=None — HALF the rows per forward — and composes with
+    # frozen_cond + fast_nfe. Quality gate: scripts/cfg_distill_ab.py
+    # (student-no-CFG matches the guided teacher token-acc on the
+    # synthetic task). Throughput is weight-independent, so the cell
+    # runs on the same random weights as the rest.
+    nocfg_fast = fast_cfg.override(**{"sampling.cfg": None})
+    nocfg_sample = jax.jit(build_t2i_sampler(model, nocfg_fast,
+                                             cached_cond=True))
+    distilled_stack_tps = BATCH * m.img_length / timed(nocfg_sample,
+                                                       params)
+
     # ---- baseline: per-step host-synced loop in bf16 (the reference's
     # serving architecture: one sampler step per dispatch with a host
     # round-trip between steps, model_eval.py:2309; bf16 because the
@@ -142,6 +155,9 @@ def main():
         "frozen_fast_nfe_tok_per_s": round(frozen_fast_tps, 2),
         "frozen_fast_nfe_vs_baseline": round(frozen_fast_tps / base_tps,
                                              3),
+        "distilled_stack_tok_per_s": round(distilled_stack_tps, 2),
+        "distilled_stack_vs_baseline": round(
+            distilled_stack_tps / base_tps, 3),
     }))
 
 

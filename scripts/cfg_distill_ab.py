@@ -193,16 +193,25 @@ def main():
     if args.bench_flagship:
         import time
 
+        from __graft_entry__ import _flagship_config
         from unidisc_tpu.ops.quant import quantize_model
-        fcfg = Config.make("small").apply_experiments("vq16_t2i")
+        # the headline bench's exact config (32-step maskgit, int8,
+        # bf16 logits) so the cfg_on cell reproduces bench.py and the
+        # cfg_off delta is the single-forward saving
+        fcfg = _flagship_config().override(**{
+            "sampling.predictor": "maskgit", "sampling.steps": 32,
+            "sampling.cfg": args.guidance,
+            "model.logits_dtype": "bfloat16"})
         fmodel, fparams = init_dit(jax.random.PRNGKey(0), fcfg.model)
         qcfg, qmodel, qparams = quantize_model(fcfg, fparams)
         B = 8
         ftxts = np.zeros((B, fcfg.model.txt_length), np.int32)
-        for label, scfg in (("cfg_on", qcfg),
-                            ("cfg_off", qcfg.override(
-                                **{"sampling.cfg": None}))):
-            sample = jax.jit(build_t2i_sampler(qmodel, scfg))
+        cells = (("cfg_on", qcfg, {}),
+                 ("cfg_off", qcfg.override(**{"sampling.cfg": None}), {}),
+                 ("cfg_off_frozen", qcfg.override(
+                     **{"sampling.cfg": None}), {"cached_cond": True}))
+        for label, scfg, skw in cells:
+            sample = jax.jit(build_t2i_sampler(qmodel, scfg, **skw))
             out = sample(qparams, jax.random.PRNGKey(3),
                          jnp.asarray(ftxts))
             np.asarray(out.tokens)  # compile barrier

@@ -217,6 +217,56 @@ def test_ademamix_optimizer():
     assert int(state.step) == 3
 
 
+def test_muon_optimizer():
+    """trainer.optimizer='muon' (training/muon.py routing over
+    optax.contrib.muon — BEYOND the reference zoo): hidden block
+    matrices get NS-orthogonalized momentum (scan-stacked kernels
+    batch over axis 0), everything else the embedded Adam. Checks the
+    routing on a real DIT tree, that steps run finite, and that loss
+    decreases on repeated identical batches."""
+    from optax.contrib import MuonDimensionNumbers
+
+    from unidisc_tpu.training.muon import muon_dimension_numbers
+
+    cfg = tiny_config(**{"trainer.optimizer": "muon"})
+    rng = jax.random.PRNGKey(0)
+    model, params = init_dit(rng, cfg.model)
+
+    dn = muon_dimension_numbers(params)
+    flat = dict(jax.tree_util.tree_flatten_with_path(
+        dn, is_leaf=lambda x: x is None or isinstance(
+            x, MuonDimensionNumbers))[0])
+
+    def find(substr):
+        return [v for path, v in flat.items()
+                if substr in "/".join(getattr(s, "key", "")
+                                      for s in path)]
+
+    # scan-stacked trunk kernels: batched matrix axes (1, 2)
+    qkv = [v for v in find("attn_qkv") if v is not None]
+    assert qkv and all(v.reduction_axis == 1 and v.output_axis == 2
+                       for v in qkv)
+    # embeddings and the vocab head are Adam leaves
+    assert all(v is None for v in find("embed"))
+    assert all(v is None for v in find("output_layer"))
+    # 1D leaves under blocks (biases, norms) are Adam leaves
+    assert all(v is None for v in find("bias"))
+
+    state = init_train_state(cfg, params)
+    step_fn = jax.jit(make_train_step(cfg, model))
+    batch = make_batch(cfg, rng)
+    losses = []
+    # per-step t/corruption draws make the NELBO noisy (~±0.7 at this
+    # size); 50 steps + first/last-10 means give a clean learning signal
+    for i in range(50):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        loss = float(metrics.loss)
+        assert np.isfinite(loss)
+        losses.append(loss)
+    assert int(state.step) == 50
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
+
+
 def test_sharded_sampling_8dev():
     """Data-parallel sampling over the mesh: the jitted lax.scan sampler
     runs with the batch sharded over (dcn, fsdp) and params replicated/

@@ -193,7 +193,7 @@ class TrainerConfig:
     """Training hyperparameters (reference: configs/config.yaml trainer/optim)."""
 
     # optimization (reference: configs/config.yaml optim)
-    optimizer: str = "adamw"  # adamw | adafactor | lion | ademamix
+    optimizer: str = "adamw"  # adamw | adafactor | lion | ademamix | muon
     grad_accum_steps: int = 1  # lax.scan microbatching when > 1
     lr: float = 3e-4
     weight_decay: float = 0.0

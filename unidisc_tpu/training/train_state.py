@@ -129,6 +129,17 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     elif t.optimizer == "lion":
         opt = optax.lion(make_lr_schedule(config), b1=t.beta1, b2=t.beta2,
                          weight_decay=t.weight_decay)
+    elif t.optimizer == "muon":
+        # Muon for hidden matrices (NS5 orthogonalized momentum — MXU
+        # matmuls, cheap on TPU), embedded Adam for everything else;
+        # scan-stacked (n_blocks, K, N) kernels batch the NS iteration
+        # over axis 0 (training/muon.py). BEYOND the reference zoo.
+        from unidisc_tpu.training.muon import muon_dimension_numbers
+        opt = optax.contrib.muon(
+            make_lr_schedule(config), beta=0.95, nesterov=True,
+            weight_decay=t.weight_decay,
+            adam_b1=t.beta1, adam_b2=t.beta2,
+            muon_weight_dimension_numbers=muon_dimension_numbers)
     elif t.optimizer == "ademamix":
         # reference: trainer.ademamix -> unidisc/utils/ademamix.py AdEMAMix
         # (model_setup.py:400-403); optax.contrib carries the same
