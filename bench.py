@@ -108,6 +108,23 @@ def main():
                                  txt).tokens)
     frozen_tps = gen_tokens / ((time.perf_counter() - t0) / ITERS)
 
+    # ---- composed quality-gated serving stack (--experiments
+    # distilled_stack = cfg_distilled + frozen_cond + fast_nfe): single
+    # conditional forward (CFG distilled away, training/distill.py
+    # guidance=), frozen text K/V, 8-NFE dilated schedule — each lever
+    # individually quality-gated (BASELINE.md); own field, headline
+    # stays the exact-math sampler --
+    stack_cfg = qcfg.apply_experiments("distilled_stack")
+    stack_sample = jax.jit(build_t2i_sampler(qmodel, stack_cfg,
+                                             cached_cond=True))
+    for _ in range(WARMUP):
+        np.asarray(stack_sample(qparams, rng, txt).tokens)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        np.asarray(stack_sample(qparams, jax.random.fold_in(rng, i),
+                                txt).tokens)
+    stack_tps = gen_tokens / ((time.perf_counter() - t0) / ITERS)
+
     # ---- baseline: per-step host-synced loop (reference architecture) ---
     step_cfg = cfg.override(**{"sampling.steps": 1,
                                "sampling.noise_removal": False})
@@ -142,6 +159,10 @@ def main():
         # conditioning-frozen fast path (approximate; quality-A/B-gated)
         "frozen_cond_tok_per_s": round(frozen_tps, 2),
         "frozen_cond_vs_baseline": round(frozen_tps / base_tps, 3),
+        # composed serving stack: cfg_distilled + frozen_cond + fast_nfe
+        # (each lever quality-gated at the 8-NFE point, BASELINE.md)
+        "distilled_stack_tok_per_s": round(stack_tps, 2),
+        "distilled_stack_vs_baseline": round(stack_tps / base_tps, 3),
     }))
 
 

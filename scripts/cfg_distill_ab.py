@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--eval-batch", type=int, default=16)
     ap.add_argument("--guidance", type=float, default=2.0)
+    ap.add_argument("--preset", default="tiny", choices=["tiny", "medium"],
+                    help="medium = ~300M (h=1024, 24 blocks), the scale "
+                    "gate protocol shared with nfe_quality_ab.py")
     ap.add_argument("--scenes", type=int, default=64)
     ap.add_argument("--steps", default="8,32",
                     help="sampler step counts to eval")
@@ -72,15 +75,20 @@ def main():
     IMG = GRID * GRID
     codec = get_codec("dummy", image_size=GRID * 16, vocab=256)
     tok = get_tokenizer("byte")
+    arch = ({"model.hidden_size": 256, "model.n_blocks": 6,
+             "model.n_heads": 4}
+            if args.preset == "tiny" else
+            # reference "medium" scale: ~300M (nfe_quality_ab.py protocol)
+            {"model.hidden_size": 1024, "model.n_blocks": 24,
+             "model.n_heads": 16, "model.cond_dim": 256})
     cfg = Config.make("tiny").override(**{
         "model.length": TXT + IMG, "model.txt_length": TXT,
         "model.img_length": IMG, "model.text_vocab_size": 261,
         "model.image_vocab_size": 256, "model.dropout": 0.0,
         "model.force_argmax_valid_indices": True,
-        "model.hidden_size": 256, "model.n_blocks": 6, "model.n_heads": 4,
         "trainer.lr": 3e-4, "trainer.warmup_steps": 20,
         "trainer.mask_entire_modality": args.modality_dropout,
-        "sampling.predictor": "maskgit", "sampling.cfg": None})
+        "sampling.predictor": "maskgit", "sampling.cfg": None, **arch})
 
     # deterministic deduped position-complete dataset (nfe_quality_ab.py)
     rng = np.random.default_rng(0)
@@ -131,7 +139,12 @@ def main():
         if i % 200 == 0:
             print(f"# teacher step {i} loss {float(loss):.4f}",
                   file=sys.stderr, flush=True)
+    # keep ONLY the teacher weights: the optimizer moments + EMA of the
+    # 303M medium teacher are ~3.6G that must be freed before the
+    # distill state (another params+moments+EMA) is allocated — holding
+    # both OOMs the 16G chip (measured)
     teacher_params = state.params
+    del state
 
     eval_caps = list(truth)[:args.eval_batch]
     txts = np.stack([tok(c, max_length=TXT)["input_ids"][0]
@@ -140,8 +153,8 @@ def main():
     apply_fn = lambda p, x, s, m: model.apply({"params": p}, x, s,
                                               modality=m)
 
-    def eval_cell(params, scfg, extra):
-        sample = jax.jit(build_t2i_sampler(model, scfg))
+    def eval_cell(params, scfg, extra, **skw):
+        sample = jax.jit(build_t2i_sampler(model, scfg, **skw))
         out = sample(params, jax.random.PRNGKey(5), jnp.asarray(txts))
         toks = np.asarray(out.tokens)
         img_pred = toks[:, TXT:] - cfg.model.text_vocab_size
@@ -189,6 +202,16 @@ def main():
         eval_cell(dstate.ema_params,
                   cfg.override(**{"sampling.steps": steps}),
                   {"cell": "student_distilled_nocfg", "steps": steps})
+
+    # COMPOSED stack gate: the full `distilled_stack` serving overlay
+    # (no-CFG student + frozen text K/V + 8-NFE dilated schedule) vs
+    # the guided 32-step teacher — the levers are gated individually
+    # elsewhere; this cell checks they don't interact destructively.
+    stack_cfg = cfg.override(**{"sampling.steps": 8,
+                                "sampling.maskgit_dilation": 2})
+    eval_cell(dstate.ema_params, stack_cfg,
+              {"cell": "student_distilled_stack", "steps": 8,
+               "dilation": 2, "frozen": True}, cached_cond=True)
 
     if args.bench_flagship:
         import time

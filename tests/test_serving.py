@@ -424,6 +424,29 @@ def test_engine_with_fast_nfe_experiment():
     assert out["nfe"] <= 9
 
 
+def test_engine_with_distilled_stack_experiment():
+    """`--experiments distilled_stack` (round 5): the composed
+    quality-gated serving stack — cfg_distilled (single conditional
+    forward, sampling.cfg=None) + frozen_cond + fast_nfe — builds and
+    serves end-to-end at the reduced NFE."""
+    cfg = Config.make("tiny").override(**{
+        "model.text_vocab_size": 261, "model.image_vocab_size": 64,
+        "model.length": 32, "model.txt_length": 16,
+        "model.img_length": 16,   # 4x4 grid: square, dilation-legal
+        "model.dropout": 0.0,
+    }).apply_experiments("distilled_stack")
+    assert cfg.sampling.cfg is None
+    assert cfg.sampling.cached_cond
+    assert cfg.sampling.steps == 8
+    # cfg_distilled alone only switches off the uncond branch
+    c2 = Config.make("tiny").apply_experiments("cfg_distilled")
+    assert c2.sampling.cfg is None
+    model, params = init_dit(jax.random.PRNGKey(0), cfg.model)
+    eng = InferenceEngine(cfg, model, params)
+    out = eng.run(text="hello", seed=1)
+    assert out["nfe"] <= 9
+
+
 def test_elm_engine_serves_over_http():
     """`--model elm:tiny` route (VERDICT r2 #4): the OpenELM baseline
     behind the HTTP server through the continuous batcher, including SSE

@@ -663,6 +663,26 @@ EXPERIMENTS = {
         "sampling.cached_cond_refresh": 0,
         "sampling.predictor": "maskgit",
     },
+    # CFG-distilled serving: single conditional forward per denoise step
+    # (HALF the rows of the [cond||uncond] CFG batch). For checkpoints
+    # trained/distilled with training/distill.py guidance= — the student
+    # emits the guided posterior directly (quality gate:
+    # scripts/cfg_distill_ab.py; BASELINE.md round 5). Composes with
+    # frozen_cond + fast_nfe: the full stack measured 8,234 tok/s at
+    # 1.4B int8 B4 (24.8x the host-synced loop).
+    "cfg_distilled": {
+        "sampling.cfg": None,
+    },
+    # the composed quality-gated serving stack (cfg_distilled +
+    # frozen_cond + fast_nfe): --experiments distilled_stack
+    "distilled_stack": {
+        "sampling.cfg": None,
+        "sampling.cached_cond": True,
+        "sampling.cached_cond_refresh": 0,
+        "sampling.steps": 8,
+        "sampling.maskgit_dilation": 2,
+        "sampling.predictor": "maskgit",
+    },
     # 8192-token long-context stress layout (reference:
     # eval.big_seq_len_eval — model.py:158-168 swaps in synthetic
     # [4096 txt | 4096 img] batches for long-sequence speed evals; here
